@@ -1,0 +1,46 @@
+"""Parquet readers for the driver-supplied tables (TESTDATA.md).
+
+The reference's sources are HTTP/TCP/Redis fan-outs (chStats.py:31-60,
+79); here every source is a columnar parquet scan so Catalyst gets
+predicate pushdown + column pruning for free. Fixed schemas — never
+``inferSchema`` — per SURVEY.md §1.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table; applies runtime tuning (UTC TZ, AQE)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    tune(spark)
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+        # outright; read it as raw nanos and truncate to micros (exactly
+        # what DuckDB does on read, so oracle values agree).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [table(spark, sf_dir, n) for n in names]

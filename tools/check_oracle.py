@@ -1,0 +1,60 @@
+"""Local approximation of the driver's correctness gate.
+
+Runs every `queries()` entry on Spark and its `oracle_sql()` twin on
+DuckDB over the same parquet tables (row count + sorted schema +
+order-insensitive canonical value hash).
+
+Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from fortisiem_clickhouse_monitor_spark.session import get_spark
+from fortisiem_clickhouse_monitor_spark.testing import compare, duck_connection
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle-check")
+    con = duck_connection(sf_dir)
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            if name not in oracles:
+                n = sdf.count()
+                print(f"rows  {name:36s} rows={n} (rows-only) [{time.time()-t0:.1f}s]")
+                n_rowsonly += 1
+                continue
+            problems = compare(sdf, con, oracles[name])
+        except Exception as e:  # noqa: BLE001
+            problems = [f"error: {e}"]
+        if problems:
+            print(f"FAIL  {name:36s} {problems[0]}")
+            for p in problems[1:]:
+                print(f"      {p}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name:36s} [{time.time()-t0:.1f}s]")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
