@@ -31,6 +31,19 @@ HEADLINE = [
     "rollup_priority_status",
     "scalar_string_battery",
     "json_extract_props",
+    "join_q3_shipping_priority",
+    "join_q5_local_supplier_volume",
+    "join_part_supplier_pricing",
+    "window_topn_per_group",
+    "nest_items_per_order",
+    "stream_session_windows",
+    "text_lang_guess",
+    "text_fingerprint",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "sim_cosine_topk",
+    "sim_ann_lsh_bucketed",
+    "dedup_embedding_cosine_pairs",
 ]
 
 

@@ -1,1 +1,387 @@
-"""Placeholder — queries land here (SURVEY.md §2)."""
+"""Deduplication operators (north-star extension): exact hash dedup,
+blocked n-gram Jaccard, MinHash+LSH, SimHash banding, and
+embedding-cosine near-dup — the dedup toolbox of a large-scale
+training-data pipeline.
+
+Scale design:
+- Exact dedup is a hash groupBy — one shuffle on the fingerprint, with
+  map-side partial aggregation.
+- Pairwise similarity NEVER does an unblocked self-join: Jaccard pairs
+  are blocked on (lang, length-bucket), MinHash/SimHash pairs on LSH
+  band buckets — candidate generation is a key-equality join, so at
+  100 TB the cross-product only happens *within* buckets.
+- Signatures (MinHash, SimHash) are computed with built-in higher-order
+  functions over token/shingle arrays: map-only, no Python, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textfns, vectors
+from ..registry import register
+from ..sources.tables import table
+
+_DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+           count(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("DD",),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups over normalized-text fingerprints; the keeper
+    is min(doc_id) — deterministic, unlike dropDuplicates."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    return d.groupBy(fp.alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("keeper_doc_id"),
+    )
+
+
+@register(
+    "dedup_exact_events_keep_first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id, value
+    FROM (
+      SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("DD",),
+)
+def dedup_exact_events_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup on a composite key: implemented as a min(struct)
+    aggregation — ONE shuffle with map-side partials, cheaper than the
+    sort-based window formulation the oracle uses (same semantics because
+    (ts, event_id) is unique per key)."""
+    ev = table(spark, sf_dir, "events")
+    first = F.min(F.struct("ts", "event_id", "value")).alias("first")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(first)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("first.event_id").alias("first_event_id"),
+            F.col("first.value").alias("value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked n-gram Jaccard near-dup (fully oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS bucket,
+             list_distinct({_DUCK_TOKENS}) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS inter,
+             len(a.toks) + len(b.toks)
+               - len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS uni
+      FROM docs a JOIN docs b
+        ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / uni >= 0.8
+    """,
+    tags=("DD",),
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard >= 0.8, blocked on
+    (lang, n_chars/100): the self-join is a key-equality join on the
+    block, so candidate pairs form only within blocks."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("int").alias("bucket"),
+        F.array_distinct(textfns.tokens("text")).alias("toks"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    uni = F.size(F.col("a.toks")) + F.size(F.col("b.toks")) - inter
+    jac = inter.cast("double") / uni
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard_raw"),
+        )
+        .filter(F.col("jaccard_raw") >= 0.8)  # intersect evaluated once
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (rows-only: xxhash64 has no DuckDB twin)
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 16
+# 8 bands x 2 rows: LSH S-curve threshold (1/b)^(1/r) ~= 0.35, so pairs
+# at the 0.5 verification cutoff are caught with P ~= 1-(1-0.5^2)^8 = 0.9,
+# and ~0.7-similar near-dups with P > 0.99.
+_BANDS = 8
+
+
+def _minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sh = textfns.shingles(textfns.tokens("text"), 3)
+    docs = d.select(
+        "doc_id", F.array_distinct(sh).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    out = docs.select(
+        "doc_id",
+        "shingles",
+        F.array(
+            *textfns.minhash_signature(F.col("shingles"), _N_HASHES)
+        ).alias("sig"),
+    )
+    # The plan reuses this subtree 3x (banding + both sides of the
+    # verification join); shingling/minhashing are interpreted
+    # higher-order fns, so persist the small signature table instead of
+    # recomputing it per use (~doc_count * (16 + |shingles|) values).
+    return out.persist()
+
+
+@register("dedup_minhash_lsh_pairs", oracle=None, tags=("DD", "LSH"))
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) -> LSH banding (8 bands x 2 rows) -> candidate pairs
+    -> exact-Jaccard verification >= 0.5.
+
+    Candidate generation is groupBy-free: docs explode to (band_id,
+    band_key) rows and self-join on band equality — at scale this is a
+    shuffle on band keys, and the quadratic blow-up is confined to
+    same-bucket collisions, which is the entire point of LSH. Rows-only
+    check (xxhash64 signatures are Spark-specific); the Jaccard
+    verification step reuses the oracle-checked logic of
+    dedup_ngram_jaccard_pairs."""
+    docs = _minhash_docs(spark, sf_dir)
+    rows_per_band = _N_HASHES // _BANDS
+    bands = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.hash(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_key"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_key")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sh = docs.select("doc_id", "shingles")
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / uni
+    return verified.select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    ).filter(jac >= 0.5)
+
+
+# ---------------------------------------------------------------------------
+# SimHash (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register("dedup_simhash_pairs", oracle=None, tags=("DD", "LSH"))
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup: per-token xxhash64 bit votes -> sign ->
+    64-bit signature; banding on 4 x 16-bit chunks (pigeonhole: hamming
+    <= 3 guarantees >= 1 identical chunk) -> verify hamming <= 3 via
+    bit_count(xor).
+
+    The signature is one exploded-token aggregation (single shuffle on
+    doc_id with map-side partials); banding reuses the LSH join shape."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(textfns.tokens("text")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig_col = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        sig_col = term if sig_col is None else sig_col.bitwiseOR(term)
+    sigs = votes.select("doc_id", sig_col.alias("simhash"))
+
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftright("simhash", c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_key")
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_key") == F.col("b.chunk_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(hamming <= 3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 4) >= 0.9
+    """,
+    tags=("DD", "ANN"),
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: pairs with cosine >= 0.9. Brute-force O(n^2)
+    pair generation as the correctness baseline (the LSH-bucketed scale
+    path is sim_ann_lsh_bucketed in operators/similarity.py).
+
+    Each vector is L2-normalized ONCE on the map side (O(n) higher-order
+    fn), so per-pair work is a single Arrow-batched dot product
+    (functions/vectors.make_dot_pandas) — cosine == dot of unit vectors."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def normalize(ids_np, mat):
+        norms = np.linalg.norm(mat, axis=1)
+        keep = norms > 0
+        return ids_np[keep], mat[keep] / norms[keep, None]
+
+    # Right side broadcast as one dense unit matrix (n x d doubles —
+    # 1 MB per 2k vectors); each partition of the left side runs ONE
+    # GEMM against it instead of materializing |pairs| array rows
+    # through a join. Normalization happens in numpy on both sides (the
+    # interpreted higher-order-fn normalize measured slower than the
+    # GEMM itself). At sizes where the right side stops fitting in
+    # memory, the same kernel runs per LSH bucket — brute force is the
+    # baseline, not the scale path.
+    rows = e.collect()
+    b_ids, b_mat = normalize(
+        np.array([r["vec_id"] for r in rows], dtype="int64"),
+        np.array([r["embedding"] for r in rows], dtype="float64"),
+    )
+    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+
+    out_schema = "vec_a LONG, vec_b LONG, cos_sim DOUBLE"
+
+    def gemm_pairs(batches):
+        rb_ids, rb_mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids, a_mat = normalize(
+                pdf["vec_id"].to_numpy(),
+                np.stack(pdf["embedding"].to_numpy()).astype("float64"),
+            )
+            sims = np.round(a_mat @ rb_mat.T, 4)
+            ai, bj = np.where(
+                (sims >= 0.9) & (a_ids[:, None] < rb_ids[None, :])
+            )
+            yield pd.DataFrame(
+                {
+                    "vec_a": a_ids[ai],
+                    "vec_b": rb_ids[bj],
+                    "cos_sim": sims[ai, bj],
+                }
+            )
+
+    return e.mapInPandas(gemm_pairs, schema=out_schema)

@@ -1,1 +1,310 @@
-"""Placeholder — queries land here (SURVEY.md §2)."""
+"""Joins (SURVEY.md §2.3): broadcast lookup with default (J1),
+disjunctive-key first-match enrichment (J2), scalar-subquery rewrite
+(J3), semi/anti joins (J4 + driver corpus), and the multi-way equi
+joins the TPC-H-ish correctness corpus requires.
+
+Scale notes: every dimension here (region/nation/supplier, inline
+fixtures) is tiny relative to the facts, so the plans hint
+``F.broadcast`` explicitly — at 100 TB the fact table never shuffles
+for these joins; only fact⋈fact joins (lineitem⋈orders) shuffle, on
+their join key, and AQE handles skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import fixtures
+from ..sources.tables import table
+
+
+# ---------------------------------------------------------------------------
+# J1: lookup join with default — ip→shard dict probe with 'Unknown Shard'
+# fallback (chStats.py:72-75, 111). Dimension restricted so the default
+# path actually fires.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_broadcast_lookup_default",
+    oracle="""
+    SELECT c_custkey, coalesce(dim.r_name, 'Unknown Shard') AS shard
+    FROM customer
+    LEFT JOIN (
+      SELECT n_nationkey, r_name
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      WHERE r_regionkey <= 2
+    ) dim ON c_nationkey = n_nationkey
+    """,
+    tags=("J1",),
+)
+def join_broadcast_lookup_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash join, left-outer, with a literal default — the
+    reference's `ip_to_shard.get(ip, 'Unknown Shard')` (chStats.py:111).
+    The dim is built from nation⋈region and broadcast: zero fact shuffle."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    dim = (
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_regionkey") <= 2)
+        .select("n_nationkey", "r_name")
+    )
+    return c.join(
+        F.broadcast(dim), c["c_nationkey"] == dim["n_nationkey"], "left"
+    ).select(
+        "c_custkey",
+        F.coalesce(F.col("r_name"), F.lit("Unknown Shard")).alias("shard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2: disjunctive-key enrichment join, first match wins (chStats.py:51-60)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_disjunctive_first_match",
+    oracle=f"""
+    WITH matched AS (
+      SELECT s_suppkey, device_name,
+             row_number() OVER (PARTITION BY s_suppkey ORDER BY lrt_key) AS rn
+      FROM supplier
+      JOIN {fixtures.values_sql("lrt")}
+        ON device_ip = 'sup-' || s_suppkey OR relay = 'sup-' || s_suppkey
+    )
+    SELECT s_suppkey, s_name, coalesce(m.device_name, 'unknown') AS resolved_name
+    FROM supplier LEFT JOIN (SELECT * FROM matched WHERE rn = 1) m USING (s_suppkey)
+    """,
+    tags=("J2",),
+)
+def join_disjunctive_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Find the first enrichment entry where `deviceIp == ip OR relay == ip`
+    (chStats.py:51-60). The reference's dict-iteration "first" is
+    non-deterministic; we pin the tiebreak to key order with row_number
+    (SURVEY §7.3 risk 3). OR-predicate join against a broadcast dim is a
+    nested-loop over the tiny dim — same cost shape as the reference's
+    full-hash scan per probe."""
+    s = table(spark, sf_dir, "supplier")
+    lrt = fixtures.spark_df(spark, "lrt")
+    key = F.concat(F.lit("sup-"), F.col("s_suppkey").cast("string"))
+    joined = s.join(
+        F.broadcast(lrt),
+        (lrt["device_ip"] == key) | (lrt["relay"] == key),
+        "left",
+    )
+    w = Window.partitionBy("s_suppkey").orderBy(F.col("lrt_key").asc_nulls_last())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.coalesce(F.col("device_name"), F.lit("unknown")).alias("resolved_name"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: scalar-subquery rewrite — compare each row against a global aggregate
+# (the two-scalar-subquery SQL at chStats.py:163-165).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_scalar_subquery",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_above
+    FROM lineitem
+    WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+    tags=("J3",),
+)
+def join_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery as a broadcast cross-join of a 1-row aggregate:
+    the global average is computed once (map-side partials) and shipped to
+    every executor — two scans total, no repeated subquery evaluation."""
+    li = table(spark, sf_dir, "lineitem")
+    avg_price = li.agg(F.avg("l_extendedprice").alias("global_avg"))
+    return (
+        li.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("l_extendedprice") > F.col("global_avg"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (J4 pattern + driver corpus)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_semi_orders_with_big_items",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    """,
+    tags=("J4",),
+)
+def join_semi_orders_with_big_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): the leader-identity gate shape
+    (chStats.py:370-382). Semi join shuffles only the join keys of the
+    filtered right side — no payload columns move."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return o.join(
+        li, o["o_orderkey"] == li["l_orderkey"], "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("J4",),
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — set-difference on keys."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way equi joins over the star schema (SURVEY §2.3 "missing from
+# reference but required by driver corpus")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_q3_shipping_priority",
+    oracle="""
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    tags=("J-ext", "O2"),
+)
+def join_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered customer broadcast into orders, then a
+    key-partitioned join with lineitem; top-k via TakeOrderedAndProject
+    (each partition ships only its local top 10)."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "join_q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    tags=("J-ext",),
+)
+def join_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join. supplier/nation/region are broadcast;
+    lineitem⋈orders is the only shuffle (co-partitioned on orderkey).
+    The s_nationkey = c_nationkey conjunct rides along as a join filter."""
+    li, o, c, s, n, r = (
+        table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "nation", "region")
+    )
+    asia_nations = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"])
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(asia_nations, c["c_nationkey"] == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "join_part_supplier_pricing",
+    oracle="""
+    SELECT p_brand,
+           count(*) AS n_lineitems,
+           round(avg(l_extendedprice / l_quantity), 2) AS avg_unit_price,
+           round(max(p_retailprice), 2) AS max_retail
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size >= 20
+    GROUP BY p_brand
+    """,
+    tags=("J-ext",),
+)
+def join_part_supplier_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with dim-side filter pushed below the join; part is
+    broadcast so the 100 TB lineitem scan never shuffles."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
+                "avg_unit_price"
+            ),
+            F.round(F.max("p_retailprice"), 2).alias("max_retail"),
+        )
+    )

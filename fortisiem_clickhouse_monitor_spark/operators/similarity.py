@@ -1,1 +1,196 @@
-"""Placeholder — queries land here (SURVEY.md §2)."""
+"""Similarity search over the `embeddings` table (north-star extension):
+brute-force cosine top-k as the correctness baseline, and a
+random-hyperplane LSH bucketed variant as the scale path.
+
+Both are oracle-checkable: the LSH hyperplanes are deterministic
+literals generated from a fixed seed and embedded identically in the
+DuckDB SQL, so even the approximate path hash-matches.
+
+Scale: brute-force is O(n) per query vector and fine for one query;
+the LSH path prunes to one bucket (expected n / 2^bits candidates), and
+its bucket assignment is a map-only signature computation — the shape
+that works when both sides are large (bucket-equality join instead of
+cross product).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import vectors
+from ..registry import register
+from ..sources.tables import table
+
+_DIM = 64
+_N_PLANES = 8
+
+
+def _hyperplanes() -> list[list[float]]:
+    rng = random.Random(42)
+    return [
+        [round(rng.uniform(-1.0, 1.0), 6) for _ in range(_DIM)]
+        for _ in range(_N_PLANES)
+    ]
+
+
+_PLANES = _hyperplanes()
+
+
+def _plane_lit(p: list[float]) -> "F.Column":
+    return F.array(*[F.lit(x) for x in p])
+
+
+def _duck_plane(p: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+
+
+def _duck_bucket(emb: str) -> str:
+    """DuckDB expression for the LSH bucket id of an embedding column."""
+    bits = [
+        f"(CASE WHEN list_dot_product({emb}::DOUBLE[], {_duck_plane(p)}) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_PLANES)
+    ]
+    return "(" + " + ".join(bits) + ")"
+
+
+def _spark_bucket(emb) -> "F.Column":
+    out = F.lit(0)
+    for i, p in enumerate(_PLANES):
+        bit = F.when(vectors.dot(emb, _plane_lit(p)) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        out = out + bit
+    return out
+
+
+@register(
+    "sim_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)), 6)
+             AS cos_sim
+    FROM embeddings
+    WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=("ANN",),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for a query vector (vec_id=0):
+    broadcast the 1-row query, map-side cosine, TakeOrderedAndProject
+    (each partition ships only its local top-k)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cos = F.round(vectors.cosine(F.col("embedding"), F.col("qe")), 6)
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "sim_ann_lsh_bucketed",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT vec_id, label, embedding,
+             {_duck_bucket("embedding")} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT bucket AS qb, embedding::DOUBLE[] AS qe FROM sigs WHERE vec_id = 0)
+    SELECT vec_id, label, bucket,
+           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)), 6)
+             AS cos_sim
+    FROM sigs
+    WHERE bucket = (SELECT qb FROM q) AND vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=("ANN", "LSH"),
+)
+def sim_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 8 fixed hyperplanes -> 8 sign bits
+    -> bucket id; search only the query's bucket, exact cosine inside it.
+    Deterministic hyperplane literals make even this approximate path
+    hash-checkable against DuckDB."""
+    e = table(spark, sf_dir, "embeddings")
+    sigs = e.select(
+        "vec_id", "label", "embedding", _spark_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = sigs.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qb"), F.col("embedding").alias("qe")
+    )
+    cos = F.round(vectors.cosine(F.col("embedding"), F.col("qe")), 6)
+    return (
+        sigs.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qb")) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", "bucket", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "sim_label_centroid_distance",
+    oracle="""
+    WITH flat AS (
+      SELECT label, vec_id, CAST(t.i AS INTEGER) AS dim,
+             CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ),
+    centroids AS (
+      SELECT label, dim, avg(x) AS cx FROM flat GROUP BY label, dim
+    ),
+    dots AS (
+      SELECT f.vec_id, f.label,
+             sum(f.x * c.cx) AS dot_qc,
+             sqrt(sum(f.x * f.x)) AS norm_v,
+             sqrt(sum(c.cx * c.cx)) AS norm_c
+      FROM flat f JOIN centroids c ON f.label = c.label AND f.dim = c.dim
+      GROUP BY f.vec_id, f.label
+    )
+    SELECT vec_id, label,
+           round(dot_qc / (norm_v * norm_c), 4) AS cos_to_centroid
+    FROM dots
+    """,
+    tags=("ANN",),
+)
+def sim_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF building block: per-label centroids (the coarse quantizer
+    training step), then each vector's cosine to its own centroid.
+    Centroid = element-wise mean via explode + groupBy(label, dim) —
+    a single shuffle keyed on (label, dim); the rejoin is broadcast
+    (|labels| x dim rows)."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "x"),
+    ).select(
+        "vec_id", "label", (F.col("dim0") + 1).alias("dim"), F.col("x").cast("double").alias("x")
+    )
+    centroids = flat.groupBy("label", "dim").agg(F.avg("x").alias("cx"))
+    joined = flat.join(F.broadcast(centroids), ["label", "dim"])
+    return (
+        joined.groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("cx")).alias("dot_qc"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("norm_v"),
+            F.sqrt(F.sum(F.col("cx") * F.col("cx"))).alias("norm_c"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("dot_qc") / (F.col("norm_v") * F.col("norm_c")), 4).alias(
+                "cos_to_centroid"
+            ),
+        )
+    )

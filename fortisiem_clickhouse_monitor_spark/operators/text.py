@@ -1,1 +1,202 @@
-"""Placeholder — queries land here (SURVEY.md §2)."""
+"""Text analysis over the `documents` table (north-star extension:
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting). All tokenization/shingling is built-in higher-order
+functions over arrays — JVM-side, columnar, no UDFs — so at 100 TB these
+are embarrassingly parallel map-only stages (no shuffle at all except
+where a group-by is the point of the query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textfns
+from ..registry import register
+from ..sources.tables import table
+
+# DuckDB twin of textfns.tokens()
+_DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_DUCK_TOKENS}) AS n_tokens,
+           len(list_distinct({_DUCK_TOKENS})) AS n_distinct,
+           floor(CAST(list_aggregate(list_transform({_DUCK_TOKENS},
+                                                    t -> length(t)), 'sum')
+                      AS DOUBLE)
+                 * 100.0 / len({_DUCK_TOKENS})) / 100.0 AS avg_token_len
+    FROM documents
+    """,
+    tags=("TXT",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: total, distinct, and mean token length (derived
+    from char count minus separators — formula mirrored in the oracle)."""
+    d = table(spark, sf_dir, "documents")
+    toks = textfns.tokens("text")
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        # floor-to-2dp, not round: .x75-style half-boundaries are common
+        # for int-sum / int-count ratios, and HALF_UP vs binary-round
+        # diverges across engines exactly there.
+        (
+            F.floor(
+                F.aggregate(
+                    F.transform(toks, lambda t: F.length(t)),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+                * 100.0
+                / n
+            )
+            / 100.0
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           round(CAST(len(list_filter({_DUCK_TOKENS},
+                 t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                 / len({_DUCK_TOKENS}), 4) AS stop_ratio,
+           round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                 / length(text), 4) AS digit_ratio,
+           round(least(CAST(len({_DUCK_TOKENS}) AS DOUBLE) / 100.0, 1.0), 4)
+             AS length_score
+    FROM documents
+    """,
+    tags=("TXT",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: stopword ratio, digit ratio, length score
+    (the components a pretraining-data filter thresholds on)."""
+    d = table(spark, sf_dir, "documents")
+    toks = textfns.tokens("text")
+    n = F.size(toks)
+    stop_hits = textfns.stopword_hits(toks, textfns.STOPWORDS["en"])
+    return d.select(
+        "doc_id",
+        F.round(stop_hits.cast("double") / n, 4).alias("stop_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^0-9]", "")).cast("double")
+            / F.length("text"),
+            4,
+        ).alias("digit_ratio"),
+        F.round(F.least(n.cast("double") / 100.0, F.lit(1.0)), 4).alias(
+            "length_score"
+        ),
+    )
+
+
+def _duck_hits(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_DUCK_TOKENS}, t -> t IN ({inlist})))"
+
+
+@register(
+    "text_lang_guess",
+    oracle=f"""
+    SELECT doc_id,
+           {_duck_hits(textfns.STOPWORDS['en'])} AS en_hits,
+           {_duck_hits(textfns.STOPWORDS['es'])} AS es_hits,
+           {_duck_hits(textfns.STOPWORDS['de'])} AS de_hits,
+           {_duck_hits(textfns.STOPWORDS['fr'])} AS fr_hits,
+           CASE
+             WHEN {_duck_hits(textfns.STOPWORDS['en'])} >= greatest(
+                  {_duck_hits(textfns.STOPWORDS['es'])},
+                  {_duck_hits(textfns.STOPWORDS['de'])},
+                  {_duck_hits(textfns.STOPWORDS['fr'])}) THEN 'en'
+             WHEN {_duck_hits(textfns.STOPWORDS['es'])} >= greatest(
+                  {_duck_hits(textfns.STOPWORDS['de'])},
+                  {_duck_hits(textfns.STOPWORDS['fr'])}) THEN 'es'
+             WHEN {_duck_hits(textfns.STOPWORDS['de'])} >=
+                  {_duck_hits(textfns.STOPWORDS['fr'])} THEN 'de'
+             ELSE 'fr'
+           END AS lang_guess
+    FROM documents
+    """,
+    tags=("TXT",),
+)
+def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword hit counts, argmax
+    with a fixed priority tiebreak (en > es > de > fr)."""
+    d = table(spark, sf_dir, "documents")
+    toks = textfns.tokens("text")
+    hits = {
+        lang: textfns.stopword_hits(toks, words)
+        for lang, words in textfns.STOPWORDS.items()
+    }
+    guess = (
+        F.when(
+            hits["en"] >= F.greatest(hits["es"], hits["de"], hits["fr"]), "en"
+        )
+        .when(hits["es"] >= F.greatest(hits["de"], hits["fr"]), "es")
+        .when(hits["de"] >= hits["fr"], "de")
+        .otherwise("fr")
+    )
+    return d.select(
+        "doc_id",
+        hits["en"].alias("en_hits"),
+        hits["es"].alias("es_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+        guess.alias("lang_guess"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+    tags=("TXT",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text
+    — the exact-dedup key (operators/dedup.py builds on this)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("fp"),
+    )
+
+
+@register(
+    "text_shingle_stats",
+    oracle=f"""
+    SELECT doc_id,
+           greatest(len({_DUCK_TOKENS}) - 2, 0) AS n_shingles,
+           CASE WHEN len({_DUCK_TOKENS}) >= 3 THEN
+             len(list_distinct(list_transform(
+                   range(1, len({_DUCK_TOKENS}) - 1),
+                   i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1]
+                        || ' ' || {_DUCK_TOKENS}[i+2])))
+           ELSE 0 END AS n_distinct_shingles
+    FROM documents
+    """,
+    tags=("TXT",),
+)
+def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-token shingling (the MinHash input): shingle count and distinct
+    shingle count per document."""
+    d = table(spark, sf_dir, "documents")
+    toks = textfns.tokens("text")
+    sh = textfns.shingles(toks, 3)
+    return d.select(
+        "doc_id",
+        F.greatest(F.size(toks) - 2, F.lit(0)).alias("n_shingles"),
+        F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
+    )

@@ -80,5 +80,6 @@ def _load_all() -> None:
         windows,
     )
     from .plans import health, keeper  # noqa: F401
+    from .streaming import windowed  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,171 @@
+"""Event-time windowed operators (SURVEY.md §2.10 extension): tumbling,
+sliding, and session windows + watermarked streaming dedup.
+
+Each operator is ONE set of column expressions used two ways:
+- batch: registered as an oracle-checked query (DuckDB twin uses
+  time_bucket / gaps-and-islands SQL) — this is the correctness gate;
+- streaming: the same expressions over a readStream frame with
+  `withWatermark`, exercised by tests/test_streaming.py through the
+  memory sink.
+
+State-at-scale notes: windowed aggregations keep one state row per
+(key, window); the watermark bounds state size and late data. Session
+windows merge state; dropDuplicates keeps one key per event inside the
+watermark horizon — all built-in Structured Streaming state stores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import table
+
+_DUCK_TS = "CAST(ts AS TIMESTAMP)"
+
+
+def tumbling_counts(ev: DataFrame) -> DataFrame:
+    w = F.window("ts", "10 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '10 minutes', {_DUCK_TS}) AS window_start,
+           time_bucket(INTERVAL '10 minutes', {_DUCK_TS})
+             + INTERVAL '10 minutes' AS window_end,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("T", "W"),
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows (batch form of the
+    streaming aggregation; identical expressions run under a watermark
+    in streaming_tumbling_query)."""
+    return tumbling_counts(table(spark, sf_dir, "events"))
+
+
+def sliding_counts(ev: DataFrame) -> DataFrame:
+    w = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '5 minutes', {_DUCK_TS}) AS window_start
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', {_DUCK_TS})
+             - INTERVAL '5 minutes' AS window_start
+      FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL '10 minutes' AS window_end,
+           count(*) AS n
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+    tags=("T", "W"),
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): every event lands in
+    exactly two windows; the oracle materializes that assignment with a
+    two-branch union on 5-minute buckets."""
+    return sliding_counts(table(spark, sf_dir, "events"))
+
+
+def session_windows(ev: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    w = F.session_window("ts", gap)
+    return (
+        ev.groupBy(w.alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, {_DUCK_TS} AS ts,
+             CASE WHEN {_DUCK_TS} - lag({_DUCK_TS}) OVER
+                    (PARTITION BY user_id ORDER BY {_DUCK_TS}, event_id)
+                  > INTERVAL '30 minutes' OR
+                  lag({_DUCK_TS}) OVER
+                    (PARTITION BY user_id ORDER BY {_DUCK_TS}, event_id)
+                  IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("T", "W"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap. The oracle is the
+    classic gaps-and-islands formulation; Spark's session_window merges
+    the same islands (end = last event + gap) natively — and in
+    streaming, with mergeable state under a watermark."""
+    return session_windows(table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Streaming-only forms (used by tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+
+def streaming_tumbling_query(stream: DataFrame, watermark: str = "10 minutes"):
+    """Watermarked streaming twin of stream_tumbling_counts; append mode
+    requires the watermark so windows can finalize."""
+    return tumbling_counts(stream.withWatermark("ts", watermark))
+
+
+def streaming_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    bounded state (SURVEY §2.10: `dropDuplicates` + watermark)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])

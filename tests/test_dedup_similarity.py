@@ -1,0 +1,117 @@
+"""Semantic unit tests for the dedup/similarity operators beyond oracle
+parity: LSH recall against ground truth, signature properties, and
+planted near-duplicates (SURVEY.md §5 strategies #3/#4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from conftest import SF_SMALL
+from fortisiem_clickhouse_monitor_spark.functions import textfns, vectors
+from fortisiem_clickhouse_monitor_spark.operators.dedup import (
+    dedup_minhash_lsh_pairs,
+    dedup_simhash_pairs,
+)
+
+
+def _planted_docs(spark):
+    """documents-shaped frame with planted exact and near duplicates."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the tall fence near the old barn door"
+    )
+    near = base.replace("lazy", "sleepy")  # 1-token change
+    other = (
+        "completely different content about distributed query engines "
+        "processing columnar data with vectorized execution pipelines"
+    )
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),          # exact dup of 1
+        (3, near, "en", "s", len(near)),          # near dup of 1
+        (4, other, "en", "s", len(other)),
+        (5, "tiny", "en", "s", 4),                # < 3 tokens: no shingles
+    ]
+    return spark.createDataFrame(
+        rows, schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+
+
+def test_minhash_lsh_finds_planted_dups(spark, tmp_path, monkeypatch):
+    docs = _planted_docs(spark)
+    # route the operator's table() call to our planted frame
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "table", lambda s, d, n: docs)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_minhash_lsh_pairs(spark, "ignored").collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0   # exact dup
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.5    # near dup
+    assert not any(4 in p or 5 in p for p in pairs)   # distinct/tiny excluded
+
+
+def test_simhash_finds_planted_dups(spark, monkeypatch):
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "table", lambda s, d, n: _planted_docs(spark))
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup_simhash_pairs(spark, "ignored").collect()
+    }
+    assert pairs.get((1, 2)) == 0          # identical text -> distance 0
+    assert not any(4 in p for p in pairs)  # unrelated text not paired
+
+
+def test_minhash_signature_is_deterministic(spark):
+    df = spark.createDataFrame([("a b c d e f",)], "text STRING")
+    sig_cols = textfns.minhash_signature(
+        textfns.shingles(textfns.tokens("text"), 3)
+    )
+    r1 = df.select(*sig_cols).collect()[0]
+    r2 = df.select(*sig_cols).collect()[0]
+    assert list(r1) == list(r2)
+    assert all(v is not None and v >= 0 for v in r1)
+
+
+def test_cosine_helper_matches_numpy(spark):
+    import numpy as np
+
+    a = [0.5, -1.0, 2.0, 0.0]
+    b = [1.5, 0.25, -0.75, 3.0]
+    df = spark.createDataFrame(
+        [(a, b)], "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>"
+    )
+    got = df.select(vectors.cosine("a", "b").alias("c")).collect()[0]["c"]
+    exp = float(
+        np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    )
+    assert got == pytest.approx(exp, rel=1e-12)
+
+
+def test_cosine_zero_norm_is_null(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0])], "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>"
+    )
+    assert df.select(vectors.cosine("a", "b").alias("c")).collect()[0]["c"] is None
+
+
+def test_ann_bucket_contains_topk_overlap(spark):
+    """The LSH bucket search returns a subset of the brute-force ranking
+    restricted to the query's bucket — verify candidates are consistent."""
+    qs = entrymod.queries()
+    brute = {
+        r["vec_id"]: r["cos_sim"]
+        for r in qs["sim_cosine_topk"](spark, SF_SMALL).collect()
+    }
+    ann = qs["sim_ann_lsh_bucketed"](spark, SF_SMALL).collect()
+    assert len(ann) <= 10
+    for r in ann:
+        # any ANN hit that also appears in the exact top-10 must carry
+        # the identical similarity value
+        if r["vec_id"] in brute:
+            assert r["cos_sim"] == brute[r["vec_id"]]

@@ -1,0 +1,158 @@
+"""Structured Streaming tests (SURVEY.md §5 strategy #5): memory-sink
+micro-batches for the T1-T5 job shape and the watermark/window/dedup
+extended operators. Each query processes the events parquet as a
+1-file-per-trigger stream and is compared against its batch twin.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+from fortisiem_clickhouse_monitor_spark.sources.tables import table
+from fortisiem_clickhouse_monitor_spark.streaming import jobs, windowed
+
+@pytest.fixture(scope="session")
+def events_dir(spark, tmp_path_factory):
+    """File-stream source directory: the events table re-written as
+    normal (micros) parquet files — the file source needs a directory,
+    and the driver fixture is a single nanos-timestamped file."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    # Range-partitioned by ts so files arrive in event-time order (the
+    # realistic stream); with shuffled arrival the watermark would
+    # rightly drop late rows and the batch comparison would not hold.
+    (
+        table(spark, SF_SMALL, "events")
+        .repartitionByRange(4, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def _run_stream_to_memory(spark, stream_df, name, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@pytest.fixture()
+def events_stream(spark, events_dir):
+    return jobs.events_stream(spark, events_dir)
+
+
+def test_streaming_tumbling_matches_batch(spark, events_stream, events_dir):
+    # Complete mode: the final window state after replaying the whole
+    # stream must equal the batch result exactly (ordered arrival ->
+    # nothing is dropped as late).
+    got = _run_stream_to_memory(
+        spark,
+        windowed.streaming_tumbling_query(events_stream),
+        "t_tumbling_complete",
+        mode="complete",
+    )
+    batch = windowed.tumbling_counts(table(spark, SF_SMALL, "events"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+    # Append mode: whatever is emitted must be a FINAL window value
+    # (subset of the batch result, never a partial aggregate) — the
+    # exactly-once contract; how many trailing windows flush is engine
+    # timing, not semantics.
+    got_append = _run_stream_to_memory(
+        spark,
+        windowed.streaming_tumbling_query(jobs.events_stream(spark, events_dir)),
+        "t_tumbling_append",
+        mode="append",
+    )
+    append_rows = set(map(tuple, got_append.collect()))
+    assert append_rows
+    assert append_rows <= set(map(tuple, batch.collect()))
+
+
+def test_streaming_dedup_bounded(spark, tmp_path_factory):
+    """Planted duplicates (every event twice) collapse to one row per
+    event_id. Single micro-batch so no row is watermark-late — the test
+    isolates dedup state behaviour from arrival timing."""
+    ev = table(spark, SF_SMALL, "events")
+    dup_dir = str(tmp_path_factory.mktemp("events_dup"))
+    ev.unionByName(ev).repartitionByRange(4, "ts").write.mode("overwrite").parquet(
+        dup_dir
+    )
+    stream = jobs.events_stream(spark, dup_dir, max_files_per_trigger=8)
+    out = _run_stream_to_memory(
+        spark, windowed.streaming_dedup(stream), "t_dedup"
+    )
+    assert out.count() == ev.select("event_id").distinct().count()
+
+
+def test_monitoring_job_leader_gate_and_frames(spark, events_dir):
+    """T1/T2/T3/T5: frames arrive once per trigger, only when leader."""
+    collected: list[str] = []
+    leader = {"v": True}
+    # Reference ticks are stateless snapshots (chStats.py:544): project +
+    # frame + fan out, no streaming state.
+    snapshot = jobs.events_stream(spark, events_dir).select(
+        "event_id", "event_type", "value"
+    )
+
+    def run_once() -> None:
+        q = jobs.monitoring_job(
+            snapshot,
+            "EVENT_SNAPSHOT",
+            collected.extend,
+            is_leader=lambda: leader["v"],
+            interval_seconds=1,  # reference cadence is 180s; 1s for test
+        )
+        # monitoring_job uses a processingTime trigger (T1); for the test
+        # we wait for the first tick then stop.
+        deadline = time.time() + 120
+        while not q.recentProgress and time.time() < deadline:
+            time.sleep(0.5)
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    assert collected, "leader tick should emit frames"
+    assert all(f.startswith("PH_SYSTEM_EVENT_SNAPSHOT={") for f in collected)
+
+    collected.clear()
+    leader["v"] = False
+    run_once()
+    assert collected == [], "non-leader tick must emit nothing"
+
+
+def test_refreshing_config_caches_and_expires():
+    now = {"t": 0.0}
+    loads = {"n": 0}
+
+    def loader():
+        loads["n"] += 1
+        return f"dim-v{loads['n']}"
+
+    cfg = jobs.RefreshingConfig(loader, period_seconds=1800, clock=lambda: now["t"])
+    assert cfg.current() == "dim-v1"
+    now["t"] = 600.0
+    assert cfg.current() == "dim-v1"  # inside period: cached
+    now["t"] = 1900.0
+    assert cfg.current() == "dim-v2"  # expired: re-read
+    cfg.force_refresh()               # SIGHUP analog
+    assert cfg.current() == "dim-v3"
+    assert loads["n"] == 3
+
+
+def test_session_window_batch_properties(spark):
+    out = windowed.session_windows(table(spark, SF_SMALL, "events")).collect()
+    assert out
+    for r in out:
+        assert r["session_end"] > r["session_start"]
+        assert r["n_events"] >= 1
