@@ -44,6 +44,14 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ann_lsh_bucketed",
     "dedup_embedding_cosine_pairs",
+    "join_asof_last_purchase",
+    "join_range_error_burst",
+    "cube_status_priority",
+    "pivot_events_by_type",
+    "percentiles_order_price",
+    "timeseries_daily_activity",
+    "sim_ivf_topk",
+    "text_bpe_token_estimate",
 ]
 
 

@@ -1,0 +1,294 @@
+"""Advanced relational surface (extended corpus, SURVEY.md §2.4/§2.6/§2.7
+notes): multi-dimensional aggregation (cube / grouping sets), pivot,
+set operations, exact percentiles, distribution windows (ntile /
+cume_dist / percent_rank), histograms, time-series bucketing, and
+deterministic content-hash sampling.
+
+All built-in Catalyst operators — cube/rollup/grouping-sets lower to a
+single Expand + hash-aggregate (one shuffle); pivot lowers to a
+conditional aggregate; percentile / ntile need a sort only within
+their partitions. Nothing here leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import table
+
+# ---------------------------------------------------------------------------
+# Multi-dimensional aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("A-ext",),
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping sets in ONE pass —
+    Catalyst's Expand duplicates each input row per grouping set before
+    a single partial+final hash aggregate (no per-set rescan)."""
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+@register(
+    "grouping_sets_region_nation",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+    """,
+    tags=("A-ext",),
+)
+def grouping_sets_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (region+nation, region, grand total) via
+    spark.sql over temp views — the SQL surface of the engine; dims are
+    auto-broadcast under AQE."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    table(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT r_name, n_name, count(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )
+
+
+@register(
+    "pivot_events_by_type",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("A-ext",),
+)
+def pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list (no distinct-scan pre-pass —
+    at 100 TB an implicit pivot means an extra full aggregation just to
+    learn the columns). Lowers to one conditional aggregate."""
+    ev = table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect_repeat_buyers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+    tags=("U-ext",),
+)
+def set_intersect_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) of two filtered projections — customers who
+    ordered in both 1995 and 1996. Spark plans this as a left-semi
+    aggregate join on the shared key."""
+    o = table(spark, sf_dir, "orders")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select(F.col("o_custkey").alias("custkey"))
+    y96 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return y95.intersect(y96)
+
+
+@register(
+    "set_except_churned_buyers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    EXCEPT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+    tags=("U-ext",),
+)
+def set_except_churned_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): 1995 buyers who did not return in 1996 —
+    planned as a left-anti join after aggregation."""
+    o = table(spark, sf_dir, "orders")
+    y95 = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    ).select(F.col("o_custkey").alias("custkey"))
+    y96 = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return y95.subtract(y96)
+
+
+# ---------------------------------------------------------------------------
+# Percentiles / distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentiles_order_price",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 2)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 2)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 2) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("A-ext",),
+)
+def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (`percentile`, the
+    SQL-standard percentile_cont semantics). At 100 TB the drop-in
+    scale path is `percentile_approx` (t-digest sketch, mergeable,
+    no full sort); exact form kept here for oracle parity."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    )
+
+
+@register(
+    "window_distribution_ranks",
+    oracle="""
+    SELECT event_id,
+           event_type,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    tags=("W-ext",),
+)
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile / percent_rank / cume_dist
+    per event_type, deterministically ordered by (value, event_id)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "histogram_event_values",
+    oracle="""
+    SELECT CAST(floor(value / 5.0) AS BIGINT) AS bin,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_in_bin
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("A-ext",),
+)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a bucketed aggregate — the scalable
+    histogram shape (single shuffle on ~n_bins keys)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 5.0).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_in_bin"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time series / sampling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_daily_activity",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           event_type,
+           count(*) AS n,
+           count(DISTINCT user_id) AS dau,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("A-ext", "TS"),
+)
+def timeseries_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup with per-day distinct users — the canonical
+    time-series downsample. date_trunc keeps the ts column's partition
+    alignment, so at scale this aggregates within time-partitioned
+    parquet without cross-partition shuffle of raw rows (only the
+    distinct needs the exchange)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("dau"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register(
+    "sample_content_hash",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+    tags=("SAMPLE",),
+)
+def sample_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% sample by content hash (md5 hex prefix) —
+    reproducible across engines and runs, unlike TABLESAMPLE; the
+    standard trick for carving stable eval/holdout splits out of a
+    100 TB corpus. Pure map-side filter: no shuffle, no state."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    ).select("doc_id", "lang", "n_chars")

@@ -308,3 +308,116 @@ def join_part_supplier_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("p_retailprice"), 2).alias("max_retail"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of and range joins (extended surface; absent from the reference,
+# SURVEY.md §2.3 notes "No theta, range, as-of, or interval joins exist")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_last_purchase",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id AS click_id, c.user_id,
+           (SELECT p.value FROM p
+            WHERE p.user_id = c.user_id
+              AND (p.ts < c.ts OR (p.ts = c.ts AND p.event_id < c.event_id))
+            ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS last_purchase_value
+    FROM c
+    """,
+    tags=("J-asof",),
+)
+def join_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each click picks up the value of the same
+    user's most recent strictly-earlier purchase, ties broken by
+    event_id.
+
+    Spark-first formulation: instead of a per-row lookup (the oracle's
+    correlated subquery) or an O(n*m) inequality join, union the two
+    sides and take ``last(purchase_struct, ignoreNulls)`` over a
+    (user_id)-partitioned window ordered by (ts, event_id) — ONE
+    shuffle on user_id, linear scan per partition, no pair blow-up.
+    This is the standard scalable as-of pattern (same shape Flink's
+    temporal join and kdb's aj use)."""
+    ev = table(spark, sf_dir, "events")
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("p_value"),
+        (F.col("event_type") == "click").alias("is_click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        both.withColumn("last_purchase_value", F.last("p_value", ignorenulls=True).over(w))
+        .filter("is_click")
+        .select(
+            F.col("event_id").alias("click_id"), "user_id", "last_purchase_value"
+        )
+    )
+
+
+@register(
+    "join_range_error_burst",
+    oracle="""
+    SELECT a.event_id AS error_id, b.event_id AS follow_id,
+           b.event_type AS follow_type
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL '5 minutes'
+    WHERE a.event_type = 'error'
+    """,
+    tags=("J-range",),
+)
+def join_range_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: every event within 5 minutes *after* an
+    error by the same user.
+
+    Scale path: a naive theta-join degenerates to per-user cross
+    products. Here each error row is exploded to its two covering
+    5-minute buckets, so the join is an EQUI-join on
+    (user_id, bucket) — shuffle-partitionable, AQE-skew-splittable —
+    with the exact ts-range predicate applied as a post-filter.
+    Bucket width == range width means exactly 2 buckets per probe row
+    regardless of data volume."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("a_ts") / 300).cast("long")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("a_user"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withColumn("bucket", F.explode(F.array(bucket, bucket + 1)))
+    )
+    follows = ev.select(
+        F.col("event_id").alias("follow_id"),
+        F.col("event_type").alias("follow_type"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.floor(F.unix_timestamp("ts") / 300).cast("long").alias("bucket"),
+    )
+    return (
+        errors.join(
+            follows,
+            (F.col("a_user") == F.col("b_user")) & (errors["bucket"] == follows["bucket"]),
+        )
+        .filter(
+            (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES"))
+        )
+        .select("error_id", "follow_id", "follow_type")
+    )

@@ -194,3 +194,79 @@ def sim_label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sim_ivf_topk",
+    oracle="""
+    WITH flat AS (
+      SELECT label, vec_id, CAST(t.i AS INTEGER) AS dim,
+             CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE) AS x
+      FROM embeddings, range(1, 65) t(i)
+    ),
+    centroids AS (
+      SELECT label, dim, avg(x) AS cx FROM flat GROUP BY label, dim
+    ),
+    qflat AS (SELECT dim, x AS qx FROM flat WHERE vec_id = 0),
+    cent_scores AS (
+      SELECT c.label,
+             sum(c.cx * q.qx)
+               / (sqrt(sum(c.cx * c.cx)) * sqrt(sum(q.qx * q.qx))) AS ccos
+      FROM centroids c JOIN qflat q USING (dim)
+      GROUP BY c.label
+    ),
+    probe AS (SELECT label FROM cent_scores ORDER BY ccos DESC, label ASC LIMIT 2),
+    q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           round(list_cosine_similarity(embedding::DOUBLE[], (SELECT qe FROM q)), 6)
+             AS cos_sim
+    FROM embeddings
+    WHERE label IN (SELECT label FROM probe) AND vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=("ANN", "IVF"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN search: per-label mean centroids are the
+    coarse quantizer cells; the query probes its nprobe=2 nearest cells
+    and runs exact cosine only inside them.
+
+    Scale shape: centroid training is one (label, dim)-keyed aggregate;
+    cell scoring touches |labels| x dim rows (tiny, broadcast); the
+    final scan prunes to ~nprobe/|cells| of the corpus — with the
+    embeddings table bucketed by cell id on disk, the probe becomes
+    partition pruning instead of a filter."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select("vec_id", "label", F.posexplode("embedding").alias("dim0", "x")).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    centroids = flat.groupBy("label", "dim").agg(F.avg("x").alias("cx"))
+    qflat = flat.filter(F.col("vec_id") == 0).select("dim", F.col("x").alias("qx"))
+    cent_scores = (
+        centroids.join(F.broadcast(qflat), "dim")
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("cx") * F.col("qx"))
+                / (
+                    F.sqrt(F.sum(F.col("cx") * F.col("cx")))
+                    * F.sqrt(F.sum(F.col("qx") * F.col("qx")))
+                )
+            ).alias("ccos")
+        )
+    )
+    probe = cent_scores.orderBy(F.desc("ccos"), F.asc("label")).limit(2).select("label")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cos = F.round(vectors.cosine(F.col("embedding"), F.col("qe")), 6)
+    return (
+        e.join(F.broadcast(probe), "label")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -200,3 +200,35 @@ def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.size(toks) - 2, F.lit(0)).alias("n_shingles"),
         F.size(F.array_distinct(sh)).alias("n_distinct_shingles"),
     )
+
+
+@register(
+    "text_bpe_token_estimate",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+             AS n_bpe_pieces,
+           round(
+             CAST(n_chars AS DOUBLE)
+               / greatest(len(regexp_extract_all(
+                   text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')), 1),
+             4) AS chars_per_piece
+    FROM documents
+    """,
+    tags=("TXT",),
+)
+def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style token-count estimate via a GPT-2-ish pre-tokenizer
+    regex (letter runs, single digits, punctuation) — the standard
+    cheap proxy for LLM token budgeting over a corpus. Pure map-side
+    regexp_extract_all; no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0)
+    n = F.size(pieces)
+    return d.select(
+        "doc_id",
+        n.alias("n_bpe_pieces"),
+        F.round(
+            F.col("n_chars").cast("double") / F.greatest(n, F.lit(1)), 4
+        ).alias("chars_per_piece"),
+    )

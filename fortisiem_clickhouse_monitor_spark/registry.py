@@ -70,6 +70,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from .operators import (  # noqa: F401
+        advanced,
         dedup,
         joins,
         multimodal,
