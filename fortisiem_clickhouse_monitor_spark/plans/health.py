@@ -370,3 +370,35 @@ def health_syslog_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json(F.struct("node_ip", "n_failures")),
         ).alias("frame")
     )
+
+
+@register(
+    "health_fsm_config_scan",
+    oracle=f"""
+    SELECT max(CASE WHEN path LIKE '%VERSION' AND line LIKE 'Version:%'
+                    THEN trim(substr(line, 9)) END) AS fsm_version,
+           max(CASE WHEN line LIKE 'MON_ROLE=%'
+                    THEN substr(line, 10) END) AS mon_role
+    FROM {fixtures.values_sql("fsm_files")}
+    """,
+    tags=("S6", "P8"),
+)
+def health_fsm_config_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-file config scan (getFsmInfo, chStats.py:485-515): read
+    config text lines, keep prefix-matched ones (P8:
+    startswith('Version:') / startswith('MON_ROLE=')), split off the
+    value, and fold to a single {{version, role}} row — the reference's
+    fsmInfo dict. In production the source is spark.read.text over the
+    config paths; the line frame here is the deterministic fixture."""
+    lines = fixtures.spark_df(spark, "fsm_files")
+    version_val = F.when(
+        F.col("path").endswith("VERSION") & F.col("line").startswith("Version:"),
+        F.trim(F.substring("line", 9, 2_000)),
+    )
+    role_val = F.when(
+        F.col("line").startswith("MON_ROLE="), F.substring("line", 10, 2_000)
+    )
+    return lines.agg(
+        F.max(version_val).alias("fsm_version"),
+        F.max(role_val).alias("mon_role"),
+    )

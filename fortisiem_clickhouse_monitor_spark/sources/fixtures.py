@@ -177,6 +177,18 @@ KEEPER_CONS = [
     ("10.0.5.2", "this line does not match the client pattern"),
 ]
 
+# --- B9: local config files (getFsmInfo, chStats.py:485-515) ------------
+# VERSION + phoenix_config.txt lines; the query keeps prefix-matched
+# lines (P8) and splits off the value (S6).
+FSM_FILES_COLS = "path STRING, line STRING"
+FSM_FILES = [
+    ("/opt/phoenix/bin/VERSION", "Version: 7.2.1.0250"),
+    ("/opt/phoenix/bin/VERSION", "Build flags: release"),
+    ("/opt/phoenix/config/phoenix_config.txt", "MON_ROLE=Super"),
+    ("/opt/phoenix/config/phoenix_config.txt", "# MON_ROLE=commented-out"),
+    ("/opt/phoenix/config/phoenix_config.txt", "OTHER_KEY=ignored"),
+]
+
 _ALL = {
     "topology": (TOPOLOGY_COLS, TOPOLOGY),
     "lrt": (LRT_COLS, LRT),
@@ -188,6 +200,7 @@ _ALL = {
     "keeper_srvr": (KEEPER_SRVR_COLS, KEEPER_SRVR),
     "keeper_conf": (KEEPER_CONF_COLS, KEEPER_CONF),
     "keeper_cons": (KEEPER_CONS_COLS, KEEPER_CONS),
+    "fsm_files": (FSM_FILES_COLS, FSM_FILES),
 }
 
 

@@ -33,12 +33,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     tune(spark)
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-        # outright; read it as raw nanos and truncate to micros (exactly
-        # what DuckDB does on read, so oracle values agree).
+        # The driver's events.ts is parquet TIMESTAMP(NANOS), which Spark 4
+        # rejects outright; read it as raw nanos and truncate to micros
+        # (exactly what DuckDB does on read, so oracle values agree).
+        # Test-injected events tables carry a plain TIMESTAMP — only
+        # rebase when the column actually arrived as nanos (long).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if dict(raw.dtypes).get("ts") == "bigint":
+            raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
