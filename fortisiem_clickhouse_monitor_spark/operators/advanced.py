@@ -292,3 +292,138 @@ def sample_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1")
     ).select("doc_id", "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Frame/type coverage completions: RANGE frames, FULL OUTER join,
+# distinct-array aggregation, bivariate statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_range_frame_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+             RANGE BETWEEN INTERVAL '10 minutes' PRECEDING AND CURRENT ROW
+           ), 2) AS sum_10m
+    FROM events
+    """,
+    tags=("W-ext",),
+)
+def window_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user rolling 10-minute sum — the
+    moving-aggregate shape (value-based frame, not row-count-based).
+    Runs via spark.sql because the DataFrame API's rangeBetween is
+    limited to numeric offsets; SQL INTERVAL frames map directly."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               round(sum(value) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING AND CURRENT ROW
+               ), 2) AS sum_10m
+        FROM events
+        """
+    )
+
+
+@register(
+    "join_full_outer_daily_funnel",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+             user_id, count(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), p AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+             user_id, count(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT coalesce(c.day, p.day) AS day,
+           coalesce(c.user_id, p.user_id) AS user_id,
+           coalesce(c.n_clicks, 0) AS n_clicks,
+           coalesce(p.n_purchases, 0) AS n_purchases
+    FROM c FULL OUTER JOIN p ON c.day = p.day AND c.user_id = p.user_id
+    """,
+    tags=("J-ext",),
+)
+def join_full_outer_daily_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregated branches (daily clicks vs
+    purchases per user) — preserves days where either side is absent.
+    Both branches aggregate BEFORE the join (shuffle on small keyed
+    aggregates, not raw events); full-outer requires a shuffle join by
+    definition, keyed on (day, user_id)."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(day, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(day, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        c.join(p, ["day", "user_id"], "full_outer")
+        .select(
+            "day",
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
+@register(
+    "agg_collect_distinct_sorted",
+    oracle="""
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+             AS event_types
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("A-ext",),
+)
+def agg_collect_distinct_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-array aggregation with canonical ordering:
+    collect_set -> array_sort -> array_join (collect_set order is
+    nondeterministic, so the sort is mandatory for any comparison —
+    SURVEY §7.3 risk 4)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        )
+    )
+
+
+@register(
+    "agg_bivariate_stats",
+    oracle="""
+    SELECT event_type,
+           round(corr(value, extract(epoch FROM CAST(ts AS TIMESTAMP))), 4)
+             AS corr_value_time,
+           round(stddev_samp(value), 4) AS sd_value,
+           round(var_samp(value), 4) AS var_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("A-ext",),
+)
+def agg_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate/variance statistics per group (corr, stddev, variance)
+    — single-pass mergeable moment aggregates (partial+final), the same
+    shape as sum/count at scale."""
+    ev = table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", epoch), 4).alias("corr_value_time"),
+        F.round(F.stddev_samp("value"), 4).alias("sd_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+    )
