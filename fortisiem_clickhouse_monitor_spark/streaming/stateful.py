@@ -1,0 +1,101 @@
+"""Custom stateful streaming operator (SURVEY §2.10 extension):
+per-user sessionization with `applyInPandasWithState` — the escape
+hatch for stateful semantics the built-in windows can't express
+(per-key custom merge logic, custom emission policy, arbitrary state).
+
+Semantics match `F.session_window(ts, gap)` + count/sum (so the
+built-in batch form is the differential oracle, see
+tests/test_stateful.py): a session is a maximal run of a user's events
+with inter-event gaps <= GAP; session_end = last event + GAP.
+
+State design (the part that must survive 100 TB):
+- state per user is O(1): (start, last, n, total) — no event buffering;
+- closed sessions emit as soon as a newer event proves the gap, so
+  output is append-mode and early;
+- still-open sessions close via EVENT-TIME TIMEOUT when the watermark
+  passes last + GAP: state cannot outlive the watermark horizon, so
+  total state is bounded by (#active users within horizon) x 32 bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+SESSION_GAP_SECONDS = 1800  # 30 min, matching stream_session_windows
+
+OUTPUT_SCHEMA = (
+    "user_id LONG, session_start TIMESTAMP, session_end TIMESTAMP,"
+    " n_events LONG, total_value DOUBLE"
+)
+#: (start_us, last_us, n, total) — epoch microseconds.
+STATE_SCHEMA = "start LONG, last LONG, n LONG, total DOUBLE"
+
+
+def _emit(user_id: int, start_us: int, last_us: int, n: int, total: float) -> pd.DataFrame:
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "session_start": [pd.Timestamp(start_us, unit="us")],
+            "session_end": [pd.Timestamp(last_us + gap_us, unit="us")],
+            "n_events": [n],
+            "total_value": [total],
+        }
+    )
+
+
+def sessionize_fn(key, pdf_iter: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+
+    if state.hasTimedOut:
+        start_us, last_us, n, total = state.get
+        state.remove()
+        yield _emit(user_id, start_us, last_us, n, total)
+        return
+
+    cur = list(state.get) if state.exists else None
+    batch = pd.concat(list(pdf_iter))
+    batch = batch.sort_values("ts")
+    # normalize to ns first (pandas may deliver datetime64[us] or [ns])
+    ts_us = batch["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+    for t, v in zip(ts_us, batch["value"]):
+        t = int(t)
+        if cur is None:
+            cur = [t, t, 1, float(v)]
+        elif t - cur[1] > gap_us:
+            yield _emit(user_id, *cur)
+            cur = [t, t, 1, float(v)]
+        else:
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+            cur[3] += float(v)
+
+    state.update(tuple(cur))
+    # Close via timeout when the watermark passes last + gap. If the
+    # watermark already passed it (late data beyond the horizon), the
+    # earliest legal timeout is watermark+1 — the session closes on the
+    # next batch instead of erroring (best-effort late handling).
+    timeout_ms = (cur[1] + gap_us) // 1_000
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
+
+
+def sessionize(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked custom sessionizer over an events-shaped stream."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize_fn,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

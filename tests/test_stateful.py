@@ -1,0 +1,95 @@
+"""Differential test for the applyInPandasWithState sessionizer: its
+closed sessions must equal the built-in session_window batch
+aggregation over the same data.
+
+Watermark mechanics: two sentinel events (user_id = -1) far in the
+future are appended as separate files; replaying file-per-trigger, the
+first sentinel batch advances the watermark past every real session's
+(last + gap) timeout, and the second gives the state store a batch in
+which to fire those timeouts. Sentinel rows are excluded from the
+comparison (their own session never closes).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+from fortisiem_clickhouse_monitor_spark.sources.tables import table
+from fortisiem_clickhouse_monitor_spark.streaming import jobs, stateful
+
+
+@pytest.fixture(scope="module")
+def sessions_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("stateful_stream"))
+    ev = table(spark, SF_SMALL, "events")
+    # ONE file for the real data: multi-file writes share a modification
+    # time, so the file source's arrival order (mod-time) is arbitrary
+    # and the watermark could outrun not-yet-read earlier files.
+    ev.coalesce(1).sortWithinPartitions("ts").write.mode("overwrite").parquet(out)
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    for i, days in enumerate((1, 2)):
+        sentinel = spark.createDataFrame(
+            [
+                (
+                    -1000 - i,
+                    max_ts + dt.timedelta(days=days),
+                    -1,
+                    "sentinel",
+                    0.0,
+                    "{}",
+                )
+            ],
+            schema=jobs.EVENTS_SCHEMA,
+        )
+        sentinel.coalesce(1).write.mode("append").parquet(out)
+    return out
+
+
+def test_stateful_sessionizer_matches_batch_session_window(spark, sessions_dir):
+    stream = jobs.events_stream(spark, sessions_dir, max_files_per_trigger=1)
+    q = (
+        stateful.sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+        if r["user_id"] >= 0
+    }
+
+    ev = table(spark, SF_SMALL, "events")
+    w = F.session_window("ts", f"{stateful.SESSION_GAP_SECONDS} seconds")
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        for r in (
+            ev.groupBy(w.alias("w"), "user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+            .select(
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "user_id",
+                "n_events",
+                "total_value",
+            )
+        ).collect()
+    }
+    assert got == expected
+    assert len(got) > 0
