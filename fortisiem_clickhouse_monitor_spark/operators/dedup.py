@@ -421,3 +421,99 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInPandas(gemm_pairs, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Connected components over the near-dup graph (iterative algorithm)
+# ---------------------------------------------------------------------------
+
+_CC_PAIRS_SQL = f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS bucket,
+             list_distinct({_DUCK_TOKENS}) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM docs a JOIN docs b
+        ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE)
+            / (len(a.toks) + len(b.toks)
+               - len(list_filter(a.toks, t -> list_contains(b.toks, t)))) >= 0.8
+    )
+"""
+
+
+@register(
+    "dedup_connected_components",
+    oracle=f"""
+    {_CC_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a
+    )
+    SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node
+    """,
+    tags=("DD", "ITER"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the Jaccard>=0.8 near-dup graph: every
+    document labeled with the min doc_id of its duplicate cluster —
+    the step that turns pairwise near-dup hits into keep/drop decisions
+    (keep the component min, drop the rest).
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own label and its neighbors' labels; converges in
+    O(graph diameter) rounds (near-dup clusters are near-cliques, so
+    2-3). Each round is one shuffle join + aggregate; `localCheckpoint`
+    truncates the growing lineage so round N's plan does not replay
+    rounds 1..N-1 — the standard Spark iterative-algorithm shape
+    (at larger scale the same loop with the large-star/small-star
+    transforms from the Google connected-components paper).
+    The oracle is DuckDB's recursive CTE computing reachability mins —
+    same fixpoint, declaratively."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst").localCheckpoint()
+
+    labels = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+
+    for _ in range(50):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["dst"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select("doc_id", F.col("label").alias("component"))
