@@ -270,3 +270,37 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "sim_normalize_embeddings",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])), 6) AS norm,
+           round(list_dot_product(
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[]))),
+             list_transform(embedding::DOUBLE[],
+                            x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                           embedding::DOUBLE[])))
+           ), 6) AS unit_norm_sq
+    FROM embeddings
+    """,
+    tags=("ANN",),
+)
+def sim_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side L2 normalization via higher-order functions — the
+    preprocessing step every cosine pipeline shares (after it, cosine
+    is a plain dot product). Zero shuffle, zero Python; the oracle
+    checks ||v|| and that the normalized vector has unit norm."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(vectors.dot(emb, emb))
+    unit = F.transform(emb, lambda x: x / norm)
+    return e.select(
+        "vec_id",
+        F.round(norm, 6).alias("norm"),
+        F.round(vectors.dot(unit, unit), 6).alias("unit_norm_sq"),
+    )
