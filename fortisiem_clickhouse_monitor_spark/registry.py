@@ -74,6 +74,7 @@ def _load_all() -> None:
         dedup,
         joins,
         multimodal,
+        pipeline,
         relational,
         reshape,
         similarity,
