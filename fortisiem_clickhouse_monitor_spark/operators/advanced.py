@@ -427,3 +427,106 @@ def agg_bivariate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("value"), 4).alias("sd_value"),
         F.round(F.var_samp("value"), 4).alias("var_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Subquery patterns (TPC-H Q4/Q16/Q17 shapes): correlated EXISTS,
+# null-aware NOT IN, correlated scalar aggregate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_exists_big_item_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_quantity > 45
+    )
+    GROUP BY o_orderpriority
+    """,
+    tags=("SUBQ",),
+)
+def subquery_exists_big_item_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape) via spark.sql — Catalyst
+    rewrites it to a left-semi join on the correlation key, so the
+    subquery never executes per-row."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_quantity > 45
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "subquery_not_in_unshipped_parts",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts
+    FROM part
+    WHERE p_partkey NOT IN (
+      SELECT l_partkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    )
+    GROUP BY p_brand
+    """,
+    tags=("SUBQ",),
+)
+def subquery_not_in_unshipped_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery (TPC-H Q16 shape): parts with no shipment since
+    1997 — Catalyst plans a null-aware left-anti join."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_parts
+        FROM part
+        WHERE p_partkey NOT IN (
+          SELECT l_partkey FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        )
+        GROUP BY p_brand
+        """
+    )
+
+
+@register(
+    "subquery_correlated_scalar_small_qty",
+    oracle="""
+    SELECT l.l_partkey,
+           round(sum(l.l_extendedprice), 2) AS small_qty_revenue
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY l.l_partkey
+    """,
+    tags=("SUBQ",),
+)
+def subquery_correlated_scalar_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate subquery (TPC-H Q17 shape): lineitems
+    below half their part's average quantity. Catalyst de-correlates to
+    an aggregate + join on l_partkey — one extra pass over lineitem,
+    not one subquery per row."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l.l_partkey,
+               round(sum(l.l_extendedprice), 2) AS small_qty_revenue
+        FROM lineitem l
+        WHERE l.l_quantity < (
+          SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY l.l_partkey
+        """
+    )
