@@ -530,3 +530,41 @@ def subquery_correlated_scalar_small_qty(spark: SparkSession, sf_dir: str) -> Da
         GROUP BY l.l_partkey
         """
     )
+
+
+@register(
+    "sample_weighted_priority",
+    oracle="""
+    WITH prio AS (
+      SELECT doc_id, lang, n_chars,
+             pow(CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           AS BIGINT) AS DOUBLE) / 4294967296.0,
+                 1.0 / n_chars) AS priority
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, round(priority, 10) AS priority
+    FROM prio
+    ORDER BY priority DESC, doc_id ASC
+    LIMIT 100
+    """,
+    tags=("SAMPLE",),
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    priority = u^(1/w) with u a deterministic md5-derived uniform and
+    w = n_chars; the top-k by priority is a weighted sample. Hash-based
+    u makes the sample reproducible across engines and runs — and at
+    100 TB the top-k is TakeOrderedAndProject (per-partition heaps, no
+    global sort)."""
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    prio = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    return (
+        d.select("doc_id", "lang", "n_chars", F.round(prio, 10).alias("priority"))
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(100)
+    )

@@ -304,3 +304,74 @@ def sim_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm, 6).alias("norm"),
         F.round(vectors.dot(unit, unit), 6).alias("unit_norm_sq"),
     )
+
+
+_KMEANS_K = 5
+_KMEANS_ITERS = 3
+
+
+@register("sim_kmeans_clusters", oracle=None, tags=("ANN", "ITER"))
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over embeddings (k=5, 3 iterations,
+    init = vectors with vec_id 0..k-1): the clustering step of
+    cluster-based data curation (e.g. SemDeDup-style semantic dedup
+    picks per-cluster representatives).
+
+    Iteration shape at scale: assignment is map-only (distance to k
+    broadcast centroid literals, argmin), update is one groupBy over
+    (cluster, dim) — per round: one shuffle of k*dim partial sums, and
+    k*dim doubles collected to the driver for the next round's
+    broadcast. No per-row Python; rows-only driver check (float
+    summation order makes a SQL oracle bit-unstable); the numpy
+    differential test lives in tests/test_kmeans.py."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    centroids = [
+        r["emb"]
+        for r in e.filter(F.col("vec_id") < _KMEANS_K)
+        .orderBy("vec_id")
+        .collect()
+    ]
+
+    def assign_expr(cents: list[list[float]]):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    "emb",
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in cents
+        ]
+        # argmin with lowest-index tiebreak via struct ordering
+        pairs = F.array(
+            *[
+                F.struct(d.alias("d"), F.lit(i).alias("i"))
+                for i, d in enumerate(dists)
+            ]
+        )
+        return F.array_min(pairs)["i"].alias("cluster")
+
+    for _ in range(_KMEANS_ITERS):
+        assigned = e.select("vec_id", "emb", assign_expr(centroids))
+        new_c = (
+            assigned.select("cluster", F.posexplode("emb").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("cx"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new_c:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["cx"]
+        centroids = [
+            [by_cluster[i][d] for d in sorted(by_cluster[i])]
+            if i in by_cluster
+            else centroids[i]  # empty cluster keeps its centroid
+            for i in range(_KMEANS_K)
+        ]
+
+    return e.select("vec_id", assign_expr(centroids))
