@@ -568,3 +568,23 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("priority"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+@register("sketch_monthly_users_from_daily", oracle=None, tags=("A-ext", "SKETCH"))
+def sketch_monthly_users_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: daily HyperLogLog sketches of distinct
+    users, unioned into monthly estimates — THE pattern for distinct
+    counts at 100 TB: the expensive pass happens once per day over new
+    data only; coarser rollups merge kilobyte sketches instead of
+    rescanning raw events. Rows-only check (sketch binaries are
+    engine-specific); estimate-vs-exact tolerance is unit-tested in
+    tests/test_sketches.py."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return daily.groupBy(F.date_trunc("month", "day").alias("month")).agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users"),
+        F.sum("n_events").alias("n_events"),
+    )
