@@ -52,6 +52,9 @@ HEADLINE = [
     "timeseries_daily_activity",
     "sim_ivf_topk",
     "text_bpe_token_estimate",
+    "tpch_q8_market_share",
+    "tpch_q18_large_volume_customers",
+    "tpch_q21_waiting_supplier",
 ]
 
 

@@ -79,6 +79,7 @@ def _load_all() -> None:
         reshape,
         similarity,
         text,
+        tpch,
         windows,
     )
     from .plans import health, keeper  # noqa: F401
