@@ -55,6 +55,8 @@ HEADLINE = [
     "tpch_q8_market_share",
     "tpch_q18_large_volume_customers",
     "tpch_q21_waiting_supplier",
+    "text_tfidf_top_terms",
+    "pack_token_sequences",
 ]
 
 

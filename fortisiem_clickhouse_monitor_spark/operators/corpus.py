@@ -1,0 +1,291 @@
+"""Corpus-curation operators for LLM training-data pipelines
+(north-star extension beyond the reference's monitoring surface;
+complements operators/text.py and operators/dedup.py).
+
+Covers the vocabulary / relevance / packing / sampling side of a
+pretraining pipeline:
+
+* n-gram vocabulary building (`text_bigram_vocab_topk`),
+* TF-IDF term extraction per document (`text_tfidf_top_terms`),
+* BM25 relevance scoring against a query (`text_bm25_scores`),
+* fixed-window token sequence packing (`pack_token_sequences`),
+* deterministic stratified sampling (`sample_stratified_per_lang`).
+
+Everything is built-in DataFrame ops: tokenization stays JVM-side via
+higher-order array functions (functions/textfns.py), statistics are
+ordinary aggregates, and ranking is windowed with explicit tiebreaks.
+At 100 TB: the explode(tokens) streams are map-local until their
+group-by, the per-term statistics aggregate onto the (small) vocabulary
+domain, and corpus-level scalars (N, avgdl) are 1-row broadcast joins —
+never unpartitioned windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import textfns
+from ..registry import register
+from ..sources.tables import table
+
+# DuckDB twin of textfns.tokens()
+_DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary: top-k bigrams across the corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_vocab_topk",
+    oracle=f"""
+    WITH grams AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM (SELECT {_DUCK_TOKENS} AS toks FROM documents) t
+    )
+    SELECT gram, count(*) AS n
+    FROM grams GROUP BY gram
+    ORDER BY n DESC, gram LIMIT 50
+    """,
+    tags=("TXT", "vocab"),
+)
+def text_bigram_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram vocabulary with deterministic tiebreak — the
+    first step of building a tokenizer/vocab over a corpus.  The
+    bigram explode is map-local; the count aggregates partially before
+    the single shuffle on the gram key, and the top-k lowers to
+    TakeOrderedAndProject (no global sort)."""
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        F.explode(textfns.shingles(textfns.tokens("text"), 2)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: top terms per document
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS f,
+             sum(count(*)) OVER (PARTITION BY doc_id) AS dl
+      FROM toks GROUP BY doc_id, term
+    ), stats AS (
+      SELECT doc_id, term, f, dl,
+             count(*) OVER (PARTITION BY term) AS df,
+             (SELECT count(*) FROM documents) AS n_docs
+      FROM tf
+    )
+    SELECT doc_id, term,
+           round((CAST(f AS DOUBLE) / dl)
+                 * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+    FROM stats
+    QUALIFY row_number() OVER (
+      PARTITION BY doc_id
+      ORDER BY (CAST(f AS DOUBLE) / dl) * ln(CAST(n_docs AS DOUBLE) / df) DESC,
+               term) <= 3
+    """,
+    tags=("TXT", "vocab"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms.  tf is one explode+group pass;
+    document frequency is a window over the per-(doc,term) aggregate —
+    the vocabulary domain, orders of magnitude smaller than the token
+    stream; the corpus size N is a 1-row broadcast.  Ranking uses a
+    term-name tiebreak so results are deterministic under ties (common
+    in a small vocabulary)."""
+    d = table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        d.select("doc_id", F.explode(textfns.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .withColumn("dl", F.sum("f").over(Window.partitionBy("doc_id")))
+    )
+    stats = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    ).join(F.broadcast(n_docs))
+    score = (F.col("f").cast("double") / F.col("dl")) * F.log(
+        F.col("n_docs").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), "term")
+    return (
+        stats.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round(score, 4).alias("tfidf"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25: relevance of every document to a fixed query
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "table", "merge")
+_K1, _B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_scores",
+    oracle=f"""
+    WITH dls AS (
+      SELECT doc_id, len({_DUCK_TOKENS}) AS dl FROM documents
+    ), corpus AS (
+      SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dls
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS f
+      FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents) t
+      WHERE term IN ('spark', 'table', 'merge')
+      GROUP BY doc_id, term
+    ), idf AS (
+      SELECT term,
+             ln((n_docs - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+      FROM tf, corpus GROUP BY term, n_docs
+    )
+    SELECT doc_id,
+           round(sum(idf * f * ({_K1} + 1)
+                     / (f + {_K1} * (1 - {_B} + {_B} * dl / avgdl))), 4)
+             AS bm25
+    FROM tf JOIN idf USING (term) JOIN dls USING (doc_id), corpus
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    tags=("TXT", "similarity"),
+)
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) of every document against a fixed query —
+    the standard lexical-relevance scorer for corpus filtering.  The
+    term filter lands immediately after the explode, so only query-term
+    postings ever aggregate; corpus stats (N, avgdl) and the per-term
+    idf table are 1-row / |query|-row broadcasts."""
+    d = table(spark, sf_dir, "documents")
+    dls = d.select("doc_id", F.size(textfns.tokens("text")).alias("dl"))
+    corpus = dls.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode(textfns.tokens("text")).alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(corpus))
+        .select(
+            "term",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ).alias("idf"),
+        )
+    )
+    contrib = F.col("idf") * F.col("f") * (_K1 + 1) / (
+        F.col("f") + _K1 * (1 - _B + _B * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(dls, "doc_id")
+        .join(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: fixed token windows per document
+# ---------------------------------------------------------------------------
+
+_WINDOW = 64
+
+
+@register(
+    "pack_token_sequences",
+    oracle=f"""
+    SELECT d.doc_id, gs.i AS chunk_id,
+           len(d.toks[(gs.i * {_WINDOW} + 1):((gs.i + 1) * {_WINDOW})])
+             AS n_tokens,
+           array_to_string(
+             d.toks[(gs.i * {_WINDOW} + 1):((gs.i + 1) * {_WINDOW})], ' ')
+             AS chunk_text
+    FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents) d,
+    LATERAL (SELECT unnest(generate_series(
+               0, CAST(ceil(len(d.toks) / {_WINDOW}.0) AS INT) - 1)) AS i) gs
+    """,
+    tags=("TXT", "packing"),
+)
+def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window sequence packing: split each document's token
+    stream into {_WINDOW}-token training chunks (final chunk ragged) —
+    the standard pre-tokenization step before batching examples.
+    Chunking is a pure map-side higher-order expression (sequence →
+    slice → posexplode); zero shuffle, so at 100 TB it scales with
+    scan bandwidth alone."""
+    d = table(spark, sf_dir, "documents")
+    toks = textfns.tokens("text")
+    n_chunks = F.ceil(F.size(toks) / F.lit(_WINDOW)).cast("int")
+    chunks = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(toks, i * _WINDOW + 1, _WINDOW),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk").alias("n_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: deterministic k docs per language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_stratified_per_lang",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) t WHERE rn <= 20
+    """,
+    tags=("sampling",),
+)
+def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: exactly 20 documents per language, chosen by
+    a content-independent hash order (md5 of the key) so the sample is
+    deterministic, reproducible across engines, and unbiased by storage
+    order — the same discipline as `sample_content_hash`.  One shuffle
+    on the stratum key; each stratum ranks independently."""
+    d = table(spark, sf_dir, "documents")
+    order = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(order, "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang", "source")
+    )
