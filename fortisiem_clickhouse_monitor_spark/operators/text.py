@@ -97,6 +97,44 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.w AS w
+      FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(w)
+    ), counts AS (
+      SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           round(max(c) * 1.0 / sum(c), 6) AS top_word_ratio,
+           round(1.0 - count(*) * 1.0 / sum(c), 6) AS dup_token_ratio
+    FROM counts GROUP BY doc_id
+    """,
+    tags=("TXT",),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (the Gopher-rules family): fraction of
+    tokens taken by the single most frequent token, and the duplicate-token
+    fraction (1 - distinct/total).  Shaped as explode -> two-level
+    aggregation rather than per-row array gymnastics: the (doc_id, token)
+    partial count combines map-side, both group-bys share the doc_id
+    shuffle key, and nothing holds a whole document's vocabulary in one
+    row — so a 100 GB partition of documents streams through unchanged."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(textfns.tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_word_ratio"),
+        F.round(1.0 - F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
+            "dup_token_ratio"
+        ),
+    )
+
+
 def _duck_hits(words: tuple[str, ...]) -> str:
     inlist = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter({_DUCK_TOKENS}, t -> t IN ({inlist})))"

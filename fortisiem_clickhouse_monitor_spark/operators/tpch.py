@@ -767,6 +767,65 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q20: suppliers with excess stock of a part family (no partsupp/ps_availqty
+# in fixtures — "availability" is the supplier's all-time shipped quantity of
+# the part, "excess" = more than half of it moved in 1996 alone)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q20_excess_stock_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate <  TIMESTAMP '1997-01-01'
+                      THEN l_quantity ELSE 0 END) AS qty_1996,
+             sum(l_quantity) AS qty_total
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s_suppkey, s_name, count(*) AS excess_parts
+    FROM shipped JOIN supplier ON s_suppkey = l_suppkey
+    WHERE qty_1996 > 0.5 * qty_total
+    GROUP BY s_suppkey, s_name
+    """,
+    tags=("J-ext", "subquery"),
+)
+def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog.  The spec's nested IN(IN(…)) + correlated
+    half-of-shipped threshold collapses into ONE pass over the
+    part-pruned fact: both the 1996 quantity and the all-time quantity
+    are conditional aggregates of the same group-by (SURVEY A4), so
+    lineitem is scanned once and shuffled once on (suppkey, partkey) —
+    the correlated form would rescan the fact per supplier-part pair."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    widget = p.filter(F.col("p_name").like("%widget%")).select("p_partkey")
+    in_1996 = (F.col("l_shipdate") >= "1996-01-01") & (
+        F.col("l_shipdate") < "1997-01-01"
+    )
+    shipped = (
+        li.join(F.broadcast(widget), li["l_partkey"] == widget["p_partkey"])
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_1996, F.col("l_quantity")).otherwise(0.0)).alias(
+                "qty_1996"
+            ),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+    )
+    return (
+        shipped.filter(F.col("qty_1996") > 0.5 * F.col("qty_total"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("excess_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q2 stand-in: cheapest (argmin) supplier per qualifying part — the
 # fixtures lack partsupp, so supply cost is the supplier's observed
 # aggregate lineitem revenue for that part
