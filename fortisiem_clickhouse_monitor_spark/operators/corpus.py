@@ -9,7 +9,8 @@ pretraining pipeline:
 * TF-IDF term extraction per document (`text_tfidf_top_terms`),
 * BM25 relevance scoring against a query (`text_bm25_scores`),
 * fixed-window token sequence packing (`pack_token_sequences`),
-* deterministic stratified sampling (`sample_stratified_per_lang`).
+* deterministic stratified sampling (`sample_stratified_per_lang`),
+* benchmark decontamination via n-gram overlap (`corpus_decontaminate_ngram`).
 
 Everything is built-in DataFrame ops: tokenization stays JVM-side via
 higher-order array functions (functions/textfns.py), statistics are
@@ -288,4 +289,61 @@ def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap against a held-out eval slice
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_decontaminate_ngram",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(
+               CASE WHEN len({_DUCK_TOKENS}) >= 3 THEN
+                 list_transform(range(1, len({_DUCK_TOKENS}) - 1),
+                   i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1]
+                        || ' ' || {_DUCK_TOKENS}[i+2])
+               ELSE [] END)) AS s
+      FROM documents
+    ), ev AS (
+      SELECT DISTINCT s FROM sh WHERE source = 'src0'
+    )
+    SELECT doc_id, count(*) AS n_contaminated_shingles
+    FROM sh JOIN ev USING (s)
+    WHERE source <> 'src0'
+    GROUP BY doc_id
+    """,
+    tags=("CORPUS", "DD"),
+)
+def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    3-token shingle with the held-out eval slice (source='src0' stands in
+    for the benchmark set), reporting how many of their distinct shingles
+    are contaminated.  The eval shingle set is distinct-ed and broadcast —
+    benchmarks are tiny next to a 100 TB training corpus, so the probe is
+    a map-side hash-semi lookup on the exploded shingle stream with no
+    shuffle of the training side except the final per-doc count (which
+    reuses the doc_id grouping key)."""
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(textfns.shingles(textfns.tokens("text"), 3))
+        ).alias("s"),
+    )
+    eval_sh = (
+        sh.filter(F.col("source") == "src0")
+        .select(F.col("s").alias("es"))
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("source") != "src0")
+        .join(F.broadcast(eval_sh), F.col("s") == F.col("es"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
     )
