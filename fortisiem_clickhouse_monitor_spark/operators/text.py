@@ -122,8 +122,14 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle key, and nothing holds a whole document's vocabulary in one
     row — so a 100 GB partition of documents streams through unchanged."""
     d = table(spark, sf_dir, "documents")
+    # One shuffle, not two: partition whole documents by doc_id BEFORE the
+    # explode — HashPartitioning(doc_id) satisfies the clustering need of
+    # both downstream group-bys ((doc_id, w) and (doc_id)), and shuffling
+    # compact documents once is cheaper than shuffling the exploded token
+    # stream twice.
     counts = (
-        d.select("doc_id", F.explode(textfns.tokens("text")).alias("w"))
+        d.repartition("doc_id")
+        .select("doc_id", F.explode(textfns.tokens("text")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))
     )
