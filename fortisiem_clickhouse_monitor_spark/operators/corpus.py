@@ -104,22 +104,28 @@ def text_bigram_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms.  tf is one explode+group pass;
-    document frequency is a window over the per-(doc,term) aggregate —
-    the vocabulary domain, orders of magnitude smaller than the token
-    stream; the corpus size N is a 1-row broadcast.  Ranking uses a
-    term-name tiebreak so results are deterministic under ties (common
-    in a small vocabulary)."""
-    d = table(spark, sf_dir, "documents")
-    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    the corpus size N is a 1-row broadcast.  Ranking uses a term-name
+    tiebreak so results are deterministic under ties (common in a small
+    vocabulary).
+
+    Shuffle layout: documents are hash-partitioned by doc_id ONCE up
+    front — that single exchange satisfies the tf group-by, the dl
+    window, and the final rank window (HashPartitioning(doc_id) clusters
+    every doc-keyed stage).  Document frequency is the one genuinely
+    term-keyed statistic, so it aggregates onto the (tiny) vocabulary
+    domain and broadcasts back, instead of dragging the postings through
+    a term-partitioned window and then re-shuffling them to doc_id."""
+    raw = table(spark, sf_dir, "documents")
+    d = raw.repartition("doc_id")
+    n_docs = raw.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = (
         d.select("doc_id", F.explode(textfns.tokens("text")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("f"))
         .withColumn("dl", F.sum("f").over(Window.partitionBy("doc_id")))
     )
-    stats = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    ).join(F.broadcast(n_docs))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = tf.join(F.broadcast(df), "term").join(F.broadcast(n_docs))
     score = (F.col("f").cast("double") / F.col("dl")) * F.log(
         F.col("n_docs").cast("double") / F.col("df")
     )
@@ -171,7 +177,14 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard lexical-relevance scorer for corpus filtering.  The
     term filter lands immediately after the explode, so only query-term
     postings ever aggregate; corpus stats (N, avgdl) and the per-term
-    idf table are 1-row / |query|-row broadcasts."""
+    idf table are 1-row / |query|-row broadcasts.
+
+    Shuffle layout: deliberately NOT the repartition-documents-first
+    pattern used by text_tfidf_top_terms — the query-term filter makes
+    tf tiny, so the only doc-count-sized shuffle here is dls, which is
+    two integer columns; co-locating by pre-partitioning would shuffle
+    full document text instead.  The top-20 lowers to
+    TakeOrderedAndProject — no global sort."""
     d = table(spark, sf_dir, "documents")
     dls = d.select("doc_id", F.size(textfns.tokens("text")).alias("dl"))
     corpus = dls.agg(
