@@ -1,0 +1,89 @@
+"""Edge-case unit tests for the repetition-ratio and decontamination
+operators (the oracle-differential gate covers the fixture-scale happy
+path; these pin the boundary semantics on hand-built inputs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fortisiem_clickhouse_monitor_spark.functions import textfns
+
+
+def _ratio_frame(spark, rows):
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = (
+        d.repartition("doc_id")
+        .select("doc_id", F.explode(textfns.tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_word_ratio"),
+        F.round(1.0 - F.count(F.lit(1)).cast("double") / F.sum("c"), 6).alias(
+            "dup_token_ratio"
+        ),
+    )
+
+
+class TestRepetitionRatio:
+    def test_all_same_token(self, spark):
+        row = _ratio_frame(spark, [(1, "x x x x")]).collect()[0]
+        assert row["top_word_ratio"] == 1.0
+        assert row["dup_token_ratio"] == 0.75
+
+    def test_all_distinct(self, spark):
+        row = _ratio_frame(spark, [(1, "a b c d")]).collect()[0]
+        assert row["top_word_ratio"] == 0.25
+        assert row["dup_token_ratio"] == 0.0
+
+    def test_single_token_doc(self, spark):
+        row = _ratio_frame(spark, [(1, "only")]).collect()[0]
+        assert row["top_word_ratio"] == 1.0
+        assert row["dup_token_ratio"] == 0.0
+
+    def test_empty_text_yields_no_row(self, spark):
+        # tokens("") == [] -> explode drops the doc entirely, matching the
+        # oracle's unnest-of-empty-list behavior.
+        assert _ratio_frame(spark, [(1, "   ")]).count() == 0
+
+
+class TestDecontamination:
+    def test_shared_shingle_flagged_once_per_distinct(self, spark):
+        rows = [
+            (1, "src0", "a b c d"),          # eval: shingles {a b c, b c d}
+            (2, "src1", "a b c x a b c"),    # train: hits 'a b c' (distinct once)
+            (3, "src1", "z z z z"),          # train: no overlap
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        sh = d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array_distinct(textfns.shingles(textfns.tokens("text"), 3))
+            ).alias("s"),
+        )
+        ev = (
+            sh.filter(F.col("source") == "src0")
+            .select(F.col("s").alias("es"))
+            .distinct()
+        )
+        out = (
+            sh.filter(F.col("source") != "src0")
+            .join(F.broadcast(ev), F.col("s") == F.col("es"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        got = {r["doc_id"]: r["n"] for r in out}
+        assert got == {2: 1}
+
+    def test_short_docs_cannot_contaminate(self, spark):
+        rows = [(1, "src0", "a b"), (2, "src1", "a b")]
+        d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        sh = d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(textfns.shingles(textfns.tokens("text"), 3))
+            ).alias("s"),
+        )
+        assert sh.count() == 0
