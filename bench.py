@@ -57,6 +57,9 @@ HEADLINE = [
     "tpch_q21_waiting_supplier",
     "text_tfidf_top_terms",
     "pack_token_sequences",
+    "tpch_q20_excess_stock_suppliers",
+    "text_repetition_ratio",
+    "corpus_decontaminate_ngram",
 ]
 
 
