@@ -375,3 +375,50 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     return e.select("vec_id", assign_expr(centroids))
+
+
+@register(
+    "sim_quantize_int8",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             greatest(list_max(list_transform(embedding::DOUBLE[],
+                                              x -> abs(x))) / 127.0,
+                      1e-12) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           CAST(list_aggregate(list_transform(v, x -> round(x / scale)),
+                               'sum') AS BIGINT) AS q_sum,
+           round(list_max(list_transform(
+                   v, x -> abs(x - round(x / scale) * scale))), 6)
+             AS max_abs_err
+    FROM s
+    """,
+    tags=("ANN",),
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of embeddings (per-vector
+    scale = max|x|/127) — the compression step before shipping vectors
+    to an ANN index.  Map-only higher-order functions, zero shuffle,
+    zero Python; at 100 TB this is a pure scan->write pass.  The oracle
+    checks the scale, the quantized-value checksum, and that the
+    dequantization error stays within half a quantization step."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding").cast("array<double>")
+    scale = F.greatest(
+        F.array_max(F.transform(emb, F.abs)) / 127.0, F.lit(1e-12)
+    )
+    q = F.transform(emb, lambda x: F.round(x / scale))
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("q_sum"),
+        F.round(
+            F.array_max(F.transform(emb, lambda x: F.abs(x - F.round(x / scale) * scale))),
+            6,
+        ).alias("max_abs_err"),
+    )
