@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import textfns
 from ..registry import register
-from ..sources.tables import table
+from ..sources.tables import spread, table
 
 # DuckDB twin of textfns.tokens()
 _DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
@@ -116,7 +116,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain and broadcasts back, instead of dragging the postings through
     a term-partitioned window and then re-shuffling them to doc_id."""
     raw = table(spark, sf_dir, "documents")
-    d = raw.repartition("doc_id")
+    d = spread(raw, "doc_id")
     n_docs = raw.agg(F.count(F.lit(1)).alias("n_docs"))
     tf = (
         d.select("doc_id", F.explode(textfns.tokens("text")).alias("term"))
@@ -339,9 +339,16 @@ def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     are contaminated.  The eval shingle set is distinct-ed and broadcast —
     benchmarks are tiny next to a 100 TB training corpus, so the probe is
     a map-side hash-semi lookup on the exploded shingle stream with no
-    shuffle of the training side except the final per-doc count (which
-    reuses the doc_id grouping key)."""
-    d = table(spark, sf_dir, "documents")
+    shuffle of the training side except one doc_id exchange (which the
+    final per-doc count reuses).
+
+    The doc_id repartition happens BEFORE shingling: explode and
+    broadcast join both preserve partitioning, so the one shuffle the
+    groupBy needs anyway is moved ahead of the expensive tokenize+
+    shingle work, spreading it across all cores even when the input
+    arrives as a single small parquet split (and, at scale, pre-
+    balancing skewed document sizes)."""
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     sh = d.select(
         "doc_id",
         "source",

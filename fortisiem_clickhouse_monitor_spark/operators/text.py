@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions import textfns
 from ..registry import register
-from ..sources.tables import table
+from ..sources.tables import spread, table
 
 # DuckDB twin of textfns.tokens()
 _DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
@@ -128,7 +128,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # compact documents once is cheaper than shuffling the exploded token
     # stream twice.
     counts = (
-        d.repartition("doc_id")
+        spread(d, "doc_id")
         .select("doc_id", F.explode(textfns.tokens("text")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("c"))

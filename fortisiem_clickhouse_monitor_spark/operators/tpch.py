@@ -581,6 +581,46 @@ def tpch_q16_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q17: small-quantity-order revenue (correlated avg subquery)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    tags=("J-ext", "subquery"),
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog (p_container absent from the fixture → brand-only
+    predicate).  The correlated per-part avg(l_quantity) subquery is
+    decorrelated into a window average: the broadcast of the filtered
+    part dim prunes lineitem FIRST, so the single shuffle that the
+    window needs runs over ~1/25 of the fact, and the per-part average
+    and the threshold comparison happen in that one exchange — versus
+    the naive plan's second full scan of lineitem for the subquery."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    pruned = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    w = Window.partitionBy("l_partkey")
+    return (
+        pruned.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q18: large-volume customers
 # ---------------------------------------------------------------------------
 

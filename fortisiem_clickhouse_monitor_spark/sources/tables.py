@@ -48,3 +48,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [table(spark, sf_dir, n) for n in names]
+
+
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition on ``cols`` with an EXPLICIT partition count.
+
+    ``repartition(cols)`` alone lets AQE coalesce the exchange by its
+    *byte* size — a few MB of compact document text collapses to one
+    partition, and the expensive downstream work (tokenize/shingle/
+    explode, which multiplies those bytes 10-50x) then runs in a single
+    task.  Pinning the count to the cluster's default parallelism keeps
+    CPU-bound post-shuffle work spread across all cores while still
+    clustering rows by the key so downstream group-bys reuse the
+    exchange."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, *[F.col(c) for c in cols])
