@@ -1,0 +1,190 @@
+"""Behavioral event analytics over the `events` table (extended
+surface): ordered funnels, cohort retention, and event-transition
+matrices — the event-sequence queries a monitoring/analytics consumer
+of the reference's event stream (chStats.py:413-483 emits exactly such
+per-entity event records) would run downstream.
+
+Scale shape: every query here clusters by `user_id` exactly once —
+funnel stages are layered window aggregates over the SAME
+HashPartitioning(user_id) exchange (no self-joins, no per-stage
+rescans), transitions use one lead() over that exchange, and cohorts
+aggregate (user, period) pairs that partial-combine map-side before
+the one shuffle.  Nothing collects per-user arrays, so a bot user
+with 10^8 events streams through the window operator without
+materializing in memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import table
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: signup -> click -> purchase, strictly in time order
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS ts1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(e.ts) AS ts2
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+      GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(e.ts) AS ts3
+      FROM events e JOIN t2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM t1) AS n_signup,
+           (SELECT count(*) FROM t2) AS n_click_after_signup,
+           (SELECT count(*) FROM t3) AS n_purchase_after_click
+    """,
+    tags=("BEHAV",),
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered three-stage funnel: users who signed up, then
+    clicked AFTER the signup, then purchased AFTER that click (earliest
+    qualifying event at each stage).
+
+    The oracle's three self-joins are collapsed into layered window
+    minima over ONE user_id exchange: t1 = min signup ts, t2 = min
+    click ts > t1, t3 = min purchase ts > t2 — each layer is a window
+    aggregate over the same partitioning, so Catalyst plans a single
+    shuffle followed by three in-partition passes, versus three scans +
+    three shuffles for the naive join form.  At 100 TB the difference
+    is reading the fact once instead of three times."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "ts1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "ts2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("ts1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "ts3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("ts2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.first("ts1").alias("ts1"), F.first("ts2").alias("ts2"),
+        F.first("ts3").alias("ts3"),
+    )
+    return per_user.agg(
+        F.count("ts1").alias("n_signup"),
+        F.count("ts2").alias("n_click_after_signup"),
+        F.count("ts3").alias("n_purchase_after_click"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retention_weekly_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             datediff('week', f.cohort_week, date_trunc('week', e.ts))
+               AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+           week_offset, count(*) AS n_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+    tags=("BEHAV",),
+)
+def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by the week of
+    their first event; for each later week, how many were active.
+
+    The first-event week is a window min over the user_id exchange (no
+    join back), the (user, cohort, offset) triple is distinct-ed with a
+    map-side partial, and the final count aggregates a set bounded by
+    users x weeks — tiny relative to the fact at any scale."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
+    act = (
+        e.withColumn(
+            "cohort_week", F.date_trunc("week", F.min("ts").over(w))
+        )
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                    / 7
+                ).cast("long")
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (Markov first-order counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "path_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n
+    FROM ordered WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    tags=("BEHAV",),
+)
+def path_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts between consecutive events of each
+    user (the input to a Markov path model / anomalous-sequence
+    detector).  One lead() over the user_id exchange, with event_id as
+    the deterministic tiebreak for identical timestamps; the pair count
+    partial-aggregates onto the (|types|^2)-sized domain map-side."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -71,6 +71,7 @@ def _load_all() -> None:
         return
     from .operators import (  # noqa: F401
         advanced,
+        behavior,
         corpus,
         dedup,
         joins,

@@ -1,0 +1,109 @@
+"""Unit tests for operators/behavior.py — sequence-order edge cases the
+sf-scale oracle diff can't isolate: funnel stage strictness (events
+BEFORE the prior stage must not count), cohort week-offset arithmetic,
+and the transition matrix's timestamp tiebreak.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+
+from fortisiem_clickhouse_monitor_spark import registry
+
+EVENTS_COLS = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _ts(minute: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute)
+
+
+def _run_on(spark, name, rows):
+    df = spark.createDataFrame(rows, schema=EVENTS_COLS)
+    d = tempfile.mkdtemp(prefix="behav_")
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return registry.queries()[name](spark, d)
+
+
+class TestFunnel:
+    def test_strict_ordering(self, spark):
+        rows = [
+            # user 1: full ordered funnel
+            (1, _ts(0), 1, "signup", 0.0, "{}"),
+            (2, _ts(1), 1, "click", 0.0, "{}"),
+            (3, _ts(2), 1, "purchase", 0.0, "{}"),
+            # user 2: click BEFORE signup, purchase after -> stalls at signup
+            (4, _ts(0), 2, "click", 0.0, "{}"),
+            (5, _ts(1), 2, "signup", 0.0, "{}"),
+            (6, _ts(2), 2, "purchase", 0.0, "{}"),
+            # user 3: purchase before click -> reaches click stage only
+            (7, _ts(0), 3, "signup", 0.0, "{}"),
+            (8, _ts(1), 3, "purchase", 0.0, "{}"),
+            (9, _ts(2), 3, "click", 0.0, "{}"),
+            # user 4: never signs up
+            (10, _ts(0), 4, "click", 0.0, "{}"),
+        ]
+        out = _run_on(spark, "funnel_signup_click_purchase", rows).collect()[0]
+        assert out["n_signup"] == 3
+        assert out["n_click_after_signup"] == 2  # users 1 and 3
+        assert out["n_purchase_after_click"] == 1  # user 1 only
+
+    def test_equal_timestamp_not_counted(self, spark):
+        # click at EXACTLY the signup instant is not "after" (strict >)
+        rows = [
+            (1, _ts(0), 1, "signup", 0.0, "{}"),
+            (2, _ts(0), 1, "click", 0.0, "{}"),
+        ]
+        out = _run_on(spark, "funnel_signup_click_purchase", rows).collect()[0]
+        assert out["n_signup"] == 1
+        assert out["n_click_after_signup"] == 0
+
+
+class TestRetention:
+    def test_week_offsets(self, spark):
+        day = 24 * 60.0
+        rows = [
+            # user 1 first event Mon Jan 1 (week 0), active weeks 0, 1, 3
+            (1, _ts(0), 1, "view", 0.0, "{}"),
+            (2, _ts(2 * day), 1, "view", 0.0, "{}"),  # same week
+            (3, _ts(8 * day), 1, "view", 0.0, "{}"),  # week 1
+            (4, _ts(22 * day), 1, "view", 0.0, "{}"),  # week 3
+            # user 2 first event in week 1, active week 1 only
+            (5, _ts(9 * day), 2, "view", 0.0, "{}"),
+        ]
+        out = {
+            (r["cohort_week"].date(), r["week_offset"]): r["n_users"]
+            for r in _run_on(spark, "retention_weekly_cohorts", rows).collect()
+        }
+        jan1 = dt.date(2024, 1, 1)  # a Monday: week-truncation fixed point
+        jan8 = dt.date(2024, 1, 8)
+        assert out == {
+            (jan1, 0): 1,
+            (jan1, 1): 1,
+            (jan1, 3): 1,
+            (jan8, 0): 1,
+        }
+
+
+class TestTransitions:
+    def test_counts_and_tiebreak(self, spark):
+        rows = [
+            # user 1: view -> click -> purchase
+            (1, _ts(0), 1, "view", 0.0, "{}"),
+            (2, _ts(1), 1, "click", 0.0, "{}"),
+            (3, _ts(2), 1, "purchase", 0.0, "{}"),
+            # user 2: two events at the SAME ts -> event_id breaks the tie
+            (10, _ts(0), 2, "view", 0.0, "{}"),
+            (11, _ts(0), 2, "click", 0.0, "{}"),
+        ]
+        out = {
+            (r["event_type"], r["next_type"]): r["n"]
+            for r in _run_on(spark, "path_transition_matrix", rows).collect()
+        }
+        assert out == {
+            ("view", "click"): 2,
+            ("click", "purchase"): 1,
+        }
