@@ -154,6 +154,79 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(table(spark, sf_dir, "events"))
 
 
+def attribution_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Interval join: each purchase paired with every click by the same
+    user in the preceding 30 minutes (strictly earlier).  Lag is exact
+    integer microseconds so the oracle comparison is precision-safe."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return c.join(p, cond).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+
+
+@register(
+    "stream_attribution_pairs",
+    oracle=f"""
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))
+             AS lag_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND {_DUCK_TS.replace('ts', 'p.ts')} > {_DUCK_TS.replace('ts', 'c.ts')}
+     AND {_DUCK_TS.replace('ts', 'p.ts')} <=
+         {_DUCK_TS.replace('ts', 'c.ts')} + INTERVAL '30 minutes'
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    tags=("T", "J-ext"),
+)
+def stream_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join: purchases
+    attributed to same-user clicks within the prior 30 minutes.  Both
+    sides come from one scan (the filters split it), the equi-key makes
+    this a hash join on user_id with the time bounds as residual
+    conditions — the same shape Structured Streaming uses for its
+    symmetric-hash stream-stream join, where the 30-minute bound plus
+    watermark gives provably bounded state."""
+    ev = table(spark, sf_dir, "events")
+    return attribution_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+def streaming_attribution_join(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join with watermarks on BOTH sides: the join
+    condition's 30-minute bound + the watermark let the state store
+    evict clicks older than (watermark + interval) and purchases older
+    than the watermark — without them the symmetric hash state grows
+    forever."""
+    return attribution_pairs(
+        clicks.withWatermark("ts", watermark),
+        purchases.withWatermark("ts", watermark),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming-only forms (used by tests/test_streaming.py)
 # ---------------------------------------------------------------------------

@@ -156,3 +156,27 @@ def test_session_window_batch_properties(spark):
     for r in out:
         assert r["session_end"] > r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_streaming_attribution_join_matches_batch(spark, events_dir):
+    """Stream-stream interval join: replaying the whole (event-time
+    ordered) stream must reproduce the batch interval join exactly —
+    inner-join results are emitted as soon as both sides match, and
+    ordered arrival means no click/purchase is watermark-late."""
+    clicks = jobs.events_stream(spark, events_dir).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = jobs.events_stream(spark, events_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = _run_stream_to_memory(
+        spark,
+        windowed.streaming_attribution_join(clicks, purchases),
+        "t_attrib",
+    )
+    ev = table(spark, SF_SMALL, "events")
+    batch = windowed.attribution_pairs(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
