@@ -16,7 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import textfns, vectors
@@ -517,3 +517,55 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
 
     return labels.select("doc_id", F.col("label").alias("component"))
+
+
+@register(
+    "dedup_canonical_docs",
+    oracle=f"""
+    {_CC_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node
+    ),
+    ranked AS (
+      SELECT c.component, d.doc_id, 
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+             count(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component, doc_id AS kept_doc_id, n_members
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("DD", "ITER"),
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision that ends a dedup pipeline: per near-dup
+    component, keep the LONGEST document (n_chars, doc_id tiebreak) as
+    canonical and report cluster size.  Selection policy lives in one
+    window ORDER BY — swapping in a quality score (operators/text.py)
+    instead of n_chars is a one-line change.
+
+    Components join back to documents on doc_id (both sides already
+    doc-keyed, one co-partitioned shuffle); the argmax is a row_number
+    window over component — the cluster-count domain, tiny next to the
+    corpus."""
+    comp = dedup_connected_components(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = comp.join(d, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("kept_doc_id"), "n_members")
+    )
