@@ -188,3 +188,85 @@ def path_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap statistics per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interarrival_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           count(gap_us) AS n_gaps,
+           min(gap_us) AS min_gap_us,
+           max(gap_us) AS max_gap_us,
+           floor(avg(gap_us)) AS avg_gap_us_floor
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("BEHAV",),
+)
+def interarrival_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival gap statistics (burst/bot detection
+    signal).  lag() and the per-user aggregate share one user_id
+    exchange; gaps are exact integer microseconds, and the average is
+    floored so the hash comparison never rides on double rounding."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.withColumn(
+        "gap_us", F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.floor(F.avg("gap_us")).alias("avg_gap_us_floor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Value outliers: z-score against per-type population statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "outlier_events_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.mu) / s.sigma, 3) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sigma) > 3.0
+    """,
+    tags=("BEHAV", "A-ext"),
+)
+def outlier_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is >3 sigma from their type's mean — the
+    monitoring-side anomaly screen.  Population moments aggregate onto
+    the |event_type| domain (map-side partials, no fact shuffle) and
+    broadcast back, so the fact is scanned twice but never exchanged;
+    the alternative single-scan window form would shuffle the whole
+    fact by a 5-value key — a guaranteed skew trap at 100 TB."""
+    e = table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", "value", F.round(z, 3).alias("z"))
+    )
