@@ -276,3 +276,72 @@ def text_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("double") / F.greatest(n, F.lit(1)), 4
         ).alias("chars_per_piece"),
     )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IPV4_RE = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+_PHONE_RE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_IPV4_RE}', '<IP>', 'g'),
+             '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_IPV4_RE}')) AS n_ips,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones
+    FROM documents
+    """,
+    tags=("TXT", "PII"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (emails / IPv4 / phone patterns -> typed
+    placeholders) with per-document match counts for audit — a
+    map-only stage at any scale (the regexes stay in the RE2/Java
+    common subset so the oracle's RE2 and Spark's java.util.regex
+    agree).  Order matters: emails first, so host-like substrings
+    inside addresses are not half-redacted as IPs."""
+    d = table(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _IPV4_RE, "<IP>"
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_IPV4_RE), 0)).alias("n_ips"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+    )
+
+
+@register(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
+           length(text) - length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS n_chars_removed
+    FROM documents
+    """,
+    tags=("TXT",),
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (lowercase, collapse whitespace
+    runs, trim) — the pre-pass that makes exact-hash dedup catch
+    trivially-different duplicates.  Pure map stage; the removed-char
+    count gives the cheap audit metric."""
+    d = table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (F.length("text") - F.length(norm)).alias("n_chars_removed"),
+    )
