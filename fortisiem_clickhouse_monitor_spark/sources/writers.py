@@ -68,3 +68,79 @@ def compact(df: DataFrame, path: str, target_files: int) -> None:
     micro-batches leave many small files; periodic compaction restores
     scan efficiency (row-group-sized files, fewer tasks)."""
     df.repartition(target_files).write.mode("overwrite").parquet(path)
+
+
+def _interleave_bits(a, b, bits: int = 16):
+    """Morton (Z-order) code of two columns already rank-mapped into
+    [0, 2^bits): interleaves their bits so points close in BOTH
+    dimensions land close on the curve."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            .bitwiseOR(F.shiftleft(a.bitwiseAND(F.lit(1 << i)), i))
+            .bitwiseOR(F.shiftleft(b.bitwiseAND(F.lit(1 << i)), i + 1))
+        )
+    return z
+
+
+def _bucketize(col: str, boundaries: list[float]):
+    """Map a numeric column to its bucket index (0..len(boundaries))
+    against pre-computed sorted boundaries — a vectorized JVM count of
+    boundaries <= value, O(|boundaries|) per row, no shuffle."""
+    barr = F.array(*[F.lit(float(b)) for b in boundaries])
+    return F.size(F.filter(barr, lambda b: b <= F.col(col).cast("double")))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustering on TWO numeric predicate columns: quantile-
+    bucket each column into [0, 2^bits) (equi-depth, so skew cannot
+    concentrate codes), interleave bits into a Morton code, then
+    range-partition + sort files by it.
+
+    Why it matters at 100 TB: hive partitioning prunes on ONE
+    dimension; Z-order makes parquet row-group min/max stats selective
+    on BOTH columns at once, so scans filtered on either (or both)
+    skip most files — the multi-dimensional clustering move
+    (Delta/Iceberg OPTIMIZE ZORDER) built from primitives here.
+
+    Deliberately NOT percent_rank over a global window (that is a
+    single-partition sort): bucket boundaries come from approxQuantile
+    — a sample-based aggregate job — and the per-row mapping is a
+    map-side array probe, so the only exchange is the final range
+    partition by code."""
+    n_buckets = 1 << bits
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    d = df.withColumn("_a", F.col(col_a).cast("double")).withColumn(
+        "_b", F.col(col_b).cast("double")
+    )
+    bounds_a, bounds_b = d.approxQuantile(["_a", "_b"], qs, 0.001)
+
+    def code(col: str, bounds: list[float]):
+        # Normalize the bucket index to the FULL bit width: a low-
+        # cardinality column yields few distinct boundaries, and without
+        # rescaling its index would only occupy the low bits — the
+        # interleave would then be dominated by the other column's high
+        # bits and the "Z" would degenerate into a single-column sort.
+        bs = sorted(set(bounds))
+        idx = _bucketize(col, bs).cast("double")
+        return F.floor(idx * ((n_buckets - 1) / max(len(bs), 1))).cast("long")
+
+    coded = d.withColumn(
+        "_z", _interleave_bits(code("_a", bounds_a), code("_b", bounds_b), bits)
+    )
+    (
+        coded.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", "_a", "_b")
+        .write.mode(mode)
+        .parquet(path)
+    )

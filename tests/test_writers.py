@@ -74,3 +74,62 @@ def test_compact_controls_file_count(spark, tmp_path_factory):
     files = glob.glob(f"{out}/part-*.parquet")
     assert len(files) == 3
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path_factory):
+    """Z-ordered files must be selective on BOTH clustering columns:
+    for a narrow range predicate on either dimension, only a minority
+    of files' [min, max] stats overlap it — the property parquet
+    row-group skipping exploits. A single-column sort gives this for
+    one dimension and ~all-files overlap for the other."""
+    import pyarrow.parquet as pq
+    import glob as g
+
+    out = str(tmp_path_factory.mktemp("zord") / "events_z")
+    ev = tables.table(spark, SF_SMALL, "events")
+    writers.write_zordered(ev, out, "value", "user_id", n_files=16)
+
+    def overlap_fraction(path, col, lo, hi):
+        files = [f for f in g.glob(f"{path}/*.parquet")]
+        assert len(files) >= 8
+        n_overlap = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col:
+                        st = c.statistics
+                        fmin = st.min if fmin is None else min(fmin, st.min)
+                        fmax = st.max if fmax is None else max(fmax, st.max)
+            if fmin is not None and not (fmax < lo or fmin > hi):
+                n_overlap += 1
+        return n_overlap / len(files)
+
+    vmin, vmax = ev.agg(F.min("value"), F.max("value")).first()
+    umin, umax = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    # a ~10%-wide slice of each dimension
+    v_lo = vmin + 0.45 * (vmax - vmin)
+    v_hi = vmin + 0.55 * (vmax - vmin)
+    u_lo = int(umin + 0.45 * (umax - umin))
+    u_hi = int(umin + 0.55 * (umax - umin))
+    z_value = overlap_fraction(out, "value", v_lo, v_hi)
+    z_user = overlap_fraction(out, "user_id", u_lo, u_hi)
+
+    # Baseline: single-column range sort on value — perfectly selective
+    # on value, unselective on user_id.
+    base = str(tmp_path_factory.mktemp("zord") / "events_value_sorted")
+    (
+        ev.repartitionByRange(16, "value")
+        .sortWithinPartitions("value")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    base_user = overlap_fraction(base, "user_id", u_lo, u_hi)
+
+    # Z-order must stay selective on value AND beat the single-column
+    # layout decisively on the second dimension.
+    assert z_value <= 0.6
+    assert z_user <= 0.6
+    assert z_user < base_user - 0.2
