@@ -60,6 +60,14 @@ HEADLINE = [
     "tpch_q20_excess_stock_suppliers",
     "text_repetition_ratio",
     "corpus_decontaminate_ngram",
+    "tpch_q17_small_quantity_revenue",
+    "funnel_signup_click_purchase",
+    "retention_weekly_cohorts",
+    "path_transition_matrix",
+    "stream_attribution_pairs",
+    "sketch_heavy_hitter_tokens",
+    "text_redact_pii",
+    "outlier_events_zscore",
 ]
 
 

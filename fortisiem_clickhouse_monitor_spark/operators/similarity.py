@@ -422,3 +422,81 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("max_abs_err"),
     )
+
+
+@register(
+    "sim_knn_join_topk",
+    oracle="""
+    SELECT vec_id, neighbor_id, cos_sim FROM (
+      SELECT a.vec_id,
+             b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 4) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                     b.embedding::DOUBLE[]), 4)
+                        DESC, b.vec_id) AS rn
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ) WHERE rn <= 3
+    """,
+    tags=("ANN",),
+)
+def sim_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN: top-3 cosine neighbors for EVERY vector (vs
+    sim_cosine_topk's single query vector) — the all-pairs primitive
+    behind near-dup mining and hard-negative retrieval.
+
+    Same kernel family as dedup_embedding_cosine_pairs: the index side
+    is one broadcast unit-normalized dense matrix, each Arrow batch of
+    probes runs ONE GEMM, and the per-row top-k is selected inside the
+    batch (full lexsort on (-sim, id) so 4-dp ties break identically
+    to the oracle's window ORDER BY).  No |n^2| pair rows ever hit a
+    shuffle — the only exchange is the k-row-per-vector result.  When
+    the index outgrows executor memory, the same kernel runs per IVF
+    cell (sim_ivf_topk is that scale path)."""
+    import numpy as np
+    import pandas as pd
+
+    k = 3
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def normalize(ids_np, mat):
+        norms = np.linalg.norm(mat, axis=1)
+        keep = norms > 0
+        return ids_np[keep], mat[keep] / norms[keep, None]
+
+    rows = e.collect()
+    b_ids, b_mat = normalize(
+        np.array([r["vec_id"] for r in rows], dtype="int64"),
+        np.array([r["embedding"] for r in rows], dtype="float64"),
+    )
+    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+
+    out_schema = "vec_id LONG, neighbor_id LONG, cos_sim DOUBLE"
+
+    def knn_batches(batches):
+        rb_ids, rb_mat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids, a_mat = normalize(
+                pdf["vec_id"].to_numpy(),
+                np.stack(pdf["embedding"].to_numpy()).astype("float64"),
+            )
+            sims = np.round(a_mat @ rb_mat.T, 4)
+            out_v, out_n, out_s = [], [], []
+            for i in range(len(a_ids)):
+                s = sims[i].copy()
+                s[rb_ids == a_ids[i]] = -np.inf  # exclude self
+                order = np.lexsort((rb_ids, -s))[:k]
+                out_v.extend([a_ids[i]] * len(order))
+                out_n.extend(rb_ids[order])
+                out_s.extend(s[order])
+            yield pd.DataFrame(
+                {"vec_id": out_v, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+
+    from ..sources.tables import spread
+
+    return spread(e, "vec_id").mapInPandas(knn_batches, schema=out_schema)
