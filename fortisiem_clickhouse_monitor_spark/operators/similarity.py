@@ -500,3 +500,61 @@ def sim_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import spread
 
     return spread(e, "vec_id").mapInPandas(knn_batches, schema=out_schema)
+
+
+def _jl_matrix(out_dim: int = 8, in_dim: int = 64):
+    """Deterministic sparse JL projection matrix (Achlioptas): entries
+    in {-1, 0, +1} scaled by sqrt(3/out_dim), drawn from a fixed-seed
+    PRNG — reproducible in BOTH engines because the literals are
+    generated once here and embedded in each."""
+    import random
+
+    rng = random.Random(20240613)
+    scale = (3.0 / out_dim) ** 0.5
+    rows = []
+    for _ in range(out_dim):
+        row = []
+        for _ in range(in_dim):
+            u = rng.random()
+            row.append(scale if u < 1 / 6 else (-scale if u < 2 / 6 else 0.0))
+        rows.append(row)
+    return rows
+
+
+_JL = _jl_matrix()
+
+
+@register(
+    "sim_random_projection",
+    oracle="SELECT vec_id, label,\n"
+    + ",\n".join(
+        f"       round(list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(v) for v in row)}]::DOUBLE[]), 4) + 0.0 AS p{j}"
+        for j, row in enumerate(_JL)
+    )
+    + "\n    FROM embeddings",
+    tags=("ANN",),
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction 64 -> 8 with a
+    deterministic sparse Achlioptas matrix ({-1,0,+1} entries, 2/3
+    zeros).  Pure map stage in whole-stage codegen: each output dim is
+    a zip_with+aggregate dot product against a literal array — no
+    Python, no shuffle, and at 100 TB this is the cheap pre-pass that
+    makes downstream LSH/clustering 8x narrower.  The fixed-seed
+    matrix is embedded as identical literals in the Spark plan and the
+    oracle SQL, so the reduction is exactly reproducible."""
+    e = table(spark, sf_dir, "embeddings")
+    cols = [
+        # + 0.0 canonicalizes IEEE negative zero (round can yield -0.0
+        # from tiny negative dots, and the two engines disagree on it)
+        (
+            F.round(
+                vectors.dot(F.col("embedding"), F.array(*[F.lit(v) for v in row])),
+                4,
+            )
+            + 0.0
+        ).alias(f"p{j}")
+        for j, row in enumerate(_JL)
+    ]
+    return e.select("vec_id", "label", *cols)
