@@ -649,3 +649,79 @@ def sketch_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(25)
     )
+
+
+_SQL_REVENUE = """
+    WITH regional AS (
+      SELECT n.n_name AS nation,
+             l.l_extendedprice * (1 - l.l_discount) AS rev
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    )
+    SELECT nation, round(sum(rev), 2) AS revenue, count(*) AS n_lines
+    FROM regional GROUP BY nation
+"""
+
+
+@register(
+    "sql_catalog_nation_revenue",
+    oracle=_SQL_REVENUE,
+    tags=("SQL", "J-ext"),
+)
+def sql_catalog_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-first entry point: the IDENTICAL text that DuckDB runs as
+    the oracle is executed via spark.sql over catalog temp views —
+    proving the engine's surface is reachable without the DataFrame API
+    and that view-bound readers keep pushdown/pruning.  Catalyst plans
+    it exactly like the DataFrame twin (joins reordered, dims
+    broadcast)."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir, include_fixtures=False)
+    return spark.sql(_SQL_REVENUE)
+
+
+@register(
+    "quality_median_filter_per_lang",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio
+      FROM documents
+    ), meds AS (
+      SELECT lang, median(stop_ratio) AS med FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, round(s.stop_ratio, 6) AS stop_ratio
+    FROM scored s JOIN meds m USING (lang)
+    WHERE s.stop_ratio > m.med
+    """,
+    tags=("A-ext", "TXT"),
+)
+def quality_median_filter_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-threshold corpus filter: keep documents whose stopword
+    ratio exceeds their language's median (the 'top-half by quality
+    signal' selection every curation pipeline runs).  Medians aggregate
+    onto the |langs| domain with Spark's exact percentile aggregate and
+    broadcast back — the fact never shuffles, same shape as the z-score
+    screen."""
+    from ..functions import textfns
+
+    d = table(spark, sf_dir, "documents")
+    toks = textfns.tokens("text")
+    stop_ratio = (
+        textfns.stopword_hits(toks, textfns.STOPWORDS["en"]).cast("double")
+        / F.size(toks)
+    )
+    scored = d.select("doc_id", "lang", stop_ratio.alias("stop_ratio"))
+    meds = scored.groupBy("lang").agg(
+        F.expr("percentile(stop_ratio, 0.5)").alias("med")
+    )
+    return (
+        scored.join(F.broadcast(meds), "lang")
+        .filter(F.col("stop_ratio") > F.col("med"))
+        .select("doc_id", "lang", F.round("stop_ratio", 6).alias("stop_ratio"))
+    )
