@@ -536,3 +536,65 @@ def rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+@register(
+    "json_struct_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_valid(props) AS is_valid
+    FROM events
+    """,
+    tags=("F13",),
+)
+def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parse via from_json with an explicit schema (the
+    production form of F13 — one Jackson pass yields a typed struct,
+    vs one get_json_object pass PER extracted path), plus a validity
+    flag: from_json returns a null struct for malformed input, which
+    is exactly the quarantine predicate a 100 TB ingest needs."""
+    ev = table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        parsed.isNotNull().alias("is_valid"),
+    )
+
+
+@register(
+    "skew_salted_user_events",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+    FROM events GROUP BY user_id
+    """,
+    tags=("SKEW", "A-ext"),
+)
+def skew_salted_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holistic aggregation under a hot key, computed the skew-safe way:
+    phase 1 aggregates per (user, salt) — 8 reducers share any hot
+    user's state — and phase 2 merges the 8 small partials per user.
+    The oracle is the PLAIN single-phase GROUP BY: hash-matching it
+    proves salting is result-identical, which is the entire point of
+    the pattern (functions/skew.py; per-salt distinct sets merge via
+    flatten + array_distinct before the canonical sort)."""
+    from ..functions.skew import _salt_of
+
+    e = table(spark, sf_dir, "events")
+    partial = (
+        e.withColumn("_salt", _salt_of("event_id", 8))
+        .groupBy("user_id", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.collect_set("event_type").alias("_types"),
+        )
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("_n").alias("n_events"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("_types")))), ","
+        ).alias("types"),
+    )
