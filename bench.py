@@ -101,32 +101,46 @@ def main() -> None:
         F.regexp_extract(F.col("id").cast("string"), r"(\d+)", 1).alias("r"),
     )
     materialize(burn)
+    # Per-query fault isolation: one broken query must never kill the
+    # whole run (round 1 lost ALL timings to a single AnalysisException).
+    errors: dict[str, str] = {}
     for name in names:
-        materialize(qs[name](spark, sf_dir))
+        try:
+            materialize(qs[name](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001 — record and keep going
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"[bench] warmup failed for {name}: {errors[name]}", file=sys.stderr)
 
     # Best-of-3: robust to the residual one-time JIT storm landing inside
     # a single rep (it never recurs once that code path is compiled).
     timings: dict[str, float] = {}
     for name in names:
+        if name in errors:
+            continue
         best = float("inf")
         for _ in range(3):
-            t0 = time.time()
-            materialize(qs[name](spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            try:
+                t0 = time.time()
+                materialize(qs[name](spark, sf_dir))
+                best = min(best, time.time() - t0)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"[bench] timing failed for {name}: {errors[name]}", file=sys.stderr)
+                break
+        if name not in errors and best < float("inf"):
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

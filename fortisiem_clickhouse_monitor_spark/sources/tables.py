@@ -40,8 +40,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rebase when the column actually arrived as nanos (long).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(raw.dtypes).get("ts") == "bigint":
+        ts_type = dict(raw.dtypes).get("ts")
+        if ts_type == "bigint":
             raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Parquet timestamps without isAdjustedToUTC surface as
+            # TIMESTAMP_NTZ, which functions like unix_micros() reject.
+            # The session TZ is pinned UTC (session.py), so this cast is
+            # value-preserving; every consumer sees one type: TIMESTAMP.
+            raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
         return raw
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
