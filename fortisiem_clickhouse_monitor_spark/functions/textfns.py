@@ -49,27 +49,59 @@ def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(lit_words, t)))
 
 
+def hash60(c: Column) -> Column:
+    """60-bit hash of a string: the first 15 hex chars of md5, as int64.
+
+    Chosen over xxhash64 because BOTH engines compute it bit-identically
+    (DuckDB: ``('0x' || substr(md5(s), 1, 15))::BIGINT``), which makes
+    every hash-derived operator — MinHash, SimHash, HLL — fully
+    oracle-checkable instead of rows-only. Always non-negative, so plain
+    ``%`` and ``pmod`` agree across engines."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+#: DuckDB twin of :func:`hash60` (callers interpolate the column expr).
+DUCK_HASH60 = "(('0x' || substr(md5({col}), 1, 15))::BIGINT)"
+
+
 def minhash_signature(
     shingle_arr: Column, n_hashes: int = 16, prime: int = 2_147_483_647
 ) -> list[Column]:
     """MinHash signature: for each permutation i, min over shingles of
-    ``(a_i * xxhash64(s) + b_i) mod p``. Fixed seeds → deterministic.
-    Empty shingle set → NULL mins (callers filter those docs out)."""
+    ``(a_i * hash60(s) + b_i) mod p``. Fixed seeds → deterministic and
+    (because hash60 is md5-based) reproducible in DuckDB oracles.
+    Empty shingle set → NULL mins (callers filter those docs out).
+
+    The base hash is materialized ONCE per shingle (one md5 each), then
+    each permutation is a 2-op affine map over the int array — not one
+    md5 per (shingle, permutation)."""
+    hashes = F.transform(shingle_arr, lambda s: F.pmod(hash60(s), F.lit(prime)))
+
     def perm(a: int, b: int):
         # single-arg lambda factory (pyspark counts default params as
         # lambda arity, so defaults can't be used for capture here).
-        # xxhash64 is bounded to [0, p) BEFORE the affine map so
+        # hash60 is bounded to [0, p) BEFORE the affine map so
         # a*h+b stays far below 2^63 (ANSI mode errors on overflow).
-        return lambda s: F.pmod(
-            F.lit(a) * F.pmod(F.xxhash64(s), F.lit(prime)) + F.lit(b),
-            F.lit(prime),
-        )
+        return lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(prime))
 
     sig = []
     for i in range(n_hashes):
         sig.append(
-            F.array_min(F.transform(shingle_arr, perm(2 * i + 1, 97 + 31 * i))).alias(
+            F.array_min(F.transform(hashes, perm(2 * i + 1, 97 + 31 * i))).alias(
                 f"mh_{i}"
             )
         )
     return sig
+
+
+def minhash_signature_sql(
+    shingles_expr: str, n_hashes: int = 16, prime: int = 2_147_483_647
+) -> str:
+    """DuckDB list expression mirroring :func:`minhash_signature`."""
+    h = DUCK_HASH60.format(col="s") + f" % {prime}"
+    mins = [
+        f"list_min(list_transform({shingles_expr}, "
+        f"s -> ({2 * i + 1} * ({h}) + {97 + 31 * i}) % {prime}))"
+        for i in range(n_hashes)
+    ]
+    return "[" + ", ".join(mins) + "]"

@@ -181,7 +181,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# MinHash + LSH (rows-only: xxhash64 has no DuckDB twin)
+# MinHash + LSH (md5-based hash60 → fully oracle-checkable)
 # ---------------------------------------------------------------------------
 
 _N_HASHES = 16
@@ -189,6 +189,55 @@ _N_HASHES = 16
 # at the 0.5 verification cutoff are caught with P ~= 1-(1-0.5^2)^8 = 0.9,
 # and ~0.7-similar near-dups with P > 0.99.
 _BANDS = 8
+_MH_PRIME = 2_147_483_647
+
+#: 3-token shingle set in DuckDB (list slicing is 1-based inclusive, so
+#: toks[i:i+2] is 3 elements; range() end is exclusive).
+_DUCK_SHINGLES = f"""
+    docs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents)
+      WHERE len(toks) >= 3
+    )
+"""
+
+_MINHASH_LSH_ORACLE = f"""
+    WITH {_DUCK_SHINGLES},
+    sigs AS (
+      SELECT doc_id, shingles,
+             {textfns.minhash_signature_sql("shingles", _N_HASHES, _MH_PRIME)} AS sig
+      FROM docs
+    ),
+    bands AS (
+      SELECT doc_id, t.b AS band_id,
+             list_extract(sig, 2 * CAST(t.b AS INTEGER) + 1) * {_MH_PRIME}
+               + list_extract(sig, 2 * CAST(t.b AS INTEGER) + 2) AS band_key
+      FROM sigs, range(0, {_BANDS}) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))
+               AS inter,
+             len(sa.shingles) + len(sb.shingles)
+               - len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))
+               AS uni
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+    FROM scored
+    WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+"""
 
 
 def _minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,7 +260,7 @@ def _minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.persist()
 
 
-@register("dedup_minhash_lsh_pairs", oracle=None, tags=("DD", "LSH"))
+@register("dedup_minhash_lsh_pairs", oracle=_MINHASH_LSH_ORACLE, tags=("DD", "LSH"))
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) -> LSH banding (8 bands x 2 rows) -> candidate pairs
     -> exact-Jaccard verification >= 0.5.
@@ -219,10 +268,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate generation is groupBy-free: docs explode to (band_id,
     band_key) rows and self-join on band equality — at scale this is a
     shuffle on band keys, and the quadratic blow-up is confined to
-    same-bucket collisions, which is the entire point of LSH. Rows-only
-    check (xxhash64 signatures are Spark-specific); the Jaccard
-    verification step reuses the oracle-checked logic of
-    dedup_ngram_jaccard_pairs."""
+    same-bucket collisions, which is the entire point of LSH. The band
+    key packs the band's 2 signature values into one collision-free
+    int64 (each value < p ~ 2^31, so s0*p + s1 < 2^62) — exact band
+    equality, no hash-collision false candidates, and bit-identical in
+    the DuckDB oracle (the md5-based hash60 signature is what makes
+    this query hash-checkable rather than rows-only)."""
     docs = _minhash_docs(spark, sf_dir)
     rows_per_band = _N_HASHES // _BANDS
     bands = docs.select(
@@ -232,11 +283,10 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
-                        F.hash(
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ]
+                        (
+                            F.element_at("sig", b * rows_per_band + 1)
+                            * F.lit(_MH_PRIME)
+                            + F.element_at("sig", b * rows_per_band + 2)
                         ).alias("band_key"),
                     )
                     for b in range(_BANDS)
@@ -273,27 +323,82 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash (rows-only)
+# SimHash (md5-based bit votes → fully oracle-checkable)
 # ---------------------------------------------------------------------------
 
 
-@register("dedup_simhash_pairs", oracle=None, tags=("DD", "LSH"))
+def _simhash_oracle() -> str:
+    """DuckDB twin of dedup_simhash_pairs, generated so the 64 vote
+    columns stay in lockstep with the Spark expressions."""
+    votes = ", ".join(
+        f"sum(CASE WHEN ((h{1 if i < 32 else 2} >> {i % 32}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    # bit 63 via two's complement (a summed 1<<63 literal would overflow
+    # BIGINT); bits 0..62 are disjoint powers so plain addition == OR.
+    sig_terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(63)
+    )
+    sig = f"(CASE WHEN b63 > 0 THEN -9223372036854775808 ELSE 0 END) + {sig_terms}"
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ),
+    hs AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h1,
+             ('0x' || substr(md5(tok), 16, 15))::BIGINT AS h2
+      FROM toks
+    ),
+    votes AS (SELECT doc_id, {votes} FROM hs GROUP BY doc_id),
+    sigs AS (SELECT doc_id, {sig} AS simhash FROM votes),
+    chunks AS (
+      SELECT doc_id, simhash, t.c AS chunk_id,
+             (simhash >> (CAST(t.c AS INTEGER) * 16)) & 65535 AS chunk_key
+      FROM sigs, range(0, 4) t(c)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_id = b.chunk_id AND a.chunk_key = b.chunk_key
+           AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """
+
+
+@register("dedup_simhash_pairs", oracle=_simhash_oracle(), tags=("DD", "LSH"))
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup: per-token xxhash64 bit votes -> sign ->
-    64-bit signature; banding on 4 x 16-bit chunks (pigeonhole: hamming
-    <= 3 guarantees >= 1 identical chunk) -> verify hamming <= 3 via
-    bit_count(xor).
+    """64-bit SimHash near-dup: per-token bit votes -> sign -> 64-bit
+    signature; banding on 4 x 16-bit chunks (pigeonhole: hamming <= 3
+    guarantees >= 1 identical chunk) -> verify hamming <= 3 via
+    bit_count(xor). Token bits come from two md5 hash60 slices (low 32
+    of each), so the signature — and therefore the whole query — is
+    bit-identical in the DuckDB oracle.
 
     The signature is one exploded-token aggregation (single shuffle on
     doc_id with map-side partials); banding reuses the LSH join shape."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(textfns.tokens("text")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    toks = (
+        d.select("doc_id", F.explode(textfns.tokens("text")).alias("tok"))
+        .withColumn("h1", textfns.hash60(F.col("tok")))
+        .withColumn(
+            "h2",
+            F.conv(F.substring(F.md5(F.col("tok")), 16, 15), 16, 10).cast("long"),
+        )
+    )
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(f"h{1 if i < 32 else 2}", i % 32)
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"b{i}")
             for i in range(64)
         ]

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hll
 from ..registry import register
 from ..sources.tables import table
 
@@ -473,16 +474,45 @@ def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_count_distinct_users",
-    oracle=None,  # HLL sketch: not bit-identical to DuckDB's — rows-only check
+    oracle=f"""
+    WITH regs AS (
+      SELECT event_type,
+             {hll.duck_bucket("user_id::VARCHAR")} AS bucket,
+             max({hll.duck_rho("user_id::VARCHAR")}) AS m_rho
+      FROM events GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT event_type, sum({hll.DUCK_REG_TERM}) AS s_present,
+             count(*) AS n_present
+      FROM regs GROUP BY event_type
+    )
+    SELECT event_type,
+           round({hll.duck_estimate("s_present", "n_present")}, 4)
+             AS n_users_approx
+    FROM est
+    """,
     tags=("A-ext",),
 )
 def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-count sketch: single pass, fixed memory,
+    """HyperLogLog distinct-count sketch: single pass, fixed memory,
     mergeable across partitions — the 100 TB substitute for exact
-    distinct. No oracle (DuckDB's approx sketch differs)."""
+    distinct (no full distinct shuffle; each partition ships 512
+    registers). Uses the deterministic md5-based HLL from
+    functions/hll.py so the estimate hash-matches the DuckDB oracle
+    (engine-native sketches never can)."""
     ev = table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("n_users_approx")
+    regs = ev.groupBy(
+        "event_type", hll.bucket_col(F.col("user_id"))
+    ).agg(F.max(hll.rho_col(F.col("user_id"))).alias("m_rho"))
+    est = regs.groupBy("event_type").agg(
+        F.sum(F.expr(hll.REG_TERM_EXPR)).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    return est.select(
+        "event_type",
+        F.round(
+            hll.estimate_col(F.col("s_present"), F.col("n_present")), 4
+        ).alias("n_users_approx"),
     )
 
 
