@@ -310,7 +310,59 @@ _KMEANS_K = 5
 _KMEANS_ITERS = 3
 
 
-@register("sim_kmeans_clusters", oracle=None, tags=("ANN", "ITER"))
+def _kmeans_oracle(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """DuckDB twin of sim_kmeans_clusters: the same Lloyd's rounds
+    unrolled as a CTE chain. Distances fold left-to-right over the 64
+    dims exactly like Spark's F.aggregate (list_reduce without an init
+    starts at element 1, and 0.0 + t1 == t1), and each centroid update
+    rounds to 6 decimals in both engines, which absorbs the
+    engine-specific float-summation order of avg()."""
+    dist = (
+        "list_reduce(list_transform(range(1, 65), "
+        "j -> (e.v[j] - c.c[j]) * (e.v[j] - c.c[j])), (a, b) -> a + b)"
+    )
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cluster, v AS c FROM e WHERE vec_id < {k})",
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""a{r} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cluster) AS rn
+        FROM e CROSS JOIN c{r - 1} c
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""u{r} AS (
+      SELECT a.cluster, t.j AS dim, round(avg(e.v[t.j]), 6) AS cx
+      FROM a{r} a JOIN e USING (vec_id), range(1, 65) t(j)
+      GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"n{r} AS (SELECT cluster, list(cx ORDER BY dim) AS c "
+            f"FROM u{r} GROUP BY cluster)"
+        )
+        parts.append(
+            f"c{r} AS (SELECT o.cluster, coalesce(n.c, o.c) AS c "
+            f"FROM c{r - 1} o LEFT JOIN n{r} n USING (cluster))"
+        )
+    final = f"""
+    SELECT vec_id, cluster FROM (
+      SELECT e.vec_id, c.cluster,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist}, c.cluster) AS rn
+      FROM e CROSS JOIN c{iters} c
+    ) WHERE rn = 1
+    """
+    return ",\n    ".join(parts) + final
+
+
+@register("sim_kmeans_clusters", oracle=_kmeans_oracle(), tags=("ANN", "ITER"))
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd's k-means over embeddings (k=5, 3 iterations,
     init = vectors with vec_id 0..k-1): the clustering step of
@@ -321,9 +373,10 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast centroid literals, argmin), update is one groupBy over
     (cluster, dim) — per round: one shuffle of k*dim partial sums, and
     k*dim doubles collected to the driver for the next round's
-    broadcast. No per-row Python; rows-only driver check (float
-    summation order makes a SQL oracle bit-unstable); the numpy
-    differential test lives in tests/test_kmeans.py."""
+    broadcast (bounded: k x dim values, not data). Centroids round to
+    6 decimals each update, making the whole iterative algorithm
+    hash-checkable against an unrolled DuckDB CTE chain — float
+    summation order only ever differs below the rounding grain."""
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb")
     )
@@ -361,7 +414,7 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_c = (
             assigned.select("cluster", F.posexplode("emb").alias("dim", "x"))
             .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("cx"))
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
             .collect()
         )
         by_cluster: dict[int, dict[int, float]] = {}

@@ -30,7 +30,8 @@ def _numpy_kmeans(ids, mat, k, iters):
         for c in range(k):
             members = mat[assign == c]
             if len(members):
-                centroids[c] = members.mean(axis=0)
+                # engine spec rounds centroids to 6 decimals per update
+                centroids[c] = np.round(members.mean(axis=0), 6)
     d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
     return d.argmin(axis=1), d
 
