@@ -25,6 +25,9 @@ from ..sources.tables import table
 
 _DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
 
+#: Max rows per Jaccard GEMM tile (see dedup_ngram_jaccard_pairs).
+_JACCARD_TILE = 1024
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -138,6 +141,14 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     out_schema = "doc_a long, doc_b long, inter long, uni long"
+    # Cap the GEMM working set: a skewed (lang, bucket) block of n docs
+    # would otherwise allocate an n x n similarity matrix in one task.
+    # Tiling row-chunks against the full column space bounds peak memory
+    # at tile x n while producing identical pairs — the jumbo block
+    # still runs in ONE task (that's the groupBy contract), but it can
+    # no longer OOM it, only take longer. Planted-jumbo-block unit test:
+    # tests/test_dedup_similarity.py.
+    tile = _JACCARD_TILE
 
     def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -157,20 +168,26 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             return empty
         m = np.zeros((n, len(vocab)), dtype=np.float32)
         m[ri, ci] = 1.0
-        inter = (m @ m.T).astype(np.int64)
-        sizes = np.diag(inter)
-        uni = sizes[:, None] + sizes[None, :] - inter
-        with np.errstate(divide="ignore", invalid="ignore"):
-            ok = (inter.astype(np.float64) / uni >= 0.8) & (uni > 0)
-        ai, bj = np.where(ok & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame(
-            {
-                "doc_a": ids[ai],
-                "doc_b": ids[bj],
-                "inter": inter[ai, bj],
-                "uni": uni[ai, bj],
-            }
-        )
+        sizes = m.sum(axis=1).astype(np.int64)
+        outs = []
+        for lo in range(0, n, tile):
+            hi = min(lo + tile, n)
+            inter = (m[lo:hi] @ m.T).astype(np.int64)
+            uni = sizes[lo:hi, None] + sizes[None, :] - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ok = (inter.astype(np.float64) / uni >= 0.8) & (uni > 0)
+            ai, bj = np.where(ok & (ids[lo:hi, None] < ids[None, :]))
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": ids[lo + ai],
+                        "doc_b": ids[bj],
+                        "inter": inter[ai, bj],
+                        "uni": uni[ai, bj],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
     pairs = docs.groupBy("lang", "bucket").applyInPandas(block_pairs, out_schema)
     return pairs.select(
@@ -487,25 +504,23 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = norms > 0
         return ids_np[keep], mat[keep] / norms[keep, None]
 
-    # Right side broadcast as one dense unit matrix (n x d doubles —
-    # 1 MB per 2k vectors); each partition of the left side runs ONE
-    # GEMM against it instead of materializing |pairs| array rows
-    # through a join. Normalization happens in numpy on both sides (the
-    # interpreted higher-order-fn normalize measured slower than the
-    # GEMM itself). At sizes where the right side stops fitting in
-    # memory, the same kernel runs per LSH bucket — brute force is the
-    # baseline, not the scale path.
-    rows = e.collect()
-    b_ids, b_mat = normalize(
-        np.array([r["vec_id"] for r in rows], dtype="int64"),
-        np.array([r["embedding"] for r in rows], dtype="float64"),
-    )
-    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+    # Right side: one dense unit matrix (n x d doubles — 1 MB per 2k
+    # vectors) loaded EXECUTOR-SIDE from the columnar file and cached
+    # per worker (functions/vectors.load_unit_index) — the round-1
+    # version collect()ed the whole table through the driver to build
+    # a broadcast, which a 100x table would OOM. Each partition of the
+    # left side runs ONE GEMM against it instead of materializing
+    # |pairs| array rows through a join. At sizes where the right side
+    # stops fitting in executor memory, the same kernel runs per LSH
+    # bucket — brute force is the baseline, not the scale path.
+    index_path = f"{sf_dir}/embeddings.parquet"
 
     out_schema = "vec_a LONG, vec_b LONG, cos_sim DOUBLE"
 
     def gemm_pairs(batches):
-        rb_ids, rb_mat = bc.value
+        from ..functions.vectors import load_unit_index
+
+        rb_ids, rb_mat = load_unit_index(index_path, "vec_id", "embedding")
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -549,6 +564,76 @@ _CC_PAIRS_SQL = f"""
 """
 
 
+def alternating_components(edges: DataFrame, max_rounds: int = 25):
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"): alternately hook
+    every node's larger neighbors to its minimum neighbor (large-star)
+    and its smaller neighbors to their minimum (small-star) until the
+    edge set reaches the fixed point — a star forest whose center is
+    each component's minimum node id.
+
+    Converges in O(log n) rounds even on path graphs, where plain
+    min-label propagation (round 1's implementation) needs O(diameter)
+    rounds — the planted-chain unit test in tests/test_dedup_similarity
+    pins this. Each round is two groupBy-min + join shuffles plus one
+    distinct; localCheckpoint truncates lineage per round.
+
+    ``edges``: DataFrame[src, dst] (any orientation, dups ok).
+    Returns (star_edges[u=root, v=leaf], rounds_used)."""
+    E = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = E.count()
+    rounds = 0
+    while n_edges and rounds < max_rounds:
+        rounds += 1
+        # Large-star: at each node u (full neighborhood), hook every
+        # LARGER neighbor to m = min(N(u) ∪ {u}).
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("u", "mn").alias("m")
+        )
+        ls = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        E1 = (
+            ls.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
+        )
+        # Small-star: at each node v (smaller neighbors only — E1 is
+        # canonical u < v), hook them and v itself to their minimum.
+        mins = E1.groupBy("v").agg(F.min("u").alias("mn"))
+        sm = (
+            E1.join(mins, "v")
+            .select(F.col("u").alias("a"), F.col("mn").alias("b"))
+            .union(mins.select(F.col("v").alias("a"), F.col("mn").alias("b")))
+        )
+        E2 = (
+            sm.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        n2 = E2.count()
+        if n2 == n_edges and E2.exceptAll(E).count() == 0:
+            E = E2
+            break
+        E, n_edges = E2, n2
+    return E, rounds
+
+
 @register(
     "dedup_connected_components",
     oracle=f"""
@@ -573,55 +658,26 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the step that turns pairwise near-dup hits into keep/drop decisions
     (keep the component min, drop the rest).
 
-    Iterative min-label propagation: each round, every node takes the
-    min of its own label and its neighbors' labels; converges in
-    O(graph diameter) rounds (near-dup clusters are near-cliques, so
-    2-3). Each round is one shuffle join + aggregate; `localCheckpoint`
-    truncates the growing lineage so round N's plan does not replay
-    rounds 1..N-1 — the standard Spark iterative-algorithm shape
-    (at larger scale the same loop with the large-star/small-star
-    transforms from the Google connected-components paper).
-    The oracle is DuckDB's recursive CTE computing reachability mins —
-    same fixpoint, declaratively."""
+    Uses the alternating large-star/small-star algorithm (see
+    :func:`alternating_components`) — O(log n) rounds, robust to long
+    chains and high-degree skew, unlike the O(diameter) min-label
+    propagation it replaces. The oracle is DuckDB's recursive CTE
+    computing reachability mins — same fixpoint, declaratively."""
     pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).toDF("src", "dst").localCheckpoint()
-
-    labels = (
+    stars, _ = alternating_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    membership = stars.select(
+        F.col("v").alias("doc_id"), F.col("u").alias("component")
+    )
+    return (
         table(spark, sf_dir, "documents")
         .select("doc_id")
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        .join(membership, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
     )
-
-    for _ in range(50):
-        neighbor_min = (
-            edges.join(labels, edges["src"] == labels["doc_id"])
-            .groupBy("dst")
-            .agg(F.min("label").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["dst"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-
-    return labels.select("doc_id", F.col("label").alias("component"))
 
 
 @register(

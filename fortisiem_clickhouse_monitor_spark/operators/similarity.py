@@ -519,17 +519,18 @@ def sim_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         keep = norms > 0
         return ids_np[keep], mat[keep] / norms[keep, None]
 
-    rows = e.collect()
-    b_ids, b_mat = normalize(
-        np.array([r["vec_id"] for r in rows], dtype="int64"),
-        np.array([r["embedding"] for r in rows], dtype="float64"),
-    )
-    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+    # Index side loaded executor-side from the columnar file and cached
+    # per worker (functions/vectors.load_unit_index) — replaces the
+    # round-1 driver collect()+broadcast, which funneled the full
+    # embeddings table through the driver.
+    index_path = f"{sf_dir}/embeddings.parquet"
 
     out_schema = "vec_id LONG, neighbor_id LONG, cos_sim DOUBLE"
 
     def knn_batches(batches):
-        rb_ids, rb_mat = bc.value
+        from ..functions.vectors import load_unit_index
+
+        rb_ids, rb_mat = load_unit_index(index_path, "vec_id", "embedding")
         for pdf in batches:
             if pdf.empty:
                 continue

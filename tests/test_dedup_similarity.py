@@ -115,3 +115,63 @@ def test_ann_bucket_contains_topk_overlap(spark):
         # the identical similarity value
         if r["vec_id"] in brute:
             assert r["cos_sim"] == brute[r["vec_id"]]
+
+
+def test_jaccard_gemm_tiling_matches_untiled(spark, monkeypatch):
+    """A planted jumbo block (larger than the GEMM tile) must produce
+    exactly the same pairs as the untiled kernel — tiling is a memory
+    bound, not a semantics change."""
+    import itertools
+
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+
+    # 30 docs in ONE (lang, len-bucket) block: 10 groups of 3 mutual
+    # near-dups (jaccard 1.0 within a group, low across groups).
+    words = [f"w{i}" for i in range(12)]
+    rows = []
+    doc_id = 0
+    for g in range(10):
+        text = " ".join(f"g{g}_{w}" for w in words)
+        for _ in range(3):
+            rows.append((doc_id, text, "en", "s", 50))
+            doc_id += 1
+    docs = spark.createDataFrame(
+        rows, schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(dd, "table", lambda s, d, n: docs)
+
+    def run():
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dd.dedup_ngram_jaccard_pairs(spark, "ignored").collect()
+        )
+
+    monkeypatch.setattr(dd, "_JACCARD_TILE", 7)  # forces 5 tiles over 30 rows
+    tiled = run()
+    monkeypatch.setattr(dd, "_JACCARD_TILE", 1024)
+    untiled = run()
+    assert tiled == untiled
+    expect = sorted(
+        (a, b, 1.0)
+        for g in range(10)
+        for a, b in itertools.combinations(range(3 * g, 3 * g + 3), 2)
+    )
+    assert tiled == expect
+
+
+def test_alternating_components_planted_chain(spark):
+    """A 20-node path graph: min-label propagation would need ~19
+    rounds; the large-star/small-star alternation must label the whole
+    chain with component 0 in O(log n) rounds."""
+    from fortisiem_clickhouse_monitor_spark.operators.dedup import (
+        alternating_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)] + [(100, 101)],
+        schema="src LONG, dst LONG",
+    )
+    stars, rounds = alternating_components(chain)
+    got = {(r["u"], r["v"]) for r in stars.collect()}
+    assert got == {(0, i) for i in range(1, 20)} | {(100, 101)}
+    assert rounds <= 7, f"expected O(log n) convergence, took {rounds} rounds"
