@@ -120,6 +120,43 @@ def run_daemon(
     return len(frames)
 
 
+#: Remediation tasks section of the menu. The reference's own tasks
+#: list is empty and its clearReplicationFailures is a stub
+#: (chStats.py:360-361), so this stays empty — the section renders only
+#: when populated, mirroring the reference's ``if tasks:`` guard.
+TASKS: dict[str, tuple[str, str]] = {}
+
+
+def interactive_menu(
+    spark, sf_dir: str, upload: bool, udp: bool, input_fn=input, print_fn=print
+) -> str | None:
+    """Numbered-menu mode (entry point C, chStats.py:715-730): shown
+    when no ``-m`` is given on a terminal. Invalid entries re-prompt;
+    a valid number runs that job once via one_shot. Returns the mode
+    that ran (None if the user EOF'd out)."""
+    names = list(MODES) + list(TASKS)
+    while True:
+        print_fn(f"\nPlease select an option [1-{len(names)}]\n")
+        print_fn("\n[Reporting Jobs]")
+        for idx, name in enumerate(MODES, 1):
+            print_fn(f"{idx}. {name}")
+        if TASKS:
+            print_fn("\n[Remediation Jobs]")
+            for idx, name in enumerate(TASKS, len(MODES) + 1):
+                print_fn(f"{idx}. {name}")
+        try:
+            selection = input_fn("\nEnter your choice: ")
+        except EOFError:
+            return None
+        if selection.isdigit() and 0 < int(selection) <= len(names):
+            mode = names[int(selection) - 1]
+            one_shot(spark, mode, sf_dir, upload, udp)
+            return mode
+        print_fn(
+            f'\nERROR: "{selection}" is not a valid entry, please try again.'
+        )
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="fortisiem_clickhouse_monitor_spark")
     p.add_argument("-m", "--mode", help="job to run once: " + ", ".join(MODES))
@@ -141,6 +178,8 @@ def main(argv: list[str] | None = None) -> None:
         print(f"daemon emitted {n} frames")
     elif args.mode:
         one_shot(spark, resolve_mode(args.mode), args.sf_dir, args.upload, args.udp)
+    elif sys.stdin.isatty():
+        interactive_menu(spark, args.sf_dir, args.upload, args.udp)
     else:
         p.print_help()
 

@@ -40,23 +40,37 @@ ALPHA_NUM = 0.7213 / (1 + 1.079 / M) * M * M * float(_TWO_52)
 _LC_CUTOFF = 2.5 * M
 
 
-def bucket_col(key: Column) -> Column:
-    """Register index of a key (hash60 % m). Non-negative hash, so pmod
-    and DuckDB's ``%`` agree."""
-    from .textfns import hash60
-
-    return F.pmod(hash60(key.cast("string")), F.lit(M)).alias("bucket")
+def bucket_of(h: Column) -> Column:
+    """Register index from a precomputed hash60 column (h % m).
+    Non-negative hash, so pmod and DuckDB's ``%`` agree."""
+    return F.pmod(h, F.lit(M)).alias("bucket")
 
 
-def rho_col(key: Column) -> Column:
-    """rho(key): trailing zeros of (hash60 >> 9), plus 1, capped at 52.
-    w == 0 gives bit_count(-1)+1 = 65, hence the cap."""
-    from .textfns import hash60
-
-    w = F.shiftright(hash60(key.cast("string")), 9)
+def rho_of(h: Column) -> Column:
+    """rho from a precomputed hash60 column: trailing zeros of (h >> 9),
+    plus 1, capped at 52. w == 0 gives bit_count(-1)+1 = 65, hence the
+    cap."""
+    w = F.shiftright(h, 9)
     return F.least(
         F.bit_count((w.bitwiseAND(-w)) - F.lit(1)) + F.lit(1), F.lit(52)
     ).alias("rho")
+
+
+def bucket_col(key: Column) -> Column:
+    """Register index of a key. Prefer materializing :func:`hash_col`
+    once and using :func:`bucket_of`/:func:`rho_of` — two separate
+    calls cost two md5s per row."""
+    return bucket_of(hash_col(key))
+
+
+def rho_col(key: Column) -> Column:
+    return rho_of(hash_col(key))
+
+
+def hash_col(key: Column) -> Column:
+    from .textfns import hash60
+
+    return hash60(key.cast("string"))
 
 
 def estimate_col(s_present: Column, n_present: Column) -> Column:

@@ -615,12 +615,12 @@ def sketch_monthly_users_from_daily(spark: SparkSession, sf_dir: str) -> DataFra
     datasketches version was stuck as a rows-only check);
     estimate-vs-exact tolerance is unit-tested in
     tests/test_sketches.py."""
-    ev = table(spark, sf_dir, "events")
-    daily = ev.groupBy(
+    ev = table(spark, sf_dir, "events").select(
         F.date_trunc("day", "ts").alias("day"),
-        hll.bucket_col(F.col("user_id")),
-    ).agg(
-        F.max(hll.rho_col(F.col("user_id"))).alias("m_rho"),
+        hll.hash_col(F.col("user_id")).alias("h"),
+    )
+    daily = ev.groupBy("day", hll.bucket_of(F.col("h"))).agg(
+        F.max(hll.rho_of(F.col("h"))).alias("m_rho"),
         F.count(F.lit(1)).alias("n_events"),
     )
     monthly = daily.groupBy(

@@ -500,10 +500,12 @@ def approx_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers). Uses the deterministic md5-based HLL from
     functions/hll.py so the estimate hash-matches the DuckDB oracle
     (engine-native sketches never can)."""
-    ev = table(spark, sf_dir, "events")
-    regs = ev.groupBy(
-        "event_type", hll.bucket_col(F.col("user_id"))
-    ).agg(F.max(hll.rho_col(F.col("user_id"))).alias("m_rho"))
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", hll.hash_col(F.col("user_id")).alias("h")
+    )
+    regs = ev.groupBy("event_type", hll.bucket_of(F.col("h"))).agg(
+        F.max(hll.rho_of(F.col("h"))).alias("m_rho")
+    )
     est = regs.groupBy("event_type").agg(
         F.sum(F.expr(hll.REG_TERM_EXPR)).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),

@@ -44,3 +44,29 @@ def test_daemon_emits_all_modes(spark):
     types = {f.split("=", 1)[0] for f in collected}
     expected = {f"PH_SYSTEM_{t}" for _, t in cli.MODES.values()}
     assert types == expected
+
+
+def test_interactive_menu_runs_selected_job(spark, capsys):
+    """Entry point C: invalid entry re-prompts, then a valid number runs
+    that job once (mirrors chStats.py:715-730)."""
+    from fortisiem_clickhouse_monitor_spark.__main__ import MODES, interactive_menu
+
+    feeds = iter(["99", "zzz", "3"])
+    ran = interactive_menu(
+        spark, SF_SMALL, upload=False, udp=False, input_fn=lambda _: next(feeds)
+    )
+    assert ran == list(MODES)[2]
+    out = capsys.readouterr().out
+    assert "[Reporting Jobs]" in out
+    assert 'ERROR: "99"' in out and 'ERROR: "zzz"' in out
+
+
+def test_interactive_menu_eof_exits_cleanly(spark):
+    from fortisiem_clickhouse_monitor_spark.__main__ import interactive_menu
+
+    def raise_eof(_):
+        raise EOFError
+
+    assert (
+        interactive_menu(spark, SF_SMALL, False, False, input_fn=raise_eof) is None
+    )

@@ -20,9 +20,12 @@ def events_dir(spark, tmp_path_factory):
     """File-stream source directory: the events table re-written as
     normal (micros) parquet files — the file source needs a directory,
     and the driver fixture is a single nanos-timestamped file."""
+    import os
+    import time as _time
+
     out = str(tmp_path_factory.mktemp("events_stream"))
-    # Range-partitioned by ts so files arrive in event-time order (the
-    # realistic stream); with shuffled arrival the watermark would
+    # Range-partitioned by ts so files CAN arrive in event-time order
+    # (the realistic stream); with shuffled arrival the watermark would
     # rightly drop late rows and the batch comparison would not hold.
     (
         table(spark, SF_SMALL, "events")
@@ -31,6 +34,19 @@ def events_dir(spark, tmp_path_factory):
         .write.mode("overwrite")
         .parquet(out)
     )
+    # The file source orders arrivals by modification time, and the
+    # parallel write finishes parts in arbitrary order — which
+    # intermittently delivered the LATEST range first, ratcheting the
+    # watermark past everything else (observed: batches 2-3 dropping
+    # ~100 rows each as late, empty join results). Stamp ascending
+    # mtimes in range order (part index == ts range) to make arrival
+    # order deterministic.
+    parts = sorted(
+        f for f in os.listdir(out) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base = _time.time() - len(parts) * 10
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(out, f), (base + i * 10, base + i * 10))
     return out
 
 
@@ -42,7 +58,13 @@ def _run_stream_to_memory(spark, stream_df, name, mode="append"):
         .trigger(availableNow=True)
         .start()
     )
+    # processAllAvailable is a deterministic barrier: it blocks until
+    # every available input is processed, regardless of machine load —
+    # a bare awaitTermination(timeout) returned early under full-suite
+    # load and compared a PARTIAL result (flaky).
+    q.processAllAvailable()
     q.awaitTermination(120)
+    assert not q.isActive
     return spark.sql(f"SELECT * FROM {name}")
 
 
