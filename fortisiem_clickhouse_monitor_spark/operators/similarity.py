@@ -310,13 +310,11 @@ _KMEANS_K = 5
 _KMEANS_ITERS = 3
 
 
-def _kmeans_oracle(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
-    """DuckDB twin of sim_kmeans_clusters: the same Lloyd's rounds
-    unrolled as a CTE chain. Distances fold left-to-right over the 64
-    dims exactly like Spark's F.aggregate (list_reduce without an init
-    starts at element 1, and 0.0 + t1 == t1), and each centroid update
-    rounds to 6 decimals in both engines, which absorbs the
-    engine-specific float-summation order of avg()."""
+def _kmeans_cte_parts(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS):
+    """Shared CTE chain for the kmeans oracle and everything built on
+    top of its assignment (e.g. SemDeDup). Returns (with_parts, dist)
+    where the last part is ``c{iters}`` (final centroids) and ``dist``
+    is the distance expression used for assignments."""
     dist = (
         "list_reduce(list_transform(range(1, 65), "
         "j -> (e.v[j] - c.c[j]) * (e.v[j] - c.c[j])), (a, b) -> a + b)"
@@ -351,6 +349,17 @@ def _kmeans_oracle(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
             f"c{r} AS (SELECT o.cluster, coalesce(n.c, o.c) AS c "
             f"FROM c{r - 1} o LEFT JOIN n{r} n USING (cluster))"
         )
+    return parts, dist
+
+
+def _kmeans_oracle(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """DuckDB twin of sim_kmeans_clusters: the same Lloyd's rounds
+    unrolled as a CTE chain. Distances fold left-to-right over the 64
+    dims exactly like Spark's F.aggregate (list_reduce without an init
+    starts at element 1, and 0.0 + t1 == t1), and each centroid update
+    rounds to 6 decimals in both engines, which absorbs the
+    engine-specific float-summation order of avg()."""
+    parts, dist = _kmeans_cte_parts(k, iters)
     final = f"""
     SELECT vec_id, cluster FROM (
       SELECT e.vec_id, c.cluster,
@@ -428,6 +437,86 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     return e.select("vec_id", assign_expr(centroids))
+
+
+def _semdedup_oracle(threshold: float = 0.95) -> str:
+    parts, dist = _kmeans_cte_parts()
+    assign = f"""af AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dist}, c.cluster) AS rn
+        FROM e CROSS JOIN c{_KMEANS_ITERS} c
+      ) WHERE rn = 1
+    )"""
+    return (
+        ",\n    ".join(parts + [assign])
+        + f""",
+    m AS (SELECT a.vec_id, a.cluster, e.v FROM af a JOIN e USING (vec_id)),
+    nb AS (
+      SELECT x.vec_id, x.cluster, y.vec_id AS nid
+      FROM m x JOIN m y ON x.cluster = y.cluster
+      WHERE x.vec_id = y.vec_id
+         OR round(list_cosine_similarity(x.v, y.v), 4) >= {threshold}
+    )
+    SELECT vec_id, cluster, min(nid) AS keeper_vec_id,
+           (min(nid) = vec_id) AS is_kept
+    FROM nb GROUP BY vec_id, cluster
+    """
+    )
+
+
+@register("dedup_semantic_semdedup", oracle=_semdedup_oracle(), tags=("DD", "ANN"))
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clusters the embedding
+    space, then semantic duplicates are detected ONLY within each
+    cluster (cosine >= 0.95); every vector reports the minimum vec_id
+    of its in-cluster near-dup neighborhood as keeper, and is kept iff
+    it IS that minimum — the cluster-based curation step that makes
+    semantic dedup tractable when all-pairs cosine is not.
+
+    Scale shape: the cluster assignment is the sim_kmeans_clusters
+    plan; pair scoring is the same per-block GEMM kernel as
+    dedup_ngram_jaccard_pairs, with the k-means cluster as the block —
+    one shuffle on cluster id, row-chunked matmul bounds memory, and
+    the quadratic cost is confined to within-cluster comparisons
+    (n^2/k per cluster under balanced clusters vs n^2 all-pairs)."""
+    import numpy as np
+    import pandas as pd
+
+    assign = sim_kmeans_clusters(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = assign.join(e, "vec_id")
+
+    out_schema = "vec_id LONG, cluster LONG, keeper_vec_id LONG, is_kept BOOLEAN"
+    tile = 1024
+
+    def cluster_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        cl = pdf["cluster"].to_numpy()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(mat, axis=1)
+        safe = np.where(norms == 0, 1.0, norms)
+        unit = mat / safe[:, None]
+        unit[norms == 0] = 0.0
+        keeper = np.empty(len(ids), dtype="int64")
+        for lo in range(0, len(ids), tile):
+            hi = min(lo + tile, len(ids))
+            sims = np.round(unit[lo:hi] @ unit.T, 4)
+            nb = sims >= 0.95
+            nb[np.arange(lo, hi) - lo, np.arange(lo, hi)] = True  # self
+            for i in range(hi - lo):
+                keeper[lo + i] = ids[nb[i]].min()
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": cl,
+                "keeper_vec_id": keeper,
+                "is_kept": keeper == ids,
+            }
+        )
+
+    return src.groupBy("cluster").applyInPandas(cluster_dedup, out_schema)
 
 
 @register(
