@@ -623,22 +623,20 @@ def sketch_monthly_users_from_daily(spark: SparkSession, sf_dir: str) -> DataFra
         F.max(hll.rho_of(F.col("h"))).alias("m_rho"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    # n_events rides THROUGH the register rollup (sum per bucket, then
+    # sum of bucket sums) — one scan, three key-narrowing exchanges, no
+    # second events branch + rejoin.
     monthly = daily.groupBy(
         F.date_trunc("month", "day").alias("month"), "bucket"
-    ).agg(F.max("m_rho").alias("m_rho"))
-    est = monthly.groupBy("month").agg(
-        F.sum(F.expr(hll.REG_TERM_EXPR)).alias("s_present"),
-        F.count(F.lit(1)).alias("n_present"),
-    )
-    evm = daily.groupBy(F.date_trunc("month", "day").alias("month")).agg(
-        F.sum("n_events").alias("n_events")
-    )
-    return est.join(evm, "month").select(
-        "month",
-        F.round(hll.estimate_col(F.col("s_present"), F.col("n_present")), 4).alias(
-            "est_users"
-        ),
-        "n_events",
+    ).agg(F.max("m_rho").alias("m_rho"), F.sum("n_events").alias("n_events_b"))
+    return monthly.groupBy("month").agg(
+        F.round(
+            hll.estimate_col(
+                F.sum(F.expr(hll.REG_TERM_EXPR)), F.count(F.lit(1))
+            ),
+            4,
+        ).alias("est_users"),
+        F.sum("n_events_b").alias("n_events"),
     )
 
 

@@ -367,3 +367,61 @@ def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
     )
+
+
+_BIN_BUDGET = 256
+
+
+@register(
+    "pack_greedy_bins",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, len({_DUCK_TOKENS}) AS n_tokens FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tokens_before
+      FROM sized
+    )
+    SELECT doc_id, lang, n_tokens,
+           tokens_before // {_BIN_BUDGET} AS bin_id,
+           tokens_before % {_BIN_BUDGET} AS bin_offset
+    FROM cum
+    """,
+    tags=("TXT", "packing"),
+)
+def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document greedy sequence packing: concatenate documents in
+    doc_id order into fixed {budget}-token training bins (documents may
+    straddle a boundary — the downstream chunker splits them), reporting
+    each document's bin and offset. The streaming-concatenation
+    counterpart to pack_token_sequences' per-document windows — the op
+    that turns a curated corpus into dense fixed-length samples.
+
+    Scale shape: ONE running-sum window partitioned by lang — packing
+    is inherently sequential per stream, so the parallel unit is the
+    language (at 100 TB: partition by (lang, shard) where shard =
+    doc_id bucket, giving as many independent pack streams as wanted;
+    bins are then (shard, bin_id) pairs — same plan, finer key)."""
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", F.size(textfns.tokens("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = sized.withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return cum.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(F.col("tokens_before") / _BIN_BUDGET).alias("bin_id"),
+        F.pmod("tokens_before", F.lit(_BIN_BUDGET)).alias("bin_offset"),
+    )

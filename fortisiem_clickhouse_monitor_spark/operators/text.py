@@ -345,3 +345,52 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("norm_text"),
         (F.length("text") - F.length(norm)).alias("n_chars_removed"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS term FROM documents
+    ),
+    tc AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM tc)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln((tc.c + 1.0) / (tot.total + tot.vocab))), 4)
+             AS avg_logprob
+    FROM toks t JOIN tc USING (term) CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+    tags=("TXT", "quality"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score — the classic perplexity
+    proxy for pretraining-data filtering (docs whose average token
+    log-probability under the corpus's own add-one-smoothed unigram LM
+    is an outlier are boilerplate or gibberish).
+
+    Scale shape: ONE explode pass feeds both the LM (groupBy term —
+    map-side partials collapse each partition to its vocabulary) and
+    the scoring join; term probabilities are a |vocab|-row broadcast,
+    the 1-row corpus totals ride along in it, so the only
+    corpus-sized exchanges are the term count and the final
+    doc-keyed average."""
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select("doc_id", F.explode(textfns.tokens("text")).alias("term"))
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tc.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    probs = tc.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.log((F.col("c") + 1.0) / (F.col("total") + F.col("vocab"))).alias("lp"),
+    )
+    return (
+        toks.join(F.broadcast(probs), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )

@@ -739,7 +739,10 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     into per-order flag counts (distinct suppliers / distinct late
     suppliers) computed in ONE pass over the fact — the classic
     decorrelation; the reference-style correlated form would rescan
-    lineitem twice per row."""
+    lineitem twice per row.  The counts are WINDOW aggregates over
+    l_orderkey (size of collect_set), not a groupBy + self-join: one
+    exchange, one evaluation of the flagged subtree, no SortMergeJoin
+    (the groupBy formulation cost a second scan + SMJ at sf0.1)."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     flagged = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
@@ -747,15 +750,22 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 75 DAY")).alias("late"),
     )
-    per_order = flagged.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    w = Window.partitionBy("l_orderkey")
+    counted = flagged.select(
+        "l_orderkey",
+        "l_suppkey",
+        "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        # collect_set skips NULLs, so non-late rows don't contribute
+        F.size(
+            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
+        ).alias("n_late"),
     )
     s = table(spark, sf_dir, "supplier")
     return (
-        flagged.filter(F.col("late"))
-        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        counted.filter(
+            F.col("late") & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
