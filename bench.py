@@ -68,6 +68,19 @@ HEADLINE = [
     "sketch_heavy_hitter_tokens",
     "text_redact_pii",
     "outlier_events_zscore",
+    # round 2 additions
+    "dedup_simhash_pairs",
+    "dedup_connected_components",
+    "dedup_semantic_semdedup",
+    "sim_kmeans_clusters",
+    "sim_knn_join_topk",
+    "approx_count_distinct_users",
+    "sketch_monthly_users_from_daily",
+    "mm_feature_extract",
+    "text_unigram_logprob",
+    "pack_greedy_bins",
+    "cdc_scd2_user_state",
+    "join_bloom_semi_prune",
 ]
 
 

@@ -270,3 +270,41 @@ def outlier_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 3.0)
         .select("event_id", "event_type", "value", F.round(z, 3).alias("z"))
     )
+
+
+@register(
+    "cdc_scd2_user_state",
+    oracle="""
+    SELECT user_id,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           CAST(lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS TIMESTAMP) AS valid_to,
+           event_type AS state,
+           round(value, 2) AS state_value,
+           (lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM events
+    """,
+    tags=("B-ext", "CDC"),
+)
+def cdc_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 reconstruction from a change log: each event opens a state
+    version valid until the user's next event — the standard
+    slowly-changing-dimension type-2 build that turns an append-only
+    CDC stream into point-in-time queryable history (the batch twin of
+    the streaming upsert sink in streaming/jobs.py).
+
+    One window per user keyed on (ts, event_id): a single exchange on
+    user_id; at 100 TB this is the same shape per day-partition with
+    the previous day's open versions carried forward."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.col("event_type").alias("state"),
+        F.round("value", 2).alias("state_value"),
+        valid_to.isNull().alias("is_current"),
+    )

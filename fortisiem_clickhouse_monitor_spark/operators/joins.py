@@ -421,3 +421,95 @@ def join_range_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("error_id", "follow_id", "follow_type")
     )
+
+
+_BLOOM_M = 8192  # bits
+_BLOOM_STARTS = (1, 9, 17)  # md5 hex-slice offsets -> 3 independent hashes
+_BLOOM_CUTOFF = 400_000.0
+
+
+def _bloom_positions_spark(key):
+    return [
+        F.pmod(
+            F.conv(F.substring(F.md5(key.cast("string")), s, 15), 16, 10).cast(
+                "long"
+            ),
+            F.lit(_BLOOM_M),
+        )
+        for s in _BLOOM_STARTS
+    ]
+
+
+def _bloom_positions_duck(key_expr: str) -> str:
+    return (
+        "["
+        + ", ".join(
+            f"(('0x' || substr(md5({key_expr}), {s}, 15))::BIGINT) % {_BLOOM_M}"
+            for s in _BLOOM_STARTS
+        )
+        + "]"
+    )
+
+
+@register(
+    "join_bloom_semi_prune",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT o_custkey AS k FROM orders
+      WHERE o_totalprice > {_BLOOM_CUTOFF}
+    ),
+    pos AS (
+      SELECT DISTINCT u.p
+      FROM build, unnest({_bloom_positions_duck("k::VARCHAR")}) AS u(p)
+    ),
+    occ AS (SELECT list(p ORDER BY p) AS ps FROM pos)
+    SELECT c_custkey,
+           len(list_filter({_bloom_positions_duck("c_custkey::VARCHAR")},
+                           x -> list_contains(occ.ps, x))) = 3 AS in_bloom,
+           c_custkey IN (SELECT k FROM build) AS is_match
+    FROM customer, occ
+    """,
+    tags=("J-ext", "BLOOM"),
+)
+def join_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning — THE runtime-filter pattern for
+    100 TB joins: the build side (customers holding a >400k order)
+    compresses to an 8192-bit filter (3 md5-slice hashes per key) that
+    broadcasts to the probe side and rejects most non-matching rows
+    before the exact join ever shuffles them. The query outputs each
+    probe key's bloom verdict NEXT TO ground truth, so the oracle
+    bit-checks the filter itself (including its false positives —
+    in_bloom & NOT is_match rows are the FP rate the m/k choice
+    implies, ~(1-e^(-3n/m))^3).
+
+    Plan shape: the occupied-bit set aggregates to ONE array row
+    (bounded by m) and broadcasts; probe evaluation is a map-only
+    forall over 3 positions — no shuffle touches the probe table."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    build = (
+        o.filter(F.col("o_totalprice") > _BLOOM_CUTOFF)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    pos = build.select(
+        F.explode(F.array(*_bloom_positions_spark(F.col("k")))).alias("p")
+    ).distinct()
+    occ = pos.agg(F.array_sort(F.collect_list("p")).alias("ps"))
+    probe = c.select(
+        "c_custkey",
+        F.array(*_bloom_positions_spark(F.col("c_custkey"))).alias("pp"),
+    )
+    return (
+        probe.crossJoin(F.broadcast(occ))
+        .join(
+            F.broadcast(build.withColumn("matched", F.lit(True))),
+            probe["c_custkey"] == F.col("k"),
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.expr("forall(pp, x -> array_contains(ps, x))").alias("in_bloom"),
+            F.coalesce("matched", F.lit(False)).alias("is_match"),
+        )
+    )
