@@ -81,6 +81,7 @@ HEADLINE = [
     "pack_greedy_bins",
     "cdc_scd2_user_state",
     "join_bloom_semi_prune",
+    "sketch_countmin_token_freq",
 ]
 
 

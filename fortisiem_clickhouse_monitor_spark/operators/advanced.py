@@ -775,3 +775,111 @@ def quality_median_filter_per_lang(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("stop_ratio") > F.col("med"))
         .select("doc_id", "lang", F.round("stop_ratio", 6).alias("stop_ratio"))
     )
+
+
+_CM_W = 1024  # counters per row
+_CM_STARTS = (1, 9, 17)  # md5 hex-slice offsets -> 3 independent rows
+
+
+def _cm_bucket_duck(term_expr: str, start: int) -> str:
+    return f"(('0x' || substr(md5({term_expr}), {start}, 15))::BIGINT) % {_CM_W}"
+
+
+@register(
+    "sketch_countmin_token_freq",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    counters AS (
+      SELECT u.i, CASE u.i
+               WHEN 0 THEN {_cm_bucket_duck("term", 1)}
+               WHEN 1 THEN {_cm_bucket_duck("term", 9)}
+               ELSE {_cm_bucket_duck("term", 17)} END AS bucket,
+             count(*) AS c
+      FROM toks, unnest([0, 1, 2]) AS u(i)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT term, count(*) AS n
+      FROM toks GROUP BY term ORDER BY n DESC, term LIMIT 25
+    )
+    SELECT e.term, e.n AS exact_n,
+           least(c0.c, c1.c, c2.c) AS cm_est,
+           least(c0.c, c1.c, c2.c) - e.n AS overcount
+    FROM exact e
+    JOIN counters c0 ON c0.i = 0 AND c0.bucket = {_cm_bucket_duck("e.term", 1)}
+    JOIN counters c1 ON c1.i = 1 AND c1.bucket = {_cm_bucket_duck("e.term", 9)}
+    JOIN counters c2 ON c2.i = 2 AND c2.bucket = {_cm_bucket_duck("e.term", 17)}
+    """,
+    tags=("A-ext", "SKETCH", "TXT"),
+)
+def sketch_countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (3 x 1024 counters, md5-slice hashes) of token
+    frequencies, validated against exact counts for the top-25 tokens —
+    the mergeable point-query sketch that answers "how often did term t
+    occur" in fixed memory at 100 TB (counters sum across partitions
+    and time windows; overcount >= 0 is the CM guarantee, bounded by
+    2N/w per row).
+
+    The counter build is one vocabulary-domain aggregate (3 rows per
+    distinct token AFTER map-side partial aggregation, NOT 3x the token
+    stream); lookups broadcast the 3072-row counter table. The oracle
+    recomputes the identical sketch in DuckDB — deterministic hashes
+    make even the approximation error hash-checkable."""
+    from ..functions import textfns
+    from ..sources.tables import spread
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select(F.explode(textfns.tokens("text")).alias("term"))
+
+    def bucket(col, start):
+        return F.pmod(
+            F.conv(F.substring(F.md5(col), start, 15), 16, 10).cast("long"),
+            F.lit(_CM_W),
+        )
+
+    counters = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            bucket(F.col("term"), s).alias("bucket"),
+                        )
+                        for i, s in enumerate(_CM_STARTS)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy("rb.i", "rb.bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(25)
+    )
+    e = exact.select(
+        "term",
+        F.col("n").alias("exact_n"),
+        *[
+            bucket(F.col("term"), s).alias(f"b{i}")
+            for i, s in enumerate(_CM_STARTS)
+        ],
+    )
+    for i in range(3):
+        ci = counters.filter(F.col("i") == i).select(
+            F.col("bucket").alias(f"b{i}"), F.col("c").alias(f"c{i}")
+        )
+        e = e.join(F.broadcast(ci), f"b{i}")
+    est = F.least("c0", "c1", "c2")
+    return e.select(
+        "term",
+        "exact_n",
+        est.alias("cm_est"),
+        (est - F.col("exact_n")).alias("overcount"),
+    )
