@@ -175,3 +175,43 @@ def test_alternating_components_planted_chain(spark):
     got = {(r["u"], r["v"]) for r in stars.collect()}
     assert got == {(0, i) for i in range(1, 20)} | {(100, 101)}
     assert rounds <= 7, f"expected O(log n) convergence, took {rounds} rounds"
+
+
+def test_alternating_components_random_graphs_match_union_find(spark):
+    """Property: on random graphs, the star-contraction labels equal a
+    union-find ground truth (component = min node id)."""
+    import random
+
+    from fortisiem_clickhouse_monitor_spark.operators.dedup import (
+        alternating_components,
+    )
+
+    rng = random.Random(20260813)
+    for trial in range(6):
+        n = rng.randint(2, 28)
+        n_edges = rng.randint(0, 2 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)
+        ] or [(0, 0)]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        truth = {v: find(v) for v in range(n)}
+
+        df = spark.createDataFrame(edges, schema="src LONG, dst LONG")
+        stars, rounds = alternating_components(df)
+        got = {v: v for v in range(n)}
+        for r in stars.collect():
+            got[r["v"]] = r["u"]
+        assert got == truth, f"trial {trial}: {edges}"
+        assert rounds <= 12
