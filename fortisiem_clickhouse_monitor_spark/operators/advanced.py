@@ -883,3 +883,59 @@ def sketch_countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("cm_est"),
         (est - F.col("exact_n")).alias("overcount"),
     )
+
+
+@register(
+    "rollup_incremental_maintenance",
+    oracle="""
+    SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+             AS month,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("A-ext", "INCR"),
+)
+def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance: monthly totals produced by
+    MERGING a pre-aggregated daily history (events before the cutover)
+    with freshly-aggregated raw events (after it) — the pattern that
+    lets a 100 TB warehouse update yesterday's rollup without
+    rescanning history: additive metrics (count, sum) aggregate on
+    partials exactly, so the merged result is bit-equal to a full
+    recompute, which is precisely what the oracle checks.
+
+    Both branches are one scan each over DISJOINT partition-prunable
+    time ranges; the merge is a unionByName + one month-keyed
+    aggregate."""
+    cut = "2024-01-15"  # mid-range: events span 2024-01-01..2024-01-30
+    ev = table(spark, sf_dir, "events")
+    # history branch: the daily pre-agg a real pipeline would persist
+    daily_hist = (
+        ev.filter(F.col("ts") < cut)
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv"))
+        .select(
+            F.date_trunc("month", "day").alias("month"),
+            "event_type",
+            "pn",
+            "pv",
+        )
+    )
+    # fresh branch: raw events since the cutover, aggregated to the
+    # same partial shape
+    fresh = (
+        ev.filter(F.col("ts") >= cut)
+        .groupBy(F.date_trunc("month", "ts").alias("month"), "event_type")
+        .agg(F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv"))
+    )
+    return (
+        daily_hist.unionByName(fresh)
+        .groupBy("month", "event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("pv"), 2).alias("total_value"),
+        )
+    )
