@@ -82,6 +82,7 @@ HEADLINE = [
     "cdc_scd2_user_state",
     "join_bloom_semi_prune",
     "sketch_countmin_token_freq",
+    "rollup_incremental_maintenance",
 ]
 
 
