@@ -939,3 +939,82 @@ def rollup_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum("pv"), 2).alias("total_value"),
         )
     )
+
+
+_HQ_BUCKETS = 100
+_HQ_LO, _HQ_HI = 800.0, 600000.0  # o_totalprice range guard
+
+
+@register(
+    "sketch_histogram_quantiles",
+    oracle=f"""
+    WITH b AS (
+      SELECT least(greatest(CAST(floor((o_totalprice - {_HQ_LO})
+                     / (({_HQ_HI} - {_HQ_LO}) / {_HQ_BUCKETS})) AS INTEGER),
+                   0), {_HQ_BUCKETS - 1}) AS bucket,
+             count(*) AS c
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, c,
+             sum(c) OVER (ORDER BY bucket) AS cum_c,
+             sum(c) OVER () AS total
+      FROM b
+    ),
+    q AS (
+      SELECT u.p, min(bucket) AS qb
+      FROM cum, unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS u(p)
+      WHERE cum_c >= CAST(ceil(u.p * total) AS BIGINT)
+      GROUP BY u.p
+    )
+    SELECT p,
+           round({_HQ_LO} + (qb + 1) * (({_HQ_HI} - {_HQ_LO}) / {_HQ_BUCKETS}),
+                 4) AS est_upper_bound
+    FROM q
+    """,
+    tags=("A-ext", "SKETCH"),
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch: fixed-boundary bucket counts
+    (100 buckets over the price range) are summed across partitions /
+    days / shards like any additive metric, and quantiles come from the
+    cumulative histogram — each p reports the upper bound of the first
+    bucket whose cumulative count reaches ceil(p*N). The
+    fixed-boundary variant (vs t-digest / KLL) trades adaptivity for
+    DETERMINISM: integer counts and literal boundaries make the sketch
+    bit-identical under any merge order, which is also what lets the
+    oracle verify it exactly.
+
+    One scan → 100-row histogram; everything after runs on the bucket
+    domain."""
+    width = (_HQ_HI - _HQ_LO) / _HQ_BUCKETS
+    o = table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("o_totalprice") - _HQ_LO) / width).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(_HQ_BUCKETS - 1),
+    )
+    hist = o.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        F.sum("c").over(wcum).alias("cum_c"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    ps = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("p")
+    )
+    qb = (
+        cum.crossJoin(F.broadcast(ps))
+        .filter(F.col("cum_c") >= F.ceil(F.col("p") * F.col("total")).cast("long"))
+        .groupBy("p")
+        .agg(F.min("bucket").alias("qb"))
+    )
+    return qb.select(
+        "p",
+        F.round(F.lit(_HQ_LO) + (F.col("qb") + 1) * width, 4).alias(
+            "est_upper_bound"
+        ),
+    )

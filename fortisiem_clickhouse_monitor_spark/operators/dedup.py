@@ -730,3 +730,35 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("component", F.col("doc_id").alias("kept_doc_id"), "n_members")
     )
+
+
+@register(
+    "dedup_graph_triangles",
+    oracle=f"""
+    {_CC_PAIRS_SQL}
+    SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+    FROM pairs e1
+    JOIN pairs e2 ON e2.doc_a = e1.doc_b
+    JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    """,
+    tags=("DD", "GRAPH"),
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the Jaccard>=0.8 near-dup graph — the
+    cohesion signal that separates true duplicate clusters (near-
+    cliques, triangle-dense) from chains of borderline pairs (triangle-
+    free), which is how a dedup pipeline decides whether to collapse a
+    component aggressively or review it.
+
+    The classic two-join enumeration on ordered edges (a<b<c, which the
+    jaccard pairs already guarantee): edges joined on the shared middle
+    vertex, then verified by probing the closing edge. Each triangle is
+    produced exactly once. At 100 TB the first join shuffles on the
+    edge endpoint (high cardinality, AQE-splittable) and the closing
+    probe is an equi-join on the (a, c) pair — no cross products
+    anywhere."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    return e1.join(e2, "b").join(e3, ["a", "c"]).select("a", "b", "c")
