@@ -83,6 +83,8 @@ HEADLINE = [
     "join_bloom_semi_prune",
     "sketch_countmin_token_freq",
     "rollup_incremental_maintenance",
+    "sketch_histogram_quantiles",
+    "dedup_graph_triangles",
 ]
 
 
