@@ -593,7 +593,7 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ev AS (
       SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
-             sum(n_events) AS n_events
+             CAST(sum(n_events) AS BIGINT) AS n_events
       FROM regs GROUP BY 1
     )
     SELECT e.month,

@@ -208,7 +208,7 @@ def path_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(gap_us) AS n_gaps,
            min(gap_us) AS min_gap_us,
            max(gap_us) AS max_gap_us,
-           floor(avg(gap_us)) AS avg_gap_us_floor
+           CAST(floor(avg(gap_us)) AS BIGINT) AS avg_gap_us_floor
     FROM gaps WHERE gap_us IS NOT NULL
     GROUP BY user_id
     """,

@@ -380,10 +380,10 @@ _BIN_BUDGET = 256
     ),
     cum AS (
       SELECT doc_id, lang, n_tokens,
-             coalesce(sum(n_tokens) OVER (
+             CAST(coalesce(sum(n_tokens) OVER (
                PARTITION BY lang ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS tokens_before
+               AS BIGINT) AS tokens_before
       FROM sized
     )
     SELECT doc_id, lang, n_tokens,

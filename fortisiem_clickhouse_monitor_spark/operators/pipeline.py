@@ -44,8 +44,9 @@ _BPE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
     ),
     budgeted AS (
       SELECT doc_id, lang, n_pieces,
-             sum(n_pieces) OVER (ORDER BY doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_pieces
+             CAST(sum(n_pieces) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cum_pieces
       FROM gated
     )
     SELECT doc_id, lang, n_pieces, cum_pieces

@@ -8,6 +8,7 @@ column names, and an order-insensitive canonical value hash.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import hashlib
 import math
 
@@ -17,7 +18,12 @@ from .sources.tables import TABLES
 
 
 def canon(v) -> str:
-    """Canonical string for one value (engine-independent)."""
+    """Canonical string for one value (engine-independent but
+    TYPE-STRICT: an int and an integral float canonicalize differently,
+    so an oracle column whose type diverges from Spark's fails locally
+    the same way it fails the driver's hasher — round 2 shipped three
+    red rows because the old %.12g form conflated 45640155676 with
+    45640155676.0)."""
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -26,8 +32,16 @@ def canon(v) -> str:
         if math.isnan(v):
             return "NaN"
         # 12 significant digits: tolerant of summation-order ulp noise,
-        # strict enough to catch real value bugs.
-        return f"{v:.12g}"
+        # strict enough to catch real value bugs.  Integral floats keep
+        # a trailing ".0" so they can never equal a true int.
+        s = f"{v:.12g}"
+        if not any(c in s for c in ".eni"):  # no '.', exponent, nan/inf
+            s += ".0"
+        return s
+    if isinstance(v, _decimal.Decimal):
+        # DuckDB HUGEINT / DECIMAL surface as Decimal on the Arrow
+        # path.  Distinct marker: only matches a Spark DecimalType.
+        return "dec:" + format(v.normalize(), "f")
     if isinstance(v, _dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, _dt.date):
@@ -62,13 +76,117 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+# --- engine type classes -----------------------------------------------
+#
+# The driver's comparator is type-strict: DuckDB HUGEINT (grouped /
+# windowed sum(BIGINT)) and DOUBLE (floor(avg(...))) hash differently
+# from Spark BIGINT even when every value is identical.  This audit is
+# free (no query execution — Spark schemas are lazy, DuckDB DESCRIBE
+# only plans) and catches the whole class before the driver does.
+
+_SPARK_INT = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def _spark_class(dt: str) -> str:
+    d = dt.lower()
+    if d in _SPARK_INT:
+        return "int"
+    if d in ("float", "double"):
+        return "float"
+    if d.startswith("decimal"):
+        return "decimal"
+    if d in ("string", "varchar"):
+        return "str"
+    if d == "boolean":
+        return "bool"
+    if d == "date":
+        return "date"
+    if d.startswith("timestamp"):
+        return "timestamp"
+    if d == "binary":
+        return "binary"
+    if d.startswith("array"):
+        return "array"
+    if d.startswith(("map", "struct")):
+        return "nested"
+    return d
+
+
+def _duck_class(dt: str) -> str:
+    u = dt.upper()
+    if u in _DUCK_INT:
+        return "int"
+    if u == "HUGEINT":
+        # Arrow materializes HUGEINT as decimal128/float64 depending on
+        # the client version — either way it can never hash-match a
+        # Spark BIGINT, so it matches NO Spark class: always cast.
+        return "hugeint"
+    if u in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    if u.startswith("DECIMAL"):
+        return "decimal"
+    if u in ("VARCHAR", "TEXT", "JSON"):
+        # DuckDB's JSON logical type rides Arrow as a plain utf8
+        # column — value-identical to a Spark to_json() string.
+        return "str"
+    if u == "BOOLEAN":
+        return "bool"
+    if u == "DATE":
+        return "date"
+    if u.startswith("TIMESTAMP"):
+        return "timestamp"
+    if u == "BLOB":
+        return "binary"
+    if u.endswith("[]") or u.startswith("LIST"):
+        return "array"
+    if u.startswith(("STRUCT", "MAP")):
+        return "nested"
+    return u
+
+
+def type_parity(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """Compare Spark result dtypes vs DuckDB DESCRIBE of the oracle.
+
+    Returns mismatch descriptions; empty == the two engines agree on
+    every column's comparison class.  Executes nothing.
+    """
+    sdt = dict(spark_df.dtypes)
+    ddt = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    problems: list[str] = []
+    if sorted(sdt) != sorted(ddt):
+        return [f"schema spark={sorted(sdt)} duck={sorted(ddt)}"]
+    for name in sorted(sdt):
+        sc, dc = _spark_class(sdt[name]), _duck_class(ddt[name])
+        if sc != dc:
+            problems.append(
+                f"type mismatch {name}: spark {sdt[name]} ({sc}) "
+                f"vs duck {ddt[name]} ({dc})"
+            )
+    return problems
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty == parity)."""
+    """Return a list of mismatch descriptions (empty == parity).
+
+    DuckDB results are fetched through Arrow — the same materialization
+    path the driver's hasher uses — so HUGEINT/DOUBLE type divergence
+    fails here exactly as it fails there (fetchall() would silently
+    convert HUGEINT back to int and mask it).
+    """
     scols = spark_df.columns
     srows = [tuple(r) for r in spark_df.collect()]
     res = con.execute(sql)
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
+    tbl = res.fetch_arrow_table()
+    ocols = list(tbl.column_names)
+    orows = list(
+        zip(*[tbl.column(i).to_pylist() for i in range(tbl.num_columns)])
+    ) if tbl.num_columns else []
+    if tbl.num_rows and not orows:
+        orows = [()] * tbl.num_rows
 
     problems: list[str] = []
     if len(srows) != len(orows):

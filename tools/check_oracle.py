@@ -17,7 +17,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 from fortisiem_clickhouse_monitor_spark.session import get_spark
-from fortisiem_clickhouse_monitor_spark.testing import compare, duck_connection
+from fortisiem_clickhouse_monitor_spark.testing import (
+    compare,
+    duck_connection,
+    type_parity,
+)
 
 
 def main() -> int:
@@ -40,7 +44,13 @@ def main() -> int:
                 print(f"rows  {name:36s} rows={n} (rows-only) [{time.time()-t0:.1f}s]")
                 n_rowsonly += 1
                 continue
-            problems = compare(sdf, con, oracles[name])
+            # Type audit first (free — nothing executes): the driver's
+            # hasher is type-strict, so HUGEINT/DOUBLE-vs-BIGINT
+            # divergence is a failure even when values are identical.
+            problems = [
+                f"TYPE {p}" for p in type_parity(sdf, con, oracles[name])
+            ]
+            problems += compare(sdf, con, oracles[name])
         except Exception as e:  # noqa: BLE001
             problems = [f"error: {e}"]
         if problems:
