@@ -57,11 +57,19 @@ def load_unit_index(path: str, id_col: str, vec_col: str):
     IVF/LSH paths (sim_ivf_topk, sim_ann_lsh_bucketed) are the answer —
     this loader is only for indexes that would have been broadcast
     anyway. Zero-norm vectors are dropped (cosine undefined)."""
+    import os
+
     import numpy as np
     import pyarrow.parquet as pq
 
-    key = (path, id_col, vec_col)
+    # mtime/size in the key => a rewritten index file is re-read by a
+    # long-lived worker instead of served stale; dropping other keys
+    # for the same file bounds memory (stale generations don't pile up).
+    st = os.stat(path)
+    key = (path, id_col, vec_col, st.st_mtime_ns, st.st_size)
     if key not in _INDEX_CACHE:
+        for old in [k for k in _INDEX_CACHE if k[:3] == key[:3]]:
+            del _INDEX_CACHE[old]
         t = pq.read_table(path, columns=[id_col, vec_col])
         ids = t.column(id_col).to_numpy()
         mat = np.stack(t.column(vec_col).to_pylist()).astype("float64")

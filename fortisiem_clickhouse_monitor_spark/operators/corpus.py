@@ -31,7 +31,13 @@ from ..registry import register
 from ..sources.tables import spread, table
 
 # DuckDB twin of textfns.tokens()
-_DUCK_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_DUCK_TOKENS = (
+    # list_filter guard: DuckDB yields [''] for an empty/whitespace
+    # document where Spark textfns.tokens yields [] — filter the
+    # empty token so both engines agree on empty docs.
+    "list_filter(string_split_regex(trim(text), '\\s+'),"
+    " _x -> _x <> '')"
+)
 
 
 # ---------------------------------------------------------------------------

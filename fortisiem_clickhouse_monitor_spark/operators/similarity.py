@@ -67,6 +67,225 @@ def _spark_bucket(emb) -> "F.Column":
     return out
 
 
+# ---------------------------------------------------------------------------
+# Scale-path kernels: the brute-force baselines (dedup_embedding_cosine_pairs,
+# sim_knn_join_topk) route through these once the index outgrows what a
+# single executor should hold.  Fixture scale stays on the exact brute
+# kernels; these are the documented approximate-by-banding paths.
+# ---------------------------------------------------------------------------
+
+#: Above this many index rows the pair/knn operators switch from the
+#: exact full-index GEMM to the banded/IVF cell kernels below.  At
+#: d=64 float64 this bound keeps the resident unit matrix ~100 MB —
+#: broadcast-side territory.  Tests monkeypatch it to force the route.
+BRUTE_INDEX_MAX_ROWS = 200_000
+
+
+def index_row_count(path: str) -> int:
+    """Parquet-metadata row count (no scan, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def banded_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    *,
+    n_bands: int = 16,
+    band_bits: int = 4,
+    round_dp: int = 4,
+    tile: int = 2048,
+) -> DataFrame:
+    """All-pairs cosine >= threshold via random-hyperplane LSH banding —
+    the 100 TB shape of dedup_embedding_cosine_pairs.
+
+    Signature stage: 64 fixed-seed hyperplanes -> 16 bands x 4 sign
+    bits; each vector lands in 16 (band, key) cells.  Candidate stage:
+    per-cell exact GEMM (row-tiled so a jumbo cell can't OOM a task),
+    keeping pairs >= threshold; a pair is verified with the SAME
+    rounded dot product as the brute kernel, so precision is exact —
+    only recall is probabilistic (two cos>=0.9 vectors agree on one
+    4-bit band with p ~ 0.99 over 16 bands).  No full-index anything:
+    the widest structure any task holds is its cell.  Output columns
+    match the brute kernel (vec_a, vec_b, cos_sim); duplicates from
+    multi-band collisions are dropped on the pair key."""
+    import numpy as np
+    import pandas as pd
+
+    emb_t = df.schema["embedding"].dataType.simpleString()
+    n_planes = n_bands * band_bits
+    out: list[str] = ["vec_a LONG", "vec_b LONG", "cos_sim DOUBLE"]
+
+    def sig_batches(batches):
+        planes = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            if planes is None:
+                planes = np.random.RandomState(20250814).standard_normal(
+                    (n_planes, mat.shape[1])
+                )
+            bits = (mat @ planes.T) > 0
+            frames = []
+            for b in range(n_bands):
+                key = np.zeros(len(pdf), dtype="int64")
+                for r in range(band_bits):
+                    key = key * 2 + bits[:, b * band_bits + r]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "embedding": pdf["embedding"],
+                            "band": b,
+                            "key": key,
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    sigs = df.select("vec_id", "embedding").mapInPandas(
+        sig_batches, schema=f"vec_id LONG, embedding {emb_t}, band INT, key LONG"
+    )
+
+    def cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        norms = np.linalg.norm(mat, axis=1)
+        keep = norms > 0
+        ids, unit = ids[keep], mat[keep] / norms[keep, None]
+        frames = []
+        for lo in range(0, len(ids), tile):
+            sims = np.round(unit[lo : lo + tile] @ unit.T, round_dp)
+            a_ids = ids[lo : lo + tile]
+            ai, bj = np.where((sims >= threshold) & (a_ids[:, None] < ids[None, :]))
+            if len(ai):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_a": a_ids[ai],
+                            "vec_b": ids[bj],
+                            "cos_sim": sims[ai, bj],
+                        }
+                    )
+                )
+        return pd.concat(frames) if frames else empty
+
+    return (
+        sigs.groupBy("band", "key")
+        .applyInPandas(cell_pairs, schema=", ".join(out))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
+def ivf_knn_join(
+    e: DataFrame, k: int = 3, *, nprobe: int = 2, round_dp: int = 4
+) -> DataFrame:
+    """k-NN join via IVF cells — the 100 TB shape of sim_knn_join_topk.
+
+    Cells are the per-label mean centroids (the coarse quantizer
+    sim_ivf_topk already uses; at real scale the labels come from
+    kmeans).  Each probe vector is assigned to its nprobe nearest
+    cells; candidate generation is a (cell)-cogrouped exact GEMM of
+    probes vs that cell's members, so no task ever sees the full
+    index; the per-probe global top-k is one window over ~nprobe*k
+    candidate rows per probe.  Centroids are a bounded |cells| x dim
+    driver collect (same documented bound as kmeans)."""
+    import numpy as np
+    import pandas as pd
+
+    emb_t = e.schema["embedding"].dataType.simpleString()
+
+    cent_rows = (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("x").cast("double")).alias("cx"))
+        .collect()
+    )
+    labels = sorted({r["label"] for r in cent_rows})
+    lab_ix = {lab: i for i, lab in enumerate(labels)}
+    dim = max(r["dim"] for r in cent_rows) + 1
+    cmat = np.zeros((len(labels), dim))
+    for r in cent_rows:
+        cmat[lab_ix[r["label"]], r["dim"]] = r["cx"]
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cunit = cmat / np.where(cnorm > 0, cnorm, 1.0)[:, None]
+    lab_arr = np.array(labels)
+
+    def assign(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            norms = np.linalg.norm(mat, axis=1)
+            unit = mat / np.where(norms > 0, norms, 1.0)[:, None]
+            top = np.argsort(-(unit @ cunit.T), axis=1)[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "embedding": pdf["embedding"].iloc[
+                        np.repeat(np.arange(n), nprobe)
+                    ].to_numpy(),
+                    "cell": lab_arr[top].ravel(),
+                }
+            )
+
+    probes = e.select("vec_id", "embedding").mapInPandas(
+        assign, schema=f"vec_id LONG, embedding {emb_t}, cell INT"
+    )
+    members = e.select(
+        F.col("label").alias("cell"),
+        F.col("vec_id").alias("m_id"),
+        F.col("embedding").alias("m_emb"),
+    )
+
+    out_schema = "vec_id LONG, neighbor_id LONG, cos_sim DOUBLE"
+
+    def cell_knn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "cos_sim": []})
+        if left.empty or right.empty:
+            return empty
+        p_ids = left["vec_id"].to_numpy()
+        p_mat = np.stack(left["embedding"].to_numpy()).astype("float64")
+        p_norm = np.linalg.norm(p_mat, axis=1)
+        p_unit = p_mat / np.where(p_norm > 0, p_norm, 1.0)[:, None]
+        m_ids = right["m_id"].to_numpy()
+        m_mat = np.stack(right["m_emb"].to_numpy()).astype("float64")
+        m_norm = np.linalg.norm(m_mat, axis=1)
+        m_unit = m_mat / np.where(m_norm > 0, m_norm, 1.0)[:, None]
+        sims = np.round(p_unit @ m_unit.T, round_dp)
+        out_v, out_n, out_s = [], [], []
+        for i in range(len(p_ids)):
+            s = sims[i].copy()
+            s[m_ids == p_ids[i]] = -np.inf
+            order = np.lexsort((m_ids, -s))[:k]
+            out_v.extend([p_ids[i]] * len(order))
+            out_n.extend(m_ids[order])
+            out_s.extend(s[order])
+        return pd.DataFrame(
+            {"vec_id": out_v, "neighbor_id": out_n, "cos_sim": out_s}
+        )
+
+    cand = (
+        probes.groupBy("cell")
+        .cogroup(members.groupBy("cell"))
+        .applyInPandas(cell_knn, schema=out_schema)
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 @register(
     "sim_cosine_topk",
     oracle="""
@@ -452,12 +671,20 @@ def _semdedup_oracle(threshold: float = 0.95) -> str:
     return (
         ",\n    ".join(parts + [assign])
         + f""",
-    m AS (SELECT a.vec_id, a.cluster, e.v FROM af a JOIN e USING (vec_id)),
+    m AS (
+      SELECT a.vec_id, a.cluster,
+             CASE WHEN list_inner_product(e.v, e.v) = 0 THEN e.v
+                  ELSE list_transform(
+                         e.v,
+                         z -> z / sqrt(list_inner_product(e.v, e.v)))
+             END AS u
+      FROM af a JOIN e USING (vec_id)
+    ),
     nb AS (
       SELECT x.vec_id, x.cluster, y.vec_id AS nid
       FROM m x JOIN m y ON x.cluster = y.cluster
       WHERE x.vec_id = y.vec_id
-         OR round(list_cosine_similarity(x.v, y.v), 4) >= {threshold}
+         OR round(list_inner_product(x.u, y.u), 4) >= {threshold}
     )
     SELECT vec_id, cluster, min(nid) AS keeper_vec_id,
            (min(nid) = vec_id) AS is_kept
@@ -602,6 +829,19 @@ def sim_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = 3
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # Scale route: above the broadcast-size bound the full-index GEMM
+    # is the wrong plan — switch to the per-IVF-cell kernel (identical
+    # columns/rounding; approximate recall, documented).  Fixture-scale
+    # runs stay on the exact brute kernel below, which is what the
+    # oracle checks.
+    if index_row_count(f"{sf_dir}/embeddings.parquet") > BRUTE_INDEX_MAX_ROWS:
+        return ivf_knn_join(
+            table(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding", "label"
+            ),
+            k,
+        )
 
     def normalize(ids_np, mat):
         norms = np.linalg.norm(mat, axis=1)

@@ -215,3 +215,185 @@ def test_alternating_components_random_graphs_match_union_find(spark):
             got[r["v"]] = r["u"]
         assert got == truth, f"trial {trial}: {edges}"
         assert rounds <= 12
+
+
+def test_triangles_degree_ordered_hub_robust(spark):
+    """Planted hub: a star K1,20 generates ZERO wedges under degree
+    ordering (the hub's edges all point into it), while the separate
+    planted triangle is still found exactly once, id-ordered."""
+    from fortisiem_clickhouse_monitor_spark.operators.dedup import (
+        orient_by_degree,
+        triangles_from_edges,
+        wedges_by_degree,
+    )
+
+    hub = [(0, leaf) for leaf in range(1, 21)]  # hub 0, degree 20
+    tri = [(100, 101), (100, 102), (101, 102)]
+    edges = spark.createDataFrame(hub + tri, "doc_a LONG, doc_b LONG")
+
+    oriented = orient_by_degree(edges)
+    # Every star edge must point INTO the hub (leaves have degree 1).
+    assert oriented.filter("src = 0").count() == 0
+    # Wedge fan-out is bounded: only the triangle's 1 wedge exists —
+    # id-ordered enumeration would have generated C(20,2)=190 more.
+    assert wedges_by_degree(oriented.localCheckpoint()).count() == 1
+
+    got = sorted(map(tuple, triangles_from_edges(edges).collect()))
+    assert got == [(100, 101, 102)]
+
+
+def test_triangles_match_naive_on_random_graph(spark):
+    """Degree-ordered output == naive id-ordered two-join output on a
+    random graph (exactly-once, a<b<c)."""
+    import random
+
+    from fortisiem_clickhouse_monitor_spark.operators.dedup import (
+        triangles_from_edges,
+    )
+
+    rng = random.Random(7)
+    n = 40
+    edges = sorted(
+        {
+            (a, b)
+            for _ in range(220)
+            for a, b in [sorted(rng.sample(range(n), 2))]
+        }
+    )
+    truth = set()
+    eset = set(edges)
+    for a, b in edges:
+        for c in range(b + 1, n):
+            if (a, c) in eset and (b, c) in eset:
+                truth.add((a, b, c))
+
+    df = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+    got = sorted(map(tuple, triangles_from_edges(df).collect()))
+    assert got == sorted(truth)
+
+
+def _planted_vectors(n_clusters=20, per_cluster=12, dim=64, noise=0.03):
+    """Clustered unit-ish vectors: members of a cluster are the center
+    plus small noise, so true near-dup pairs (cos>=0.9) exist and the
+    true k-NN of a vector lives in its own cluster — unlike the
+    driver's embeddings fixture, which is isotropic noise with ZERO
+    >=0.9 pairs at every SF (verified; the brute operators return empty
+    there, so recall must be tested on planted structure)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = rng.standard_normal(dim)
+        center /= np.linalg.norm(center)
+        for _ in range(per_cluster):
+            v = center + noise * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return rows
+
+
+def _brute_truth(rows, threshold):
+    import numpy as np
+
+    ids = np.array([r[0] for r in rows])
+    mat = np.stack([np.array(r[1]) for r in rows])
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = np.round(unit @ unit.T, 4)
+    ai, bj = np.where((sims >= threshold) & (ids[:, None] < ids[None, :]))
+    return {(int(ids[a]), int(ids[b])): float(sims[a, b]) for a, b in zip(ai, bj)}
+
+
+def test_banded_pairs_exact_precision_high_recall(spark):
+    """The LSH-banded scale path on planted clusters: every returned
+    pair is a true >=0.9 pair with the identical rounded cosine (exact
+    precision — pairs are verified by in-cell GEMM), and recall over
+    the brute truth is high (16 bands x 4 sign bits)."""
+    from fortisiem_clickhouse_monitor_spark.operators.similarity import (
+        banded_cosine_pairs,
+    )
+
+    rows = _planted_vectors()
+    truth = _brute_truth(rows, 0.9)
+    assert len(truth) > 100  # planted structure is real
+
+    df = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in banded_cosine_pairs(df, 0.9).collect()
+    }
+    for pair, sim in got.items():
+        assert abs(truth[pair] - sim) < 5e-4, pair  # float32 storage ulp
+    recall = len(got) / len(truth)
+    assert recall >= 0.9, f"banded recall {recall:.3f}"
+
+
+def test_ivf_knn_join_high_recall_on_clusters(spark):
+    """The IVF scale path on planted clusters (labels = true cluster):
+    the probed cells contain the true top-1 neighbor for nearly every
+    vector."""
+    import numpy as np
+
+    from fortisiem_clickhouse_monitor_spark.operators.similarity import (
+        ivf_knn_join,
+    )
+
+    rows = _planted_vectors()
+    ids = np.array([r[0] for r in rows])
+    mat = np.stack([np.array(r[1]) for r in rows])
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = np.round(unit @ unit.T, 4)
+    np.fill_diagonal(sims, -np.inf)
+    true_top1 = {
+        int(ids[i]): int(ids[np.lexsort((ids, -sims[i]))[0]])
+        for i in range(len(ids))
+    }
+
+    df = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    got_top1 = {}
+    per_vec = {}
+    for r in ivf_knn_join(df, 3).orderBy("vec_id", F.desc("cos_sim")).collect():
+        got_top1.setdefault(r["vec_id"], r["neighbor_id"])
+        per_vec.setdefault(r["vec_id"], []).append(r["neighbor_id"])
+    assert set(got_top1) == set(true_top1)
+    assert all(len(v) <= 3 for v in per_vec.values())
+    recall1 = sum(got_top1[v] == true_top1[v] for v in true_top1) / len(true_top1)
+    assert recall1 >= 0.9, f"IVF top-1 recall {recall1:.3f}"
+
+
+def test_scale_route_activates_above_threshold(spark, monkeypatch):
+    """Routing smoke on the driver fixture: with the threshold forced
+    to 0 both operators take the banded/IVF path end-to-end and agree
+    with the brute output shape (the fixture's brute pair set is empty,
+    and the knn join still returns <=k rows for every vector)."""
+    from fortisiem_clickhouse_monitor_spark.operators import dedup, similarity
+
+    monkeypatch.setattr(similarity, "BRUTE_INDEX_MAX_ROWS", 0)
+
+    pairs = dedup.dedup_embedding_cosine_pairs(spark, SF_SMALL)
+    assert pairs.columns == ["vec_a", "vec_b", "cos_sim"]
+    assert pairs.count() == 0  # same as brute: fixture has no >=0.9 pairs
+
+    knn = similarity.sim_knn_join_topk(spark, SF_SMALL)
+    assert knn.columns == ["vec_id", "neighbor_id", "cos_sim"]
+    counts = knn.groupBy("vec_id").count().collect()
+    assert len(counts) == 500 and all(r["count"] <= 3 for r in counts)
+
+
+def test_alternating_components_raises_on_non_convergence(spark):
+    """max_rounds too small must raise, not silently return a chained
+    (non-star-forest) edge set that would duplicate doc_ids downstream."""
+    from fortisiem_clickhouse_monitor_spark.operators.dedup import (
+        alternating_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src LONG, dst LONG"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        alternating_components(chain, max_rounds=0)
