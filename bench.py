@@ -100,9 +100,13 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("fcm-bench")
     qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs] + [
-        n for n in qs if n not in HEADLINE and n.startswith("bench_")
-    ]
+    # Full-registry coverage: the curated HEADLINE order first (stable
+    # names keep round-over-round comparisons meaningful), then every
+    # remaining registered query — perf evidence accumulates for the
+    # whole surface, not just the curated subset.
+    names = [n for n in HEADLINE if n in qs] + sorted(
+        n for n in qs if n not in HEADLINE
+    )
 
     # Untimed warmup: this JVM exhibits a one-time ~100-200s
     # JIT/buffer-recycler storm on per-row-heavy stages (see

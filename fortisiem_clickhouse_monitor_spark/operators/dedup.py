@@ -812,11 +812,25 @@ def triangles_from_edges(pairs: DataFrame) -> DataFrame:
     """Each triangle exactly once as (a, b, c), a < b < c by id."""
     oriented = orient_by_degree(pairs).localCheckpoint()
     closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
-    tri = wedges_by_degree(oriented).join(closing, ["y", "z"])
-    ordered = F.array_sort(F.array("src", "y", "z"))
-    return tri.select(
-        ordered[0].alias("a"), ordered[1].alias("b"), ordered[2].alias("c")
-    )
+    # The wedge set is the big side (sum of out-deg^2 — 17M rows on the
+    # sf0.1 clique-heavy graph vs 215k edges); the closing edge list is
+    # just the graph.  Checkpoint stats don't reach the join planner,
+    # so hint the broadcast explicitly while the edge list is broadcast-
+    # sized — above that, the shuffled equi-join is the right plan and
+    # AQE takes over.  (Without the hint this was a 17M-row SMJ shuffle:
+    # 13.3 s -> with it back to the r2-era plan shape.)
+    if oriented.count() <= 1_000_000:
+        closing = F.broadcast(closing)
+    wedges = wedges_by_degree(oriented).select("src", "y", "z")
+    tri = wedges.join(closing, ["y", "z"])
+    # Rank order (src lowest by (deg, id)) is not id order — re-sort the
+    # triple to (a < b < c) with least/greatest arithmetic: three long
+    # expressions inside whole-stage codegen, no per-row array alloc
+    # (array_sort here cost ~10 s on the 17M-triangle sf0.1 output).
+    a = F.least("src", "y", "z")
+    c = F.greatest("src", "y", "z")
+    b = F.col("src") + F.col("y") + F.col("z") - a - c
+    return tri.select(a.alias("a"), b.alias("b"), c.alias("c"))
 
 
 @register(
