@@ -1,0 +1,358 @@
+"""Corpus-curation operators a large-scale training-data pipeline needs
+beyond dedup/sampling: overlapping context-window chunking (RAG/training
+windows), per-domain caps, mixture-weight rebalancing, block-level exact
+substring dedup (CCNet/MassiveText-style line dedup re-expressed over
+token blocks), and a Gopher-style rule battery.
+
+Everything stays JVM-side (higher-order array functions, windows, one
+keyed exchange where a group-by IS the semantics); integer/boolean
+outputs are preferred over floats so DuckDB oracles hash bit-identically.
+
+Reference scope note: the reference (chStats.py) has no corpus tooling —
+these extend the engine per the brief's LLM-pipeline mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import textfns
+from ..registry import register
+from ..sources.tables import spread, table
+
+# DuckDB twin of textfns.tokens() (same guard as operators/text.py: an
+# empty/whitespace doc must yield [] in both engines).
+_DUCK_TOKENS = (
+    "list_filter(string_split_regex(trim(text), '\\s+'), _x -> _x <> '')"
+)
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking with overlap (RAG / long-context training windows)
+# ---------------------------------------------------------------------------
+
+_CW = 32  # window tokens
+_CS = 24  # stride tokens (8-token overlap)
+
+
+@register(
+    "text_chunk_sliding_window",
+    oracle=f"""
+    SELECT d.doc_id, gs.i AS chunk_id,
+           len(d.toks[(gs.i * {_CS} + 1):(gs.i * {_CS} + {_CW})]) AS n_tokens,
+           array_to_string(
+             d.toks[(gs.i * {_CS} + 1):(gs.i * {_CS} + {_CW})], ' ')
+             AS chunk_text
+    FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents) d,
+    LATERAL (SELECT unnest(generate_series(0,
+               CAST(greatest(ceil((len(d.toks) - {_CW}) / {_CS}.0), 0) AS INT)
+             )) AS i) gs
+    WHERE len(d.toks) > 0
+    """,
+    tags=("TXT", "chunking"),
+)
+def text_chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking: {_CW}-token windows at a
+    {_CS}-token stride (so consecutive chunks share {_CW}-{_CS} tokens of
+    context), the standard RAG-indexing / long-context packing step.
+    Chunk count per doc = 1 + ceil(max(n - W, 0) / S).
+
+    Pure map-side higher-order expression (sequence → slice →
+    posexplode): zero shuffle, scales with scan bandwidth alone at
+    100 TB. Contrast pack_token_sequences (corpus.py), which packs
+    NON-overlapping windows."""
+    d = table(spark, sf_dir, "documents")
+    toks = textfns.tokens("text")
+    n = F.size(toks)
+    n_starts = (
+        F.lit(1)
+        + F.greatest(F.ceil((n - F.lit(_CW)) / F.lit(float(_CS))), F.lit(0))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_starts - 1),
+        lambda i: F.slice(toks, i * _CS + 1, _CW),
+    )
+    return (
+        d.filter(n > 0)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").alias("n_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document caps (anti-boilerplate / source-dominance control)
+# ---------------------------------------------------------------------------
+
+_CAP = 10
+
+
+@register(
+    "corpus_cap_per_source",
+    oracle=f"""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) t WHERE rn <= {_CAP}
+    """,
+    tags=("sampling", "curation"),
+)
+def corpus_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep at most {_CAP} documents per source, ranked
+    by a quality proxy (longest first, doc_id tiebreak) — the standard
+    guard against one crawl domain dominating the mixture.
+
+    One shuffle on the domain key; each domain ranks independently, so
+    a skewed domain costs only its own partition. At 100 TB, pair with
+    the salting helpers (functions/skew.py) if one domain is a
+    significant fraction of the corpus."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _CAP)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture-weight rebalancing (deterministic hash-rate subsampling per lang)
+# ---------------------------------------------------------------------------
+
+#: Target acceptance per mille per language (en downsampled, zh lightly).
+#: Integer thresholds, NOT float rates: 1000*0.3 in binary floating point
+#: is 299.999…, so a float-rate formulation truncates differently across
+#: engines exactly at the boundary.
+_MIX_PERMILLE = {"en": 300, "es": 1000, "de": 1000, "fr": 1000, "zh": 800}
+_MIX_DEN = 1000  # hash buckets
+
+_DUCK_MIX_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_PERMILLE.items())
+    + " ELSE 0 END"
+)
+
+
+@register(
+    "corpus_mixture_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           CAST({_DUCK_MIX_CASE} AS BIGINT) AS accept_per_mille
+    FROM documents
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT)
+          % {_MIX_DEN}
+        < ({_DUCK_MIX_CASE})
+    """,
+    tags=("sampling", "curation"),
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing: accept each document with a per-language
+    target rate (en 30%, zh 80%, rest 100%) decided by a deterministic
+    content-independent hash of the key — reproducible across engines,
+    machines, and runs, unlike rand()-based sampling. Rates are exact
+    integer per-mille thresholds so no float rounding sits at the
+    accept boundary.
+
+    Pure map-side filter (hash60 % buckets < threshold): no shuffle,
+    no state; at 100 TB this is the only sampling discipline that stays
+    consistent across re-runs over a changing file layout."""
+    d = table(spark, sf_dir, "documents")
+    permille = F.coalesce(
+        F.create_map(
+            *[F.lit(x) for kv in _MIX_PERMILLE.items() for x in kv]
+        )[F.col("lang")],
+        F.lit(0),
+    ).cast("long")
+    bucket = F.pmod(
+        textfns.hash60(F.col("doc_id").cast("string")), F.lit(_MIX_DEN)
+    )
+    return d.filter(bucket < permille).select(
+        "doc_id", "lang", "source", permille.alias("accept_per_mille")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Block-level exact substring dedup (CCNet/MassiveText line dedup, re-keyed
+# to fixed token blocks since the synthetic docs are single-line)
+# ---------------------------------------------------------------------------
+
+_BLK = 8  # tokens per block
+
+
+@register(
+    "corpus_block_dedup_stats",
+    oracle=f"""
+    WITH blocks AS (
+      SELECT d.doc_id, gs.i AS block_id,
+             len(d.toks[(gs.i * {_BLK} + 1):((gs.i + 1) * {_BLK})])
+               AS blk_tokens,
+             array_to_string(
+               d.toks[(gs.i * {_BLK} + 1):((gs.i + 1) * {_BLK})], ' ')
+               AS block_text
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents) d,
+      LATERAL (SELECT unnest(generate_series(0,
+                 CAST(ceil(len(d.toks) / {_BLK}.0) AS INT) - 1)) AS i) gs
+    ),
+    freq AS (
+      SELECT block_text, count(DISTINCT doc_id) AS n_docs
+      FROM blocks GROUP BY block_text
+    )
+    SELECT b.doc_id,
+           count(*) AS n_blocks,
+           CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_blocks,
+           CAST(sum(CASE WHEN f.n_docs >= 2 THEN 0 ELSE b.blk_tokens END)
+                AS BIGINT) AS tokens_kept
+    FROM blocks b JOIN freq f USING (block_text)
+    GROUP BY b.doc_id
+    """,
+    tags=("dedup", "curation"),
+)
+def corpus_block_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact block dedup (CCNet-style): split each doc
+    into non-overlapping {_BLK}-token blocks, drop every block whose
+    exact text occurs in ≥2 distinct documents, report per-doc kept
+    counts. This is the cheap exact-substring complement to the
+    MinHash/SimHash near-dup family (dedup.py).
+
+    Plan: map-side block explode → one groupBy on the block text (the
+    semantic key — dedup IS this exchange) → key-local join back →
+    one groupBy doc_id. Both shuffles are on high-cardinality keys, so
+    the plan scales linearly; at 100 TB, hash the block text to a
+    64-bit key (textfns.hash60) before the exchange to shrink shuffle
+    bytes ~10x (kept as plain text here so the oracle joins on the
+    same key)."""
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    toks = textfns.tokens("text")
+    n_blocks = F.ceil(F.size(toks) / F.lit(_BLK)).cast("int")
+    blk = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda i: F.slice(toks, i * _BLK + 1, _BLK),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    blocks = d.select(
+        "doc_id", F.posexplode(blk).alias("block_id", "block")
+    ).select(
+        "doc_id",
+        "block_id",
+        F.size("block").alias("blk_tokens"),
+        F.array_join("block", " ").alias("block_text"),
+    )
+    freq = blocks.groupBy("block_text").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    joined = blocks.join(freq, "block_text")
+    dup = F.col("n_docs") >= 2
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum(F.when(dup, 1).otherwise(0)).alias("n_dup_blocks"),
+        F.sum(F.when(dup, 0).otherwise(F.col("blk_tokens"))).alias(
+            "tokens_kept"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule battery (Rae et al. 2021 quality heuristics, integerized)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ), m AS (
+      SELECT doc_id, toks,
+             len(toks) AS n_tokens,
+             CAST(list_aggregate(
+               list_transform(toks, x -> length(x)), 'sum')
+               AS BIGINT) AS sum_len,
+             len(list_filter(toks,
+               x -> regexp_full_match(x, '[A-Za-z]+'))) AS n_alpha,
+             CASE WHEN len(toks) = 0 THEN 0 ELSE
+               list_max(list_transform(list_distinct(toks),
+                 d -> len(list_filter(toks, x -> x = d)))) END AS max_freq
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           (n_tokens BETWEEN 20 AND 90) AS ok_len,
+           (sum_len >= 2 * n_tokens AND sum_len <= 8 * n_tokens)
+             AS ok_word_len,
+           (10 * n_alpha >= 8 * n_tokens) AS ok_alpha,
+           (8 * max_freq <= n_tokens) AS ok_repetition,
+           len(list_filter(toks,
+             x -> x IN {_GOPHER_STOPS!r})) > 0 AS has_stopword,
+           ((n_tokens BETWEEN 20 AND 90)
+            AND (sum_len >= 2 * n_tokens AND sum_len <= 8 * n_tokens)
+            AND (10 * n_alpha >= 8 * n_tokens)
+            AND (8 * max_freq <= n_tokens)
+            AND len(list_filter(toks,
+                  x -> x IN {_GOPHER_STOPS!r})) > 0) AS passes
+    FROM m
+    """,
+    tags=("TXT", "curation"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule battery (word-count bounds, mean-word-length
+    bounds, alphabetic-token ratio, max single-token repetition,
+    stopword presence) with thresholds scaled to the fixture corpus.
+
+    Every ratio test is integerized (cross-multiplication: ``10 *
+    n_alpha >= 8 * n_tokens`` instead of ``n_alpha / n_tokens >=
+    0.8``) so both engines compare exact integers — no float rounding
+    can flip a boolean at a threshold. Pure map-side per-doc
+    expressions: zero shuffle at any scale. max_freq is O(distinct ×
+    tokens) per doc via higher-order functions — fine for documents,
+    not for books; the heavy-hitter sketch (advanced.py) is the
+    long-doc path."""
+    d = table(spark, sf_dir, "documents")
+    toks = textfns.tokens("text")
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+    max_freq = F.when(n == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda dtok: F.size(F.filter(toks, lambda x: x == dtok)),
+            )
+        )
+    )
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    has_stop = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stops, t))) > 0
+    )
+    ok_len = n.between(20, 90)
+    ok_word_len = (sum_len >= 2 * n.cast("long")) & (
+        sum_len <= 8 * n.cast("long")
+    )
+    ok_alpha = 10 * n_alpha >= 8 * n
+    ok_rep = 8 * max_freq <= n
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        ok_len.alias("ok_len"),
+        ok_word_len.alias("ok_word_len"),
+        ok_alpha.alias("ok_alpha"),
+        ok_rep.alias("ok_repetition"),
+        has_stop.alias("has_stopword"),
+        (ok_len & ok_word_len & ok_alpha & ok_rep & has_stop).alias(
+            "passes"
+        ),
+    )

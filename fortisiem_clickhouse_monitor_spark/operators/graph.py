@@ -1,0 +1,119 @@
+"""Graph analytics over driver tables (extension family alongside
+connected components + triangle enumeration in operators/dedup.py).
+
+PageRank here is FIXED-POINT INTEGER PageRank: ranks are BIGINTs scaled
+by 1e6 and every per-iteration step is integer arithmetic (``pr DIV
+out_degree`` contributions, ``(85 * sum) DIV 100`` damping). Integer
+addition is exact and commutative, so the result is bit-identical
+regardless of partitioning, aggregation order, or engine — which makes
+an iterative float algorithm fully oracle-checkable (the DuckDB twin
+unrolls the same six iterations as CTEs).
+
+Reference scope note: the reference (chStats.py) has no graph operators —
+this extends the engine per the brief's pipeline mandate, in the same
+family as dedup_connected_components / dedup_graph_triangles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import table
+
+_PR_ITERS = 6
+_PR_SCALE = 1_000_000  # initial rank per node
+_SUPP_OFF = 10_000_000  # offsets supplier ids into a disjoint node range
+
+
+def _pagerank_oracle() -> str:
+    rounds = []
+    prev = "r0"
+    for k in range(1, _PR_ITERS + 1):
+        rounds.append(
+            f"""r{k} AS (
+      SELECT e.v AS node,
+             CAST(150000 + (85 * CAST(sum(p.pr // d.d) AS BIGINT)) // 100
+                  AS BIGINT) AS pr
+      FROM edges e
+      JOIN deg d ON e.u = d.u
+      JOIN {prev} p ON p.node = e.u
+      GROUP BY e.v)"""
+        )
+        prev = f"r{k}"
+    joined = ",\n    ".join(rounds)
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey AS u, l_suppkey + {_SUPP_OFF} AS v
+      FROM lineitem
+    ),
+    edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+    r0 AS (SELECT u AS node, CAST({_PR_SCALE} AS BIGINT) AS pr FROM deg),
+    {joined}
+    SELECT node, pr FROM {prev} ORDER BY pr DESC, node LIMIT 20
+    """
+
+
+def pagerank_int(directed_edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame:
+    """Fixed-point integer PageRank over a DIRECTED edge list (u, v).
+
+    Returns (node, pr) for every node with at least one out-edge.
+    Symmetrize the input for undirected graphs.
+
+    Plan shape per iteration: map-side broadcast join of the (static,
+    checkpointed-once) degree-annotated edge list against the current
+    rank vector, then ONE shuffle (the groupBy on the destination).
+    The rank vector has node-cardinality -- orders of magnitude smaller
+    than the edge list -- so broadcasting it is the right default; at
+    100 TB with billions of nodes, drop the hint and pre-partition both
+    sides on the node key so every round reuses one exchange. The
+    rounds stay LAZY: a 6-deep join/agg tree is well within Catalyst's
+    planning budget, and executing one job lets AQE pick strategies per
+    round from real sizes instead of paying per-round materializations.
+    """
+    deg = directed_edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # deg has node-cardinality -- broadcast it so annotating |E| edge
+    # rows with sender degree is map-side instead of shuffling the whole
+    # edge list on u; checkpoint ONCE so no round re-runs the upstream
+    # edge-building subtree.
+    ed = directed_edges.join(F.broadcast(deg), "u").localCheckpoint(eager=True)
+    ranks = ed.select("u").distinct().select(
+        F.col("u").alias("node"), F.lit(_PR_SCALE).cast("long").alias("pr")
+    )
+    for _ in range(iters):
+        contrib = ed.join(F.broadcast(ranks), ed["u"] == ranks["node"]).select(
+            F.col("v"), F.expr("pr DIV d").alias("c")
+        )
+        ranks = (
+            contrib.groupBy("v")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                F.col("v").alias("node"),
+                F.expr("CAST(150000 + (85 * s) DIV 100 AS BIGINT)").alias("pr"),
+            )
+        )
+    return ranks
+
+
+@register(
+    "graph_pagerank_top20",
+    oracle=_pagerank_oracle(),
+    tags=("graph",),
+)
+def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, fixed-point integer arithmetic -- see
+    pagerank_int) over the symmetrized part<->supplier co-occurrence
+    graph from lineitem; top 20 nodes by rank. Suppliers are offset
+    into a disjoint id range so the bipartite node sets can share one
+    key column."""
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").alias("u"),
+        (F.col("l_suppkey") + F.lit(_SUPP_OFF)).alias("v"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return pagerank_int(edges).orderBy(F.desc("pr"), "node").limit(20)

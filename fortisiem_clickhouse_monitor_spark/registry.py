@@ -73,7 +73,9 @@ def _load_all() -> None:
         advanced,
         behavior,
         corpus,
+        curation,
         dedup,
+        graph,
         joins,
         multimodal,
         pipeline,

@@ -1,0 +1,244 @@
+"""Semantic tests for operators/curation.py and operators/graph.py
+beyond the oracle parity gate (which already runs every registered
+query differentially at sf0.001): chunk-overlap algebra, cap ordering,
+deterministic mixture membership, Gopher-rule reconstruction, and
+planted-graph PageRank against an exact integer simulation."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from fortisiem_clickhouse_monitor_spark.operators.curation import (
+    _BLK,
+    _CAP,
+    _CS,
+    _CW,
+    _MIX_DEN,
+    _MIX_PERMILLE,
+    corpus_block_dedup_stats,
+    corpus_cap_per_source,
+    corpus_mixture_sample,
+    text_chunk_sliding_window,
+    text_gopher_rules,
+)
+from fortisiem_clickhouse_monitor_spark.operators.graph import (
+    _PR_SCALE,
+    graph_pagerank_top20,
+    pagerank_int,
+)
+from fortisiem_clickhouse_monitor_spark.sources.tables import table
+
+from conftest import SF_SMALL
+
+
+def _doc_tokens(spark):
+    rows = (
+        table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    return {r.doc_id: r.text.split() for r in rows if r.text.strip()}
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_overlap_and_coverage(spark):
+    toks = _doc_tokens(spark)
+    chunks = {}
+    for r in text_chunk_sliding_window(spark, SF_SMALL).collect():
+        chunks.setdefault(r.doc_id, {})[r.chunk_id] = r.chunk_text.split()
+    assert set(chunks) == set(toks)
+    for doc_id, by_id in chunks.items():
+        t = toks[doc_id]
+        ordered = [by_id[i] for i in range(len(by_id))]
+        # each chunk is the slice starting at i*stride
+        for i, c in enumerate(ordered):
+            assert c == t[i * _CS : i * _CS + _CW]
+        # every token position is covered (stride < window => no gaps)
+        covered = set()
+        for i, c in enumerate(ordered):
+            covered.update(range(i * _CS, i * _CS + len(c)))
+        assert covered == set(range(len(t)))
+        # consecutive chunks overlap by window-stride tokens
+        for i in range(len(ordered) - 1):
+            if len(ordered[i]) == _CW:
+                assert ordered[i][_CS:] == ordered[i + 1][: _CW - _CS]
+
+
+# ---------------------------------------------------------------------------
+# Per-source caps
+# ---------------------------------------------------------------------------
+
+
+def test_cap_per_source_keeps_longest(spark):
+    kept = corpus_cap_per_source(spark, SF_SMALL).collect()
+    all_docs = (
+        table(spark, SF_SMALL, "documents")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    )
+    by_src: dict[str, list] = {}
+    for r in all_docs:
+        by_src.setdefault(r.source, []).append(r)
+    kept_by_src: dict[str, set] = {}
+    for r in kept:
+        kept_by_src.setdefault(r.source, set()).add(r.doc_id)
+    for src, docs in by_src.items():
+        want = {
+            r.doc_id
+            for r in sorted(docs, key=lambda r: (-r.n_chars, r.doc_id))[:_CAP]
+        }
+        assert kept_by_src.get(src, set()) == want
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def _hash60_bucket(doc_id: int) -> int:
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()
+    return int(h[:15], 16) % _MIX_DEN
+
+
+def test_mixture_sample_membership_exact(spark):
+    got = {
+        r.doc_id: r.accept_per_mille
+        for r in corpus_mixture_sample(spark, SF_SMALL).collect()
+    }
+    all_docs = (
+        table(spark, SF_SMALL, "documents").select("doc_id", "lang").collect()
+    )
+    for r in all_docs:
+        thr = _MIX_PERMILLE[r.lang]
+        if _hash60_bucket(r.doc_id) < thr:
+            assert got[r.doc_id] == thr
+        else:
+            assert r.doc_id not in got
+
+
+# ---------------------------------------------------------------------------
+# Block dedup invariants
+# ---------------------------------------------------------------------------
+
+
+def test_block_dedup_invariants(spark):
+    toks = _doc_tokens(spark)
+    rows = corpus_block_dedup_stats(spark, SF_SMALL).collect()
+    assert {r.doc_id for r in rows} == set(toks)
+    # reconstruct ground truth in python
+    blocks_by_doc = {}
+    freq: dict[str, set] = {}
+    for doc_id, t in toks.items():
+        blks = [
+            " ".join(t[i : i + _BLK]) for i in range(0, len(t), _BLK)
+        ]
+        blocks_by_doc[doc_id] = blks
+        for b in blks:
+            freq.setdefault(b, set()).add(doc_id)
+    for r in rows:
+        blks = blocks_by_doc[r.doc_id]
+        dup = [b for b in blks if len(freq[b]) >= 2]
+        assert r.n_blocks == len(blks)
+        assert r.n_dup_blocks == len(dup)
+        assert r.tokens_kept == sum(
+            len(b.split()) for b in blks if len(freq[b]) < 2
+        )
+
+
+# ---------------------------------------------------------------------------
+# Gopher rules reconstruction
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_reconstruct(spark):
+    from fortisiem_clickhouse_monitor_spark.operators.curation import (
+        _GOPHER_STOPS,
+    )
+
+    docs = {
+        r.doc_id: r.text
+        for r in table(spark, SF_SMALL, "documents").collect()
+    }
+    for r in text_gopher_rules(spark, SF_SMALL).collect():
+        t = docs[r.doc_id].split()
+        n = len(t)
+        assert r.n_tokens == n
+        assert r.ok_len == (20 <= n <= 90)
+        sum_len = sum(len(x) for x in t)
+        assert r.ok_word_len == (2 * n <= sum_len <= 8 * n)
+        n_alpha = sum(1 for x in t if x.isalpha() and x.isascii())
+        assert r.ok_alpha == (10 * n_alpha >= 8 * n)
+        max_freq = max((t.count(x) for x in set(t)), default=0)
+        assert r.ok_repetition == (8 * max_freq <= n)
+        assert r.has_stopword == any(x in _GOPHER_STOPS for x in t)
+        assert r.passes == (
+            r.ok_len
+            and r.ok_word_len
+            and r.ok_alpha
+            and r.ok_repetition
+            and r.has_stopword
+        )
+
+
+# ---------------------------------------------------------------------------
+# PageRank: planted graphs vs exact integer simulation
+# ---------------------------------------------------------------------------
+
+
+def _simulate(edges: list[tuple[int, int]], iters: int = 6) -> dict[int, int]:
+    """Reference implementation of the exact integer recurrence."""
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    deg: dict[int, int] = defaultdict(int)
+    for u, v in edges:
+        out[u].append(v)
+        deg[u] += 1
+    pr = {u: _PR_SCALE for u in out}
+    for _ in range(iters):
+        recv: dict[int, int] = defaultdict(int)
+        for u, vs in out.items():
+            c = pr[u] // deg[u]
+            for v in vs:
+                recv[v] += c
+        pr = {v: 150000 + (85 * s) // 100 for v, s in recv.items()}
+    return dict(pr)
+
+
+def _sym(pairs):
+    return pairs + [(v, u) for u, v in pairs]
+
+
+def test_pagerank_star_hub_ranks_highest(spark):
+    edges = _sym([(0, i) for i in range(1, 11)])
+    df = spark.createDataFrame(edges, "u: long, v: long")
+    got = {r.node: r.pr for r in pagerank_int(df).collect()}
+    want = _simulate(edges)
+    assert got == want
+    assert max(got, key=lambda n: (got[n], -n)) == 0
+
+
+def test_pagerank_two_components_independent(spark):
+    a = _sym([(1, 2), (2, 3), (3, 1)])  # triangle
+    b = _sym([(10, 11)])  # isolated pair
+    df = spark.createDataFrame(a + b, "u: long, v: long")
+    got = {r.node: r.pr for r in pagerank_int(df).collect()}
+    want = _simulate(a + b)
+    assert got == want
+    # symmetric regular components: uniform rank within each
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11]
+
+
+def test_pagerank_top20_shape(spark):
+    rows = graph_pagerank_top20(spark, SF_SMALL).collect()
+    assert len(rows) == 20
+    prs = [r.pr for r in rows]
+    assert prs == sorted(prs, reverse=True)
+    assert all(r.pr > 0 for r in rows)
