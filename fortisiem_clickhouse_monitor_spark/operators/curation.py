@@ -185,11 +185,9 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLK = 8  # tokens per block
 
-
-@register(
-    "corpus_block_dedup_stats",
-    oracle=f"""
-    WITH blocks AS (
+#: Shared CTE pair (blocks, freq) for block-level dedup — used by the
+#: registered stats query and the composite training-data pipeline.
+DUCK_BLOCK_CTES = f"""blocks AS (
       SELECT d.doc_id, gs.i AS block_id,
              len(d.toks[(gs.i * {_BLK} + 1):((gs.i + 1) * {_BLK})])
                AS blk_tokens,
@@ -203,7 +201,13 @@ _BLK = 8  # tokens per block
     freq AS (
       SELECT block_text, count(DISTINCT doc_id) AS n_docs
       FROM blocks GROUP BY block_text
-    )
+    )"""
+
+
+@register(
+    "corpus_block_dedup_stats",
+    oracle=f"""
+    WITH {DUCK_BLOCK_CTES}
     SELECT b.doc_id,
            count(*) AS n_blocks,
            CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
@@ -268,12 +272,52 @@ def corpus_block_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_STOPS = ("the", "a", "of", "and", "to", "in", "is")
 
 
-@register(
-    "text_gopher_rules",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
-    ), m AS (
+def gopher_flags(toks) -> dict[str, "F.Column"]:
+    """The five integerized Gopher rules as named boolean Columns over a
+    token-array Column, plus their conjunction under ``passes``. Shared
+    by text_gopher_rules and the composite training-data pipeline so
+    the two can never drift."""
+    n = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
+    max_freq = F.when(n == 0, F.lit(0)).otherwise(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda dtok: F.size(F.filter(toks, lambda x: x == dtok)),
+            )
+        )
+    )
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    flags = {
+        "n_tokens": n,
+        "ok_len": n.between(20, 90),
+        "ok_word_len": (sum_len >= 2 * n.cast("long"))
+        & (sum_len <= 8 * n.cast("long")),
+        "ok_alpha": 10 * n_alpha >= 8 * n,
+        "ok_repetition": 8 * max_freq <= n,
+        "has_stopword": F.size(
+            F.filter(toks, lambda t: F.array_contains(stops, t))
+        )
+        > 0,
+    }
+    flags["passes"] = (
+        flags["ok_len"]
+        & flags["ok_word_len"]
+        & flags["ok_alpha"]
+        & flags["ok_repetition"]
+        & flags["has_stopword"]
+    )
+    return flags
+
+
+#: DuckDB twin of the metric columns gopher_flags derives (over a CTE
+#: exposing ``toks``); rule predicates below are shared SQL fragments.
+DUCK_GOPHER_METRICS = f"""
       SELECT doc_id, toks,
              len(toks) AS n_tokens,
              CAST(list_aggregate(
@@ -284,6 +328,23 @@ _GOPHER_STOPS = ("the", "a", "of", "and", "to", "in", "is")
              CASE WHEN len(toks) = 0 THEN 0 ELSE
                list_max(list_transform(list_distinct(toks),
                  d -> len(list_filter(toks, x -> x = d)))) END AS max_freq
+"""
+
+DUCK_GOPHER_PASS = f"""((n_tokens BETWEEN 20 AND 90)
+            AND (sum_len >= 2 * n_tokens AND sum_len <= 8 * n_tokens)
+            AND (10 * n_alpha >= 8 * n_tokens)
+            AND (8 * max_freq <= n_tokens)
+            AND len(list_filter(toks,
+                  x -> x IN {_GOPHER_STOPS!r})) > 0)"""
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ), m AS (
+      {DUCK_GOPHER_METRICS}
       FROM t
     )
     SELECT doc_id, n_tokens,
@@ -294,12 +355,7 @@ _GOPHER_STOPS = ("the", "a", "of", "and", "to", "in", "is")
            (8 * max_freq <= n_tokens) AS ok_repetition,
            len(list_filter(toks,
              x -> x IN {_GOPHER_STOPS!r})) > 0 AS has_stopword,
-           ((n_tokens BETWEEN 20 AND 90)
-            AND (sum_len >= 2 * n_tokens AND sum_len <= 8 * n_tokens)
-            AND (10 * n_alpha >= 8 * n_tokens)
-            AND (8 * max_freq <= n_tokens)
-            AND len(list_filter(toks,
-                  x -> x IN {_GOPHER_STOPS!r})) > 0) AS passes
+           {DUCK_GOPHER_PASS} AS passes
     FROM m
     """,
     tags=("TXT", "curation"),
@@ -318,41 +374,10 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     not for books; the heavy-hitter sketch (advanced.py) is the
     long-doc path."""
     d = table(spark, sf_dir, "documents")
-    toks = textfns.tokens("text")
-    n = F.size(toks)
-    sum_len = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$")))
-    max_freq = F.when(n == 0, F.lit(0)).otherwise(
-        F.array_max(
-            F.transform(
-                F.array_distinct(toks),
-                lambda dtok: F.size(F.filter(toks, lambda x: x == dtok)),
-            )
-        )
-    )
-    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
-    has_stop = (
-        F.size(F.filter(toks, lambda t: F.array_contains(stops, t))) > 0
-    )
-    ok_len = n.between(20, 90)
-    ok_word_len = (sum_len >= 2 * n.cast("long")) & (
-        sum_len <= 8 * n.cast("long")
-    )
-    ok_alpha = 10 * n_alpha >= 8 * n
-    ok_rep = 8 * max_freq <= n
+    fl = gopher_flags(textfns.tokens("text"))
     return d.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        ok_len.alias("ok_len"),
-        ok_word_len.alias("ok_word_len"),
-        ok_alpha.alias("ok_alpha"),
-        ok_rep.alias("ok_repetition"),
-        has_stop.alias("has_stopword"),
-        (ok_len & ok_word_len & ok_alpha & ok_rep & has_stop).alias(
-            "passes"
-        ),
+        "doc_id", *[fl[k].alias(k) for k in (
+            "n_tokens", "ok_len", "ok_word_len", "ok_alpha",
+            "ok_repetition", "has_stopword", "passes",
+        )]
     )

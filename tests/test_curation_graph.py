@@ -236,6 +236,27 @@ def test_pagerank_two_components_independent(spark):
     assert got[10] == got[11]
 
 
+def test_training_prep_pipeline_composes_stage_outputs(spark):
+    """Every surviving doc must independently pass each stage's
+    registered query, and no passing doc may be missing."""
+    from fortisiem_clickhouse_monitor_spark.operators.pipeline import (
+        _DUP_NUM,
+        pipeline_training_data_prep,
+    )
+
+    got = {r.doc_id: r for r in pipeline_training_data_prep(spark, SF_SMALL).collect()}
+    rules = {r.doc_id for r in text_gopher_rules(spark, SF_SMALL).collect() if r.passes}
+    mix = {r.doc_id for r in corpus_mixture_sample(spark, SF_SMALL).collect()}
+    lowdup = {
+        r.doc_id
+        for r in corpus_block_dedup_stats(spark, SF_SMALL).collect()
+        if _DUP_NUM * r.n_dup_blocks <= r.n_blocks
+    }
+    assert set(got) == rules & mix & lowdup
+    for r in got.values():
+        assert r.n_chunks == -(-r.n_tokens // 64)
+
+
 def test_pagerank_top20_shape(spark):
     rows = graph_pagerank_top20(spark, SF_SMALL).collect()
     assert len(rows) == 20
