@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import textfns
 from ..registry import register
-from ..sources.tables import spread, table
+from ..sources.tables import fanout, spread, table
 
 # DuckDB twin of textfns.tokens()
 _DUCK_TOKENS = (
@@ -64,8 +64,10 @@ def text_bigram_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     first step of building a tokenizer/vocab over a corpus.  The
     bigram explode is map-local; the count aggregates partially before
     the single shuffle on the gram key, and the top-k lowers to
-    TakeOrderedAndProject (no global sort)."""
-    d = table(spark, sf_dir, "documents")
+    TakeOrderedAndProject (no global sort). fanout() spreads the
+    shingle explode across cores when the scan is single-partition
+    (no-op at real scale)."""
+    d = fanout(table(spark, sf_dir, "documents"))
     grams = d.select(
         F.explode(textfns.shingles(textfns.tokens("text"), 2)).alias("gram")
     )

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import textfns
 from ..registry import register
-from ..sources.tables import spread, table
+from ..sources.tables import fanout, spread, table
 
 # DuckDB twin of textfns.tokens() (same guard as operators/text.py: an
 # empty/whitespace doc must yield [] in both engines).
@@ -372,8 +372,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions: zero shuffle at any scale. max_freq is O(distinct ×
     tokens) per doc via higher-order functions — fine for documents,
     not for books; the heavy-hitter sketch (advanced.py) is the
-    long-doc path."""
-    d = table(spark, sf_dir, "documents")
+    long-doc path. fanout() spreads the per-doc rule evaluation across
+    cores when the scan is single-partition (no-op at real scale)."""
+    d = fanout(table(spark, sf_dir, "documents"))
     fl = gopher_flags(textfns.tokens("text"))
     return d.select(
         "doc_id", *[fl[k].alias(k) for k in (

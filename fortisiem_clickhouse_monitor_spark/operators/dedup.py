@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import textfns, vectors
 from ..registry import register
-from ..sources.tables import table
+from ..sources.tables import fanout, table
 
 _DUCK_TOKENS = (
     # list_filter guard: DuckDB yields [''] for an empty/whitespace
@@ -403,8 +403,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical in the DuckDB oracle.
 
     The signature is one exploded-token aggregation (single shuffle on
-    doc_id with map-side partials); banding reuses the LSH join shape."""
-    d = table(spark, sf_dir, "documents")
+    doc_id with map-side partials); banding reuses the LSH join shape.
+    fanout(doc_id) spreads the token explode + 64-bit-vote partials
+    across cores when the scan is single-partition, and because it
+    hash-partitions on doc_id the vote groupBy reuses the exchange."""
+    d = fanout(table(spark, sf_dir, "documents"), "doc_id")
     toks = (
         d.select("doc_id", F.explode(textfns.tokens("text")).alias("tok"))
         .withColumn("h1", textfns.hash60(F.col("tok")))

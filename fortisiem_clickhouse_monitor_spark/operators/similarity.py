@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors
 from ..registry import register
-from ..sources.tables import table
+from ..sources.tables import fanout, table
 
 _DIM = 64
 _N_PLANES = 8
@@ -512,9 +512,11 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map-side L2 normalization via higher-order functions — the
     preprocessing step every cosine pipeline shares (after it, cosine
-    is a plain dot product). Zero shuffle, zero Python; the oracle
-    checks ||v|| and that the normalized vector has unit norm."""
-    e = table(spark, sf_dir, "embeddings")
+    is a plain dot product). Zero Python; the oracle checks ||v|| and
+    that the normalized vector has unit norm. fanout() spreads the
+    per-element math across cores when the scan is single-partition
+    (no-op at real scale, where this stays a pure scan->map pass)."""
+    e = fanout(table(spark, sf_dir, "embeddings"))
     emb = F.col("embedding").cast("array<double>")
     norm = F.sqrt(vectors.dot(emb, emb))
     unit = F.transform(emb, lambda x: x / norm)
@@ -770,11 +772,12 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of embeddings (per-vector
     scale = max|x|/127) — the compression step before shipping vectors
-    to an ANN index.  Map-only higher-order functions, zero shuffle,
-    zero Python; at 100 TB this is a pure scan->write pass.  The oracle
+    to an ANN index.  Map-only higher-order functions, zero Python; at
+    100 TB this is a pure scan->write pass (fanout() is a no-op there;
+    it only spreads a starved single-partition scan).  The oracle
     checks the scale, the quantized-value checksum, and that the
     dequantization error stays within half a quantization step."""
-    e = table(spark, sf_dir, "embeddings")
+    e = fanout(table(spark, sf_dir, "embeddings"))
     emb = F.col("embedding").cast("array<double>")
     scale = F.greatest(
         F.array_max(F.transform(emb, F.abs)) / 127.0, F.lit(1e-12)

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions import textfns
 from ..registry import register
-from ..sources.tables import spread, table
+from ..sources.tables import fanout, spread, table
 
 # DuckDB twin of textfns.tokens()
 _DUCK_TOKENS = (
@@ -241,8 +241,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-token shingling (the MinHash input): shingle count and distinct
-    shingle count per document."""
-    d = table(spark, sf_dir, "documents")
+    shingle count per document. fanout() spreads the per-doc shingle
+    build across cores when the scan is single-partition (no-op at real
+    scale)."""
+    d = fanout(table(spark, sf_dir, "documents"))
     toks = textfns.tokens("text")
     sh = textfns.shingles(toks, 3)
     return d.select(

@@ -70,3 +70,26 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     exchange."""
     sc = df.sparkSession.sparkContext
     return df.repartition(sc.defaultParallelism, *[F.col(c) for c in cols])
+
+
+def fanout(df: DataFrame, *cols: str) -> DataFrame:
+    """Conditionally repartition CPU-heavy narrow work across all cores.
+
+    A single small parquet file (or single row group) gives the scan ONE
+    partition, so per-row higher-order work (tokenize / shingle /
+    per-element vector math) serializes onto one core no matter how wide
+    the cluster is. When the scan's natural parallelism already meets
+    the cluster's — the normal case at real scale, where file count x
+    row groups >> cores — this is a NO-OP: no exchange is added and the
+    plan stays a pure scan->map. Only the starved-scan case pays the
+    (tiny: the compact pre-explosion input) shuffle.
+
+    With key columns, hash-partitions on them so a downstream groupBy
+    on the same key reuses the exchange; without, round-robins."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= p:
+        return df
+    if cols:
+        return df.repartition(p, *[F.col(c) for c in cols])
+    return df.repartition(p)
