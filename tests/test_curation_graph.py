@@ -263,3 +263,37 @@ def test_pagerank_top20_shape(spark):
     prs = [r.pr for r in rows]
     assert prs == sorted(prs, reverse=True)
     assert all(r.pr > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Containment near-dup: planted sub-document duplication
+# ---------------------------------------------------------------------------
+
+
+def test_containment_finds_embedded_subdocument(spark, monkeypatch):
+    """A short doc copied verbatim inside a much longer one: containment
+    flags the pair (1.0) while length-blocked Jaccard cannot (different
+    length buckets, and the union denominator drowns the overlap)."""
+    from fortisiem_clickhouse_monitor_spark.operators import dedup as dd
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    rows = [
+        (1, span, "en", "srcA", len(span)),
+        (2, filler + " " + span + " " + filler, "en", "srcB", 600),
+        (3, "totally different words here nothing shared at all", "en", "srcC", 51),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(dd, "table", lambda s, d, n: docs)
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dd.dedup_shingle_containment_pairs(spark, "ignored").collect()
+    }
+    assert got.get((1, 2)) == 1.0
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in dd.dedup_ngram_jaccard_pairs(spark, "ignored").collect()
+    }
+    assert (1, 2) not in jac
