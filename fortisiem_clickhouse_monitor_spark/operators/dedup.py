@@ -264,42 +264,21 @@ _MINHASH_LSH_ORACLE = f"""
 
 
 def _minhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
-    sh = textfns.shingles(textfns.tokens("text"), 3)
-    docs = d.select(
-        "doc_id", F.array_distinct(sh).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    out = docs.select(
-        "doc_id",
-        "shingles",
-        F.array(
-            *textfns.minhash_signature(F.col("shingles"), _N_HASHES)
-        ).alias("sig"),
-    )
     # The plan reuses this subtree 3x (banding + both sides of the
     # verification join); shingling/minhashing are interpreted
     # higher-order fns, so persist the small signature table instead of
     # recomputing it per use (~doc_count * (16 + |shingles|) values).
-    return out.persist()
+    return minhash_doc_sigs(table(spark, sf_dir, "documents")).persist()
 
 
-@register("dedup_minhash_lsh_pairs", oracle=_MINHASH_LSH_ORACLE, tags=("DD", "LSH"))
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) -> LSH banding (8 bands x 2 rows) -> candidate pairs
-    -> exact-Jaccard verification >= 0.5.
-
-    Candidate generation is groupBy-free: docs explode to (band_id,
-    band_key) rows and self-join on band equality — at scale this is a
-    shuffle on band keys, and the quadratic blow-up is confined to
-    same-bucket collisions, which is the entire point of LSH. The band
-    key packs the band's 2 signature values into one collision-free
-    int64 (each value < p ~ 2^31, so s0*p + s1 < 2^62) — exact band
-    equality, no hash-collision false candidates, and bit-identical in
-    the DuckDB oracle (the md5-based hash60 signature is what makes
-    this query hash-checkable rather than rows-only)."""
-    docs = _minhash_docs(spark, sf_dir)
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """Explode (doc_id, sig) rows to (doc_id, band_id, band_key): the
+    band key packs the band's {_N_HASHES}//{_BANDS} signature values
+    into one collision-free int64 (each value < p ~ 2^31, so
+    s0*p + s1 < 2^62). Map-only — works identically on a batch frame
+    and on a streaming frame (the streaming near-dup job reuses it)."""
     rows_per_band = _N_HASHES // _BANDS
-    bands = docs.select(
+    return docs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -317,6 +296,42 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
+
+
+def minhash_doc_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles, sig) from a documents-shaped frame — the
+    map-only signature stage shared by the batch LSH query (via
+    _minhash_docs, which adds persist) and the streaming near-dup job
+    (persist is illegal on a streaming frame)."""
+    sh = textfns.shingles(textfns.tokens("text"), 3)
+    out = docs.select(
+        "doc_id", F.array_distinct(sh).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    return out.select(
+        "doc_id",
+        "shingles",
+        F.array(
+            *textfns.minhash_signature(F.col("shingles"), _N_HASHES)
+        ).alias("sig"),
+    )
+
+
+@register("dedup_minhash_lsh_pairs", oracle=_MINHASH_LSH_ORACLE, tags=("DD", "LSH"))
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) -> LSH banding (8 bands x 2 rows) -> candidate pairs
+    -> exact-Jaccard verification >= 0.5.
+
+    Candidate generation is groupBy-free: docs explode to (band_id,
+    band_key) rows and self-join on band equality — at scale this is a
+    shuffle on band keys, and the quadratic blow-up is confined to
+    same-bucket collisions, which is the entire point of LSH. The band
+    key packs the band's 2 signature values into one collision-free
+    int64 (each value < p ~ 2^31, so s0*p + s1 < 2^62) — exact band
+    equality, no hash-collision false candidates, and bit-identical in
+    the DuckDB oracle (the md5-based hash60 signature is what makes
+    this query hash-checkable rather than rows-only)."""
+    docs = _minhash_docs(spark, sf_dir)
+    bands = minhash_bands(docs)
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
