@@ -989,3 +989,111 @@ def dedup_shingle_containment_pairs(
             F.round(F.col("i").cast("double") / mn, 4).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator quality: estimated vs exact Jaccard per verified pair
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_estimate_error",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sigs AS (
+      SELECT doc_id, shingles,
+             {textfns.minhash_signature_sql("shingles", _N_HASHES, _MH_PRIME)} AS sig
+      FROM docs
+    ),
+    bands AS (
+      SELECT doc_id, t.b AS band_id,
+             list_extract(sig, 2 * CAST(t.b AS INTEGER) + 1) * {_MH_PRIME}
+               + list_extract(sig, 2 * CAST(t.b AS INTEGER) + 2) AS band_key
+      FROM sigs, range(0, {_BANDS}) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))
+               AS inter,
+             len(sa.shingles) + len(sb.shingles)
+               - len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))
+               AS uni,
+             len(list_filter(range(1, {_N_HASHES} + 1),
+                             i -> sa.sig[CAST(i AS INTEGER)]
+                                  = sb.sig[CAST(i AS INTEGER)])) AS matches
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard,
+           CAST(matches AS DOUBLE) / {_N_HASHES} AS est_jaccard,
+           round(abs(CAST(inter AS DOUBLE) / uni
+                     - CAST(matches AS DOUBLE) / {_N_HASHES}), 4) AS abs_err
+    FROM scored
+    WHERE CAST(inter AS DOUBLE) / uni >= 0.5
+    """,
+    tags=("DD", "LSH", "SKETCH"),
+)
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality evaluation: for every verified near-dup pair,
+    the MinHash ESTIMATE of Jaccard (matching signature positions /
+    {_N_HASHES}) next to the exact value and their absolute error —
+    the "measure, don't guess" check that tells you whether 16
+    permutations are enough before trusting estimate-only dedup at
+    scale (stderr ~ sqrt(J(1-J)/16) ~ 0.125 at J=0.5).
+
+    est_jaccard is k/{_N_HASHES} — a dyadic rational, exactly
+    representable in binary floating point, so no rounding is needed
+    for hash parity. Same plan as dedup_minhash_lsh_pairs plus one
+    map-side zip_with over the two signatures already present at the
+    verification join — zero extra shuffles."""
+    docs = _minhash_docs(spark, sf_dir)
+    bands = minhash_bands(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sides = docs.select("doc_id", "shingles", "sig")
+    joined = cand.join(
+        sides.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("shingles", "sh_a")
+        .withColumnRenamed("sig", "sig_a"),
+        "doc_a",
+    ).join(
+        sides.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("shingles", "sh_b")
+        .withColumnRenamed("sig", "sig_b"),
+        "doc_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / uni
+    matches = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    )
+    est = matches.cast("double") / _N_HASHES
+    return joined.filter(jac >= 0.5).select(
+        "doc_a",
+        "doc_b",
+        F.round(jac, 4).alias("jaccard"),
+        est.alias("est_jaccard"),
+        F.round(F.abs(jac - est), 4).alias("abs_err"),
+    )

@@ -152,6 +152,37 @@ def _duck_hits(words: tuple[str, ...]) -> str:
     return f"len(list_filter({_DUCK_TOKENS}, t -> t IN ({inlist})))"
 
 
+def _lang_guess_exprs(toks):
+    """(hits dict, guess Column): per-language stopword hit counts and
+    the argmax guess with fixed priority tiebreak (en > es > de > fr).
+    Shared by text_lang_guess and the confusion-matrix evaluation."""
+    hits = {
+        lang: textfns.stopword_hits(toks, words)
+        for lang, words in textfns.STOPWORDS.items()
+    }
+    guess = (
+        F.when(
+            hits["en"] >= F.greatest(hits["es"], hits["de"], hits["fr"]), "en"
+        )
+        .when(hits["es"] >= F.greatest(hits["de"], hits["fr"]), "es")
+        .when(hits["de"] >= hits["fr"], "de")
+        .otherwise("fr")
+    )
+    return hits, guess
+
+
+#: DuckDB twin of the guess CASE (callers interpolate into queries).
+def _duck_lang_guess() -> str:
+    h = {lang: _duck_hits(w) for lang, w in textfns.STOPWORDS.items()}
+    return f"""CASE
+             WHEN {h['en']} >= greatest({h['es']}, {h['de']}, {h['fr']})
+               THEN 'en'
+             WHEN {h['es']} >= greatest({h['de']}, {h['fr']}) THEN 'es'
+             WHEN {h['de']} >= {h['fr']} THEN 'de'
+             ELSE 'fr'
+           END"""
+
+
 @register(
     "text_lang_guess",
     oracle=f"""
@@ -181,18 +212,7 @@ def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a fixed priority tiebreak (en > es > de > fr)."""
     d = table(spark, sf_dir, "documents")
     toks = textfns.tokens("text")
-    hits = {
-        lang: textfns.stopword_hits(toks, words)
-        for lang, words in textfns.STOPWORDS.items()
-    }
-    guess = (
-        F.when(
-            hits["en"] >= F.greatest(hits["es"], hits["de"], hits["fr"]), "en"
-        )
-        .when(hits["es"] >= F.greatest(hits["de"], hits["fr"]), "es")
-        .when(hits["de"] >= hits["fr"], "de")
-        .otherwise("fr")
-    )
+    hits, guess = _lang_guess_exprs(toks)
     return d.select(
         "doc_id",
         hits["en"].alias("en_hits"),
@@ -401,4 +421,39 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             F.round(F.avg("lp"), 4).alias("avg_logprob"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix against the labeled lang column
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_lang_confusion_matrix",
+    oracle=f"""
+    SELECT lang AS actual_lang,
+           {_duck_lang_guess()} AS guessed_lang,
+           count(*) AS n
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    tags=("TXT", "eval"),
+)
+def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline-evaluation step: confusion matrix of the stopword
+    language-ID heuristic against the labeled `lang` column — per
+    (actual, guessed) document counts. The `zh` row is the designed
+    blind spot (no zh stopword list: every zh doc falls through the
+    tiebreak chain), which is exactly what this evaluation surfaces.
+
+    One map-side guess expression + one groupBy on a 20-cell domain:
+    the shuffle carries at most |langs|^2 partial rows per task at any
+    corpus size."""
+    d = table(spark, sf_dir, "documents")
+    _, guess = _lang_guess_exprs(textfns.tokens("text"))
+    return (
+        d.select(F.col("lang").alias("actual_lang"), guess.alias("guessed_lang"))
+        .groupBy("actual_lang", "guessed_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
