@@ -297,3 +297,21 @@ def test_containment_finds_embedded_subdocument(spark, monkeypatch):
         for r in dd.dedup_ngram_jaccard_pairs(spark, "ignored").collect()
     }
     assert (1, 2) not in jac
+
+
+# ---------------------------------------------------------------------------
+# fanout: conditional parallelism repair
+# ---------------------------------------------------------------------------
+
+
+def test_fanout_noop_when_scan_already_parallel(spark):
+    from fortisiem_clickhouse_monitor_spark.sources.tables import fanout
+
+    p = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, numPartitions=p)
+    assert fanout(wide) is wide  # no exchange added
+    narrow = spark.range(0, 10_000, numPartitions=1)
+    out = fanout(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == p
+    assert out.count() == 10_000
