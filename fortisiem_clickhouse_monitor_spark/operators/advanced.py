@@ -1018,3 +1018,74 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_upper_bound"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap fill: dense (event_type x day) grid with zero-filled holes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_gap_fill_daily",
+    oracle="""
+    WITH span AS (
+      SELECT CAST(date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS TIMESTAMP)
+               AS lo,
+             CAST(date_trunc('day', max(CAST(ts AS TIMESTAMP))) AS TIMESTAMP)
+               AS hi
+      FROM events
+    ),
+    days AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                  AS TIMESTAMP) AS day
+      FROM span
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+               AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type, d.day, COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+    FROM types t
+    CROSS JOIN days d
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.day = d.day
+    """,
+    tags=("A-ext", "TS"),
+)
+def timeseries_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily series per event type: every (type, day) cell over
+    the observed calendar span, zero where no events occurred — the
+    gap-fill step dashboards and forecasting features need (a missing
+    day must read 0, not be absent).
+
+    The calendar frame is sequence(min_day, max_day) exploded from a
+    ONE-row aggregate and cross-joined with the distinct-type dim —
+    both sides are tiny (days x types), so the grid build is a
+    broadcast cross of two scalars-sized frames; the only real shuffle
+    is the per-(type, day) count, and the fill join is broadcast. At
+    100 TB of events the grid is still |days| x |types| — the dense
+    side never scales with the fact table."""
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    counts = ev.groupBy(
+        "event_type", day.alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    span = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = span.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(days))
+    return grid.join(
+        F.broadcast(counts), ["event_type", "day"], "left"
+    ).select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+    )

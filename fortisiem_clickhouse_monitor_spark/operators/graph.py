@@ -117,3 +117,95 @@ def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     return pagerank_int(edges).orderBy(F.desc("pr"), "node").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: common-neighbor counts for non-adjacent pairs
+# ---------------------------------------------------------------------------
+
+
+def _common_neighbors_oracle() -> str:
+    from .dedup import _CC_PAIRS_SQL
+
+    return f"""
+    {_CC_PAIRS_SQL},
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    wedges AS (
+      SELECT a.v AS x, b.v AS y
+      FROM sym a JOIN sym b ON a.u = b.u AND a.v < b.v
+    ),
+    counts AS (SELECT x, y, count(*) AS common FROM wedges GROUP BY x, y),
+    nonedges AS (
+      SELECT c.x, c.y, c.common
+      FROM counts c
+      LEFT JOIN pairs p ON p.doc_a = c.x AND p.doc_b = c.y
+      WHERE p.doc_a IS NULL
+    )
+    SELECT x AS doc_a, y AS doc_b, CAST(common AS BIGINT) AS common_neighbors
+    FROM nonedges ORDER BY common DESC, x, y LIMIT 20
+    """
+
+
+@register(
+    "graph_common_neighbors_top20",
+    oracle=_common_neighbors_oracle(),
+    tags=("graph",),
+)
+def graph_common_neighbors_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the near-dup graph: the 20 NON-adjacent
+    document pairs sharing the most common neighbors — merge candidates
+    the pairwise Jaccard threshold narrowly missed (two docs similar to
+    the same cluster but not directly to each other).
+
+    Same wedge join the triangle enumeration uses (one equi-join on the
+    middle vertex), then a count aggregation and an anti-join against
+    the existing edge set; top-k lowers to TakeOrderedAndProject. The
+    near-dup graph's degrees are bounded by duplicate-cluster size, so
+    the wedge fan-out is quadratic only in that cluster bound — the
+    same property the dedup family already relies on. The edge list is
+    checkpointed once so the Jaccard GEMM subtree runs exactly once.
+
+    Cost note: wedge count is sum(deg^2)/2 over middles — exact common-
+    neighbor counting cannot beat that bound. The synthetic corpus's
+    30-word vocabulary creates pathological ~150-degree mega-clusters
+    (~50M wedges at sf0.1, ~6.5 s); on a real deduplicated corpus
+    cluster sizes — and therefore degrees — are small, making this
+    near-linear. A collect_list + combination-explode variant measured
+    identical (the wedge row count dominates, not the join)."""
+    from .dedup import dedup_ngram_jaccard_pairs
+
+    pairs = (
+        dedup_ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    a, b = sym.alias("a"), sym.alias("b")
+    wedges = a.join(
+        b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v"))
+    ).select(F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+    counts = wedges.groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("common_neighbors")
+    )
+    nonedges = counts.join(
+        pairs,
+        (counts["x"] == pairs["doc_a"]) & (counts["y"] == pairs["doc_b"]),
+        "left_anti",
+    )
+    return (
+        nonedges.select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            "common_neighbors",
+        )
+        .orderBy(F.desc("common_neighbors"), "doc_a", "doc_b")
+        .limit(20)
+    )
