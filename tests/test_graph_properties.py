@@ -37,3 +37,64 @@ def test_pagerank_matches_simulation_on_random_graphs(spark, pairs):
     df = spark.createDataFrame(edges, "u: long, v: long")
     got = {r.node: r.pr for r in pagerank_int(df).collect()}
     assert got == _simulate(edges)
+
+
+# ---------------------------------------------------------------------------
+# Containment pairs vs brute-force reference on random corpora
+# ---------------------------------------------------------------------------
+
+_words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+_doc = st.lists(_words, min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=8)
+
+
+def _brute_containment(texts, cap, num, den):
+    """Python reference with identical df-cap semantics."""
+    from collections import Counter
+
+    sh = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        sh[i + 1] = {
+            " ".join(toks[j : j + 3]) for j in range(len(toks) - 2)
+        }
+    df = Counter(s for ss in sh.values() for s in ss)
+    filt = {
+        d: {s for s in ss if df[s] <= cap} for d, ss in sh.items()
+    }
+    out = {}
+    ids = sorted(filt)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(filt[a] & filt[b])
+            mn = min(len(filt[a]), len(filt[b]))
+            if mn and den * inter >= num * mn:
+                out[(a, b)] = round(inter / mn, 4)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus)
+def test_containment_matches_bruteforce(spark, texts, monkeypatch):
+    from fortisiem_clickhouse_monitor_spark.operators import dedup as dd
+
+    rows = [
+        (i + 1, t, "en", "s", len(t)) for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(dd, "table", lambda s, d, n: docs)
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in dd.dedup_shingle_containment_pairs(spark, "x").collect()
+    }
+    want = _brute_containment(
+        texts, dd._CONT_DF_CAP, dd._CONT_NUM, dd._CONT_DEN
+    )
+    assert got == want
