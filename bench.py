@@ -85,6 +85,19 @@ HEADLINE = [
     "rollup_incremental_maintenance",
     "sketch_histogram_quantiles",
     "dedup_graph_triangles",
+    # round 3 additions
+    "text_chunk_sliding_window",
+    "corpus_cap_per_source",
+    "corpus_mixture_sample",
+    "corpus_block_dedup_stats",
+    "text_gopher_rules",
+    "graph_pagerank_top20",
+    "pipeline_training_data_prep",
+    "dedup_shingle_containment_pairs",
+    "dedup_minhash_estimate_error",
+    "text_lang_confusion_matrix",
+    "timeseries_gap_fill_daily",
+    "graph_common_neighbors_top20",
 ]
 
 
