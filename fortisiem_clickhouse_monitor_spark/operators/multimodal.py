@@ -224,3 +224,69 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("pixel_mean", 6).alias("pixel_mean"),
         "pixel_max",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio-shaped assets: PCM pack -> decode roundtrip -> waveform features
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_audio_rms_features",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_samples,
+           CAST(sum(q * q) AS BIGINT) AS sum_sq,
+           CAST(max(abs(q)) AS BIGINT) AS peak
+    FROM (
+      SELECT user_id,
+             greatest(least(CAST(floor(value * 100) AS BIGINT), 32767),
+                      -32768) AS q
+      FROM events
+    ) GROUP BY user_id
+    """,
+    tags=("MM",),
+)
+def mm_audio_rms_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped feature extraction: each user's event values become
+    a little-endian 16-bit PCM waveform (floor(value*100) clamped to
+    int16, packed in (ts, event_id) order), which is then DECODED back
+    from the raw bytes and reduced to sample count, energy (sum of
+    squares), and peak amplitude.
+
+    The pack->frombuffer roundtrip inside applyInPandas is the real
+    plumbing an audio pipeline needs (Arrow-batched binary, per-key
+    grouping, deterministic sample order); the features are integers so
+    the closed-form oracle — which never touches bytes — hash-matches
+    exactly, proving the byte roundtrip is lossless. Quantization uses
+    floor, not round: floor is unambiguous across engines while
+    half-sample rounding modes differ. One shuffle on user_id; at
+    100 TB the waveform per key is bounded by the group's event count
+    (use time-windowed keys for unbounded histories)."""
+    import numpy as np
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    q = F.greatest(
+        F.least(F.floor(F.col("value") * 100), F.lit(32767)),
+        F.lit(-32768),
+    ).cast("int")
+    samples = ev.select("user_id", "ts", "event_id", q.alias("q"))
+
+    def features(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        pcm = pdf["q"].to_numpy().astype("<i2").tobytes()  # encode
+        w = np.frombuffer(pcm, dtype="<i2").astype("int64")  # decode
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_samples": [len(w)],
+                "sum_sq": [int((w * w).sum())],
+                "peak": [int(np.abs(w).max()) if len(w) else 0],
+            }
+        )
+
+    return samples.groupBy("user_id").applyInPandas(
+        features,
+        schema="user_id long, n_samples long, sum_sq long, peak long",
+    )
