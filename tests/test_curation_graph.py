@@ -315,3 +315,36 @@ def test_fanout_noop_when_scan_already_parallel(spark):
     assert out is not narrow
     assert out.rdd.getNumPartitions() == p
     assert out.count() == 10_000
+
+
+# ---------------------------------------------------------------------------
+# Gap fill and confusion matrix semantics
+# ---------------------------------------------------------------------------
+
+
+def test_gap_fill_dense_grid(spark):
+    from fortisiem_clickhouse_monitor_spark.operators.advanced import (
+        timeseries_gap_fill_daily,
+    )
+
+    rows = timeseries_gap_fill_daily(spark, SF_SMALL).collect()
+    days = {r.day for r in rows}
+    types = {r.event_type for r in rows}
+    # dense: every (type, day) cell exists exactly once
+    assert len(rows) == len(days) * len(types)
+    assert min(r.n for r in rows) >= 0
+    # totals match the raw event count
+    ev_n = table(spark, SF_SMALL, "events").count()
+    assert sum(r.n for r in rows) == ev_n
+
+
+def test_lang_confusion_diagonal_and_totals(spark):
+    from fortisiem_clickhouse_monitor_spark.operators.text import (
+        text_lang_confusion_matrix,
+    )
+
+    rows = text_lang_confusion_matrix(spark, SF_SMALL).collect()
+    total = sum(r.n for r in rows)
+    assert total == table(spark, SF_SMALL, "documents").count()
+    # zh has no stopword list: it can never be guessed
+    assert all(r.guessed_lang != "zh" for r in rows)
