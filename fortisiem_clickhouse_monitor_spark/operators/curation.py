@@ -382,3 +382,112 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ok_repetition", "has_stopword", "passes",
         )]
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch upsampling: replicate rare-language docs a fixed number of epochs
+# ---------------------------------------------------------------------------
+
+#: Training epochs per language (inverse of the mixture downsampling:
+#: rare languages repeat, en does not).
+_EPOCHS = {"en": 1, "es": 2, "de": 2, "fr": 2, "zh": 3}
+
+_DUCK_EPOCH_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _EPOCHS.items())
+    + " ELSE 1 END"
+)
+
+
+@register(
+    "corpus_upsample_epochs",
+    oracle=f"""
+    SELECT doc_id, lang, gs.epoch
+    FROM documents,
+    LATERAL (SELECT unnest(generate_series(1, {_DUCK_EPOCH_CASE}))
+             AS epoch) gs
+    """,
+    tags=("sampling", "curation"),
+)
+def corpus_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture building by replication: each document appears once per
+    training epoch assigned to its language (zh 3x, most 2x, en 1x) —
+    the upsampling complement of corpus_mixture_sample's hash
+    downsampling, as used when rebalancing toward a target mixture
+    without discarding rare-language data.
+
+    explode(sequence(1, n_epochs)) is pure map-side row replication:
+    no shuffle, output size = sum of epoch weights — at 100 TB prefer
+    replicating doc IDs (and joining text back at read time) over
+    materializing repeated text."""
+    d = table(spark, sf_dir, "documents")
+    n_epochs = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in _EPOCHS.items() for x in kv])[
+            F.col("lang")
+        ],
+        F.lit(1),
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(1), n_epochs)).alias("epoch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage: per-doc OOV rate against the corpus top-50 unigrams
+# ---------------------------------------------------------------------------
+
+_VOCAB_K = 50
+
+
+@register(
+    "text_oov_rate_top50",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM toks GROUP BY w
+      ORDER BY count(*) DESC, w LIMIT {_VOCAB_K}
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id
+    """,
+    tags=("TXT", "vocab", "eval"),
+)
+def text_oov_rate_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary application: learn the corpus top-{_VOCAB_K} unigram
+    vocabulary (deterministic count-then-word tiebreak), then score
+    every document's out-of-vocabulary token count — the coverage
+    check run before committing to a tokenizer vocab.
+
+    Two aggregations share the exploded token stream; the learned
+    vocab is {_VOCAB_K} rows, so the membership join broadcasts and
+    the per-doc score is one doc-keyed exchange. The fanout guard
+    spreads the explode when the scan is single-partition."""
+    d = fanout(table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select(
+        "doc_id", F.explode(textfns.tokens("text")).alias("w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_VOCAB_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
