@@ -644,7 +644,8 @@ def sketch_monthly_users_from_daily(spark: SparkSession, sf_dir: str) -> DataFra
     "sketch_heavy_hitter_tokens",
     oracle="""
     SELECT token, count(*) AS n
-    FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+    FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                    _x -> _x <> '')) AS token
           FROM documents) t
     GROUP BY token ORDER BY n DESC, token LIMIT 25
     """,
@@ -740,7 +741,8 @@ def sql_catalog_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang,
              CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
                   t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
-               / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio
+               / len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                 _x -> _x <> '')) AS stop_ratio
       FROM documents
     ), meds AS (
       SELECT lang, median(stop_ratio) AS med FROM scored GROUP BY lang
@@ -789,7 +791,8 @@ def _cm_bucket_duck(term_expr: str, start: int) -> str:
     "sketch_countmin_token_freq",
     oracle=f"""
     WITH toks AS (
-      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term
+      SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                                _x -> _x <> '')) AS term
       FROM documents
     ),
     counters AS (

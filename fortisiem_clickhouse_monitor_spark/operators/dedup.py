@@ -1097,3 +1097,104 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("est_jaccard"),
         F.round(F.abs(jac - est), 4).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup: repeated fixed-length token windows across docs
+# ---------------------------------------------------------------------------
+
+_SSW_W = 8  # window length in tokens (stride 1 — exhaustive)
+
+
+@register(
+    "dedup_repeated_substring_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t, len({_DUCK_TOKENS}) AS n
+      FROM documents
+    ),
+    eligible AS (
+      SELECT doc_id, t, n FROM toks WHERE n >= {_SSW_W}
+    ),
+    occ AS (
+      SELECT doc_id,
+             {textfns.DUCK_HASH60.format(
+                 col=f"array_to_string(list_slice(t, i.i, i.i + {_SSW_W} - 1), ' ')"
+             )} AS wh
+      FROM eligible, unnest(range(1, n - {_SSW_W} + 2)) AS i(i)
+    ),
+    dup AS (
+      SELECT wh FROM occ GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    per_doc AS (
+      SELECT o.doc_id, count(*) AS n_dup_windows
+      FROM occ o JOIN dup USING (wh) GROUP BY o.doc_id
+    )
+    SELECT e.doc_id,
+           e.n - {_SSW_W} + 1 AS n_windows,
+           coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+           round(CAST(coalesce(p.n_dup_windows, 0) AS DOUBLE)
+                 / (e.n - {_SSW_W} + 1), 6) AS dup_window_frac
+    FROM eligible e LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("DD", "TXT"),
+)
+def dedup_repeated_substring_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Substring-LEVEL duplication (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): every {_SSW_W}-token window
+    (stride 1) is fingerprinted, and a window is duplicated if its exact
+    text occurs in >= 2 distinct documents. Per document: window count,
+    duplicated-window count, and the duplicated fraction — the signal
+    that catches boilerplate/licence blocks and quoted passages that
+    document-level Jaccard/MinHash miss entirely (the containing docs
+    are not near-dups; the SPAN is).
+
+    Scale shape (vs the reference's row pipelines, which have no dedup
+    at all — north-star extension): tokenize + slide is map-only
+    (higher-order functions, one row per token via explode of the
+    shingle array); windows travel as 60-bit md5 fingerprints, never as
+    text, so the duplicate-counting shuffle carries 16 bytes/window.
+    The compact (doc_id, wh) occurrence list feeds both the duplicate
+    vote and the join-back, so it is checkpointed once (same rationale
+    as the containment posting list). count(DISTINCT doc_id) >= 2 is
+    per-fingerprint with map-side partial distinct — no posting-list
+    blow-up; at 100 TB this is the streaming-friendly form of the
+    suffix-array pass (fixed W trades generality for one-pass
+    parallelism). Window totals come from token counts arithmetically
+    (n - W + 1) — the totals side never materializes windows."""
+    d = fanout(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
+    toks = textfns.tokens("text")
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        textfns.shingles(toks, _SSW_W).alias("wins"),
+    ).filter(F.col("n_tokens") >= _SSW_W)
+    occ = base.select(
+        "doc_id", F.explode("wins").alias("win")
+    ).select("doc_id", textfns.hash60(F.col("win")).alias("wh"))
+    # Two consumers (duplicate vote + join-back): materialize the
+    # compact fingerprint stream once instead of re-tokenizing twice.
+    occ = occ.localCheckpoint()
+    dup = (
+        occ.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+    per_doc = occ.join(dup, "wh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows")
+    )
+    totals = d.select(
+        "doc_id", (F.size(toks) - _SSW_W + 1).cast("long").alias("n_windows")
+    ).filter(F.col("n_windows") >= 1)
+    n_dup = F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_windows",
+        n_dup.alias("n_dup_windows"),
+        F.round(n_dup.cast("double") / F.col("n_windows"), 6).alias(
+            "dup_window_frac"
+        ),
+    )

@@ -303,3 +303,225 @@ def mm_audio_rms_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_sq").alias("sum_sq"),
         F.max("peak").alias("peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image near-dup: perceptual difference hash (dHash) over decoded pixels
+# ---------------------------------------------------------------------------
+
+
+def dhash64(img) -> tuple[int, int]:
+    """64-bit difference hash of an (h, w, 3) uint8 image, returned as
+    two 32-bit halves (hi, lo) so the value stays inside a signed int64
+    in BOTH engines (bit 63 of a single packed word would not).
+
+    Standard dHash: grayscale, sample a 9x8 grid (nearest-neighbor, no
+    interpolation — deterministic and closed-form), set bit (r*8+c) iff
+    gray[r][c] > gray[r][c+1]."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    gray = img.astype("int64").sum(axis=2) // 3
+    rows = np.arange(8) * (h // 8)
+    cols = (np.arange(9) * w) // 9
+    sampled = gray[np.ix_(rows, cols)]  # 8 x 9
+    bits = (sampled[:, :8] > sampled[:, 1:]).reshape(-1)  # k = r*8 + c
+    weights = 1 << (np.arange(64, dtype="int64") % 32)
+    hi = int((bits[32:] * weights[32:]).sum())
+    lo = int((bits[:32] * weights[:32]).sum())
+    return hi, lo
+
+
+#: DuckDB CTE chain computing every asset's dHash halves in closed form
+#: (shared by the group and near-pair oracles — neither decodes pixels).
+_DHASH_CTES = """a AS (
+      SELECT doc_id AS asset_id,
+             (doc_id % 4) * 16 + 16 AS w,
+             (doc_id % 3) * 8 + 8 AS h,
+             (doc_id * 7) % 256 AS b
+      FROM documents
+    ),
+    grid AS (
+      SELECT asset_id, b, r.r AS r, c.c AS c,
+             (r.r * (h // 8)) * w + (c.c * w) // 9 AS p1,
+             (r.r * (h // 8)) * w + ((c.c + 1) * w) // 9 AS p2
+      FROM a, range(8) r(r), range(8) c(c)
+    ),
+    bits AS (
+      SELECT asset_id, r * 8 + c AS k,
+             CASE WHEN ((b + 3*p1) % 256 + (b + 3*p1 + 1) % 256
+                        + (b + 3*p1 + 2) % 256) // 3
+                     > ((b + 3*p2) % 256 + (b + 3*p2 + 1) % 256
+                        + (b + 3*p2 + 2) % 256) // 3
+             THEN 1 ELSE 0 END AS bit
+      FROM grid
+    ),
+    hashes AS (
+      SELECT asset_id,
+             CAST(sum(CASE WHEN k >= 32
+                      THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+                  AS BIGINT) AS dhash_hi,
+             CAST(sum(CASE WHEN k < 32
+                      THEN bit * (1::BIGINT << k) ELSE 0 END)
+                  AS BIGINT) AS dhash_lo
+      FROM bits GROUP BY asset_id
+    )"""
+
+
+@register(
+    "mm_image_dhash_groups",
+    oracle=f"""
+    WITH {_DHASH_CTES}
+    SELECT dhash_hi, dhash_lo,
+           count(*) AS n_assets,
+           min(asset_id) AS keeper_asset_id
+    FROM hashes GROUP BY dhash_hi, dhash_lo
+    """,
+    tags=("MM", "DD", "UDF"),
+)
+def mm_image_dhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup via perceptual difference hash: every asset's REAL
+    P6 PPM payload is decoded (decode_image), dHashed (9x8 grayscale
+    grid, adjacent-pixel comparisons -> 64 bits), and assets are grouped
+    by exact hash — the image-side twin of text exact dedup, robust to
+    re-encodes that preserve pixel structure. Each group reports its
+    size and min-id keeper.
+
+    The oracle never decodes an image: the synthetic gradient's gray
+    value at pixel p has the closed form ((b+3p)%256 + (b+3p+1)%256 +
+    (b+3p+2)%256)//3, so DuckDB recomputes every sampled comparison
+    arithmetically — hash-matching proves the decode+hash path faithful
+    end to end. The hash packs as two 32-bit halves because bit 63 of a
+    single int64 word is not representable identically across engines.
+
+    Scale shape: decode+hash is mapInPandas at Arrow-batch granularity
+    (memory bounded by maxRecordsPerBatch, not asset count); the only
+    shuffle carries (asset_id, 2x int) — 24 bytes/asset regardless of
+    image size. Grouping on the exact hash is a plain hash aggregate;
+    the Hamming-tolerant variant (mm_image_dhash_near_pairs) bands the
+    64 bits into 4x16-bit keys exactly like dedup_simhash_pairs."""
+    return _dhash_frame(spark, sf_dir).groupBy("dhash_hi", "dhash_lo").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.min("asset_id").alias("keeper_asset_id"),
+    )
+
+
+def _dhash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(asset_id, dhash_hi, dhash_lo): decode every asset's PPM payload
+    and dHash it at Arrow-batch granularity."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("doc_id").alias("asset_id"),
+        (F.pmod("doc_id", F.lit(4)) * 16 + 16).alias("width"),
+        (F.pmod("doc_id", F.lit(3)) * 8 + 8).alias("height"),
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            his, los = [], []
+            for aid, w, h in zip(pdf["asset_id"], pdf["width"], pdf["height"]):
+                img = decode_image(encode_ppm(int(aid), int(w), int(h)))
+                hi, lo = dhash64(img)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "dhash_hi": his, "dhash_lo": los}
+            )
+
+    return src.mapInPandas(
+        hash_batch, schema="asset_id LONG, dhash_hi LONG, dhash_lo LONG"
+    )
+
+
+_DHASH_MAX_HAMMING = 2
+
+
+@register(
+    "mm_image_dhash_near_pairs",
+    oracle=f"""
+    WITH {_DHASH_CTES},
+    reps AS (
+      SELECT dhash_hi, dhash_lo, min(asset_id) AS rep
+      FROM hashes GROUP BY dhash_hi, dhash_lo
+    ),
+    bands AS (
+      SELECT rep, dhash_hi, dhash_lo, t.i AS band_id,
+             CASE t.i
+               WHEN 0 THEN dhash_lo % 65536
+               WHEN 1 THEN dhash_lo // 65536
+               WHEN 2 THEN dhash_hi % 65536
+               ELSE dhash_hi // 65536 END AS band_key
+      FROM reps, range(4) t(i)
+    ),
+    cand AS (
+      SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+             a.dhash_hi AS hi_a, a.dhash_lo AS lo_a,
+             b.dhash_hi AS hi_b, b.dhash_lo AS lo_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.rep < b.rep
+    )
+    SELECT rep_a, rep_b,
+           bit_count(CAST(xor(hi_a, hi_b) AS BIGINT))
+             + bit_count(CAST(xor(lo_a, lo_b) AS BIGINT)) AS hamming
+    FROM cand
+    WHERE bit_count(CAST(xor(hi_a, hi_b) AS BIGINT))
+          + bit_count(CAST(xor(lo_a, lo_b) AS BIGINT)) <= {_DHASH_MAX_HAMMING}
+    """,
+    tags=("MM", "DD", "LSH"),
+)
+def mm_image_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-duplicate pairs: distinct dHash values within Hamming
+    distance <= {_DHASH_MAX_HAMMING} of each other, found by 4x16-bit
+    band bucketing (pigeonhole: any pair within distance 3 shares at
+    least one intact 16-bit band) — the SimHash kernel applied to image
+    perceptual hashes. Pairs are between per-hash REPRESENTATIVES
+    (min asset id), never between members of the same exact-hash group:
+    exact groups are mm_image_dhash_groups' job, and repping first keeps
+    the band join's fan-out bounded by the number of DISTINCT hashes, so
+    a million identical thumbnails cost one row here, not 10^12 pairs.
+
+    Scale shape: decode+hash is the shared Arrow-batched kernel; the
+    rep aggregation and the band self-join shuffle 3-int rows keyed by
+    16-bit band keys; Hamming verification is two xor+bit_count codegen
+    expressions, no Python."""
+    reps = _dhash_frame(spark, sf_dir).groupBy("dhash_hi", "dhash_lo").agg(
+        F.min("asset_id").alias("rep")
+    )
+    band = F.when(F.col("band_id") == 0, F.col("dhash_lo") % 65536).when(
+        F.col("band_id") == 1, (F.col("dhash_lo") / 65536).cast("long")
+    ).when(F.col("band_id") == 2, F.col("dhash_hi") % 65536).otherwise(
+        (F.col("dhash_hi") / 65536).cast("long")
+    )
+    bands = reps.select(
+        "rep",
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("band_id"),
+    ).withColumn("band_key", band)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .select(
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            F.col("a.dhash_hi").alias("hi_a"),
+            F.col("a.dhash_lo").alias("lo_a"),
+            F.col("b.dhash_hi").alias("hi_b"),
+            F.col("b.dhash_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    return cand.select(
+        "rep_a", "rep_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= _DHASH_MAX_HAMMING)

@@ -108,7 +108,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, t.w AS w
-      FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(w)
+      FROM documents,
+           unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                              _x -> _x <> '')) AS t(w)
     ), counts AS (
       SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w
     )

@@ -40,6 +40,43 @@ def _planted_docs(spark):
     )
 
 
+def test_repeated_substring_windows_planted(spark, monkeypatch):
+    """A shared 10-token span is flagged in both containing docs even
+    though the documents as wholes are NOT near-dups; a disjoint doc
+    reports zero duplicated windows; a doc shorter than the window is
+    excluded."""
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d1 = "intro words here " + span + " tail one"
+    d2 = "totally other opening " + span + " different ending words now"
+    d3 = (
+        "unrelated content about columnar execution engines and their "
+        "vectorized operators running over parquet data files"
+    )
+    rows = [
+        (1, d1, "en", "s", len(d1)),
+        (2, d2, "en", "s", len(d2)),
+        (3, d3, "en", "s", len(d3)),
+        (4, "too short", "en", "s", 9),
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(dd, "table", lambda s, d, n: docs)
+    out = {
+        r["doc_id"]: r
+        for r in dd.dedup_repeated_substring_windows(spark, "ignored").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # the 10-token span yields 3 duplicated 8-token windows in each doc
+    assert out[1]["n_dup_windows"] == 3 and out[2]["n_dup_windows"] == 3
+    assert out[3]["n_dup_windows"] == 0 and out[3]["dup_window_frac"] == 0.0
+    for i in (1, 2, 3):
+        n_tokens = len(rows[i - 1][1].split())
+        assert out[i]["n_windows"] == n_tokens - 8 + 1
+
+
 def test_minhash_lsh_finds_planted_dups(spark, tmp_path, monkeypatch):
     docs = _planted_docs(spark)
     # route the operator's table() call to our planted frame

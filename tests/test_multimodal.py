@@ -38,6 +38,58 @@ def test_decode_image_rejects_non_ppm():
         decode_image(b"JUNKJUNKJUNK")
 
 
+def test_dhash64_constant_and_monotone_images():
+    from fortisiem_clickhouse_monitor_spark.operators.multimodal import dhash64
+
+    # constant image: no adjacent difference -> all bits 0
+    flat = np.full((16, 32, 3), 128, dtype=np.uint8)
+    assert dhash64(flat) == (0, 0)
+    # strictly decreasing gray along each row -> every comparison true
+    col = np.arange(32, dtype=np.int64)[::-1] * 8
+    img = np.repeat(col[None, :], 16, axis=0)
+    rgb = np.stack([img, img, img], axis=2).astype(np.uint8)
+    assert dhash64(rgb) == (0xFFFFFFFF, 0xFFFFFFFF)
+
+
+def test_dhash_identical_pixels_share_group(spark, monkeypatch):
+    """Assets whose (width, height, base-byte) coincide decode to
+    identical pixels and must land in one hash group."""
+    import fortisiem_clickhouse_monitor_spark.operators.multimodal as mm
+
+    # doc_ids 12*k + c share (w, h); base repeats when a*7 % 256 ties.
+    # ids 0 and 768: 768 % 4 == 0, 768 % 3 == 0, 768*7 % 256 == 0 == 0*7%256
+    rows = [(i, "x", "en", "s", 1) for i in (0, 768, 5)]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(mm, "table", lambda s, d, n: docs)
+    out = mm.mm_image_dhash_groups(spark, "ignored").collect()
+    by_keeper = {r["keeper_asset_id"]: r["n_assets"] for r in out}
+    assert by_keeper[0] == 2  # 0 and 768 are pixel-identical
+    assert by_keeper.get(5, 1) == 1
+
+
+def test_dhash_near_pairs_banding_and_hamming(spark, monkeypatch):
+    """Planted hashes: 1-bit-apart reps pair with hamming=1; identical
+    hashes collapse to one rep (no intra-group pairs); far hashes stay
+    unpaired."""
+    import fortisiem_clickhouse_monitor_spark.operators.multimodal as mm
+
+    rows = [
+        (1, 0, 0b0001),
+        (9, 0, 0b0001),          # exact dup of asset 1 -> same rep
+        (2, 0, 0b0011),          # hamming 1 from rep 1
+        (3, 0x0F0F0F0F, 0xF0F0F0F0),  # far from everything
+    ]
+    frame = spark.createDataFrame(
+        rows, schema="asset_id LONG, dhash_hi LONG, dhash_lo LONG"
+    )
+    monkeypatch.setattr(mm, "_dhash_frame", lambda s, d: frame)
+    out = {(r["rep_a"], r["rep_b"]): r["hamming"]
+           for r in mm.mm_image_dhash_near_pairs(spark, "ignored").collect()}
+    assert out == {(1, 2): 1}
+
+
 def test_feature_extract_values(spark):
     out = {
         r["asset_id"]: r
