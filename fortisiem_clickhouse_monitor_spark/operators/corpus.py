@@ -433,3 +433,102 @@ def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("tokens_before") / _BIN_BUDGET).alias("bin_id"),
         F.pmod("tokens_before", F.lit(_BIN_BUDGET)).alias("bin_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling: hashed n-gram log-likelihood ratio
+# ---------------------------------------------------------------------------
+
+_DSIR_NB = 8192  # hashed feature buckets (fixed-size LM regardless of vocab)
+_DSIR_K = 200  # documents selected
+_DSIR_TARGET_LANG = "en"
+
+_DUCK_BIGRAMS = (
+    f"CASE WHEN len({_DUCK_TOKENS}) >= 2 THEN "
+    f"list_transform(range(1, len({_DUCK_TOKENS})), "
+    f"i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1]) "
+    f"ELSE [] END"
+)
+
+
+@register(
+    "corpus_dsir_select",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             {textfns.DUCK_HASH60.format(col="f.f")} % {_DSIR_NB} AS bucket
+      FROM documents,
+           unnest(list_concat({_DUCK_TOKENS}, {_DUCK_BIGRAMS})) AS f(f)
+    ),
+    tc AS (SELECT bucket, count(*) AS ct FROM feats
+           WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY bucket),
+    rc AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY bucket),
+    tot AS (SELECT (SELECT sum(ct) FROM tc) AS tt,
+                   (SELECT sum(cr) FROM rc) AS rt),
+    lm AS (
+      SELECT rc.bucket,
+             ln((coalesce(tc.ct, 0) + 1.0) / (tot.tt + {_DSIR_NB}))
+             - ln((rc.cr + 1.0) / (tot.rt + {_DSIR_NB})) AS lp
+      FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tot
+    ),
+    scored AS (
+      SELECT f.doc_id, f.lang, count(*) AS n_feats,
+             round(sum(lm.lp), 4) AS weight
+      FROM feats f JOIN lm USING (bucket)
+      GROUP BY f.doc_id, f.lang
+    )
+    SELECT doc_id, lang, n_feats, weight
+    FROM scored ORDER BY weight DESC, doc_id LIMIT {_DSIR_K}
+    """,
+    tags=("CORPUS", "quality"),
+)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every document by the log-likelihood ratio of a TARGET-domain
+    hashed n-gram LM (here: the '{_DSIR_TARGET_LANG}'-labeled slice)
+    over the RAW-corpus LM, and keep the top {_DSIR_K} — the importance
+    weighting that selects web documents "most like" a trusted corpus.
+    Features are unigrams + bigrams hashed into {_DSIR_NB} buckets
+    (add-one smoothed), so the LM is FIXED-SIZE no matter the vocabulary.
+
+    Scale shape: one explode pass feeds both LM counts and scoring (the
+    raw-count aggregation collapses map-side onto the {_DSIR_NB}-bucket
+    domain); both LMs and their totals are a <= {_DSIR_NB}-row broadcast,
+    so the only corpus-sized exchange is the per-doc weight aggregation;
+    top-K is TakeOrderedAndProject (per-partition heaps, no global
+    sort). Ordering is on the ROUNDED weight with doc_id tiebreak, so
+    the selected set is reproducible across engines and runs."""
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    toks = textfns.tokens("text")
+    feats = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(toks, textfns.shingles(toks, 2))).alias("f"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(textfns.hash60(F.col("f")), F.lit(_DSIR_NB)).alias("bucket"),
+    )
+    tc = (
+        feats.filter(F.col("lang") == _DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    rc = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    lm = rc.join(tc, "bucket", "left").select(
+        "bucket", F.coalesce("ct", F.lit(0)).alias("ct"), "cr"
+    )
+    tot = lm.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("rt"))
+    lp = F.log((F.col("ct") + 1.0) / (F.col("tt") + _DSIR_NB)) - F.log(
+        (F.col("cr") + 1.0) / (F.col("rt") + _DSIR_NB)
+    )
+    lm = lm.crossJoin(F.broadcast(tot)).select("bucket", lp.alias("lp"))
+    scored = (
+        feats.join(F.broadcast(lm), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("lp"), 4).alias("weight"),
+        )
+    )
+    return scored.orderBy(F.desc("weight"), "doc_id").limit(_DSIR_K)

@@ -87,3 +87,30 @@ class TestDecontamination:
             ).alias("s"),
         )
         assert sh.count() == 0
+
+
+class TestDsirSelect:
+    def test_target_like_docs_outrank_alien_docs(self, spark, monkeypatch):
+        """A doc written in the target slice's vocabulary must score a
+        higher importance weight than a doc of out-of-distribution
+        tokens, regardless of its own label."""
+        import fortisiem_clickhouse_monitor_spark.operators.corpus as cp
+
+        en = "the cat sat on the mat and the dog ran in the park"
+        rows = [
+            (1, en, "en", "s", len(en)),
+            (2, "the dog sat on the mat near the park", "en", "s", 36),
+            # unlabeled docs: 3 reuses target vocabulary, 4 is alien
+            (3, "the cat ran in the park", "xx", "s", 23),
+            (4, "zzz qqq vvv kkk jjj www", "xx", "s", 23),
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+        )
+        monkeypatch.setattr(cp, "table", lambda s, d, n: docs)
+        out = {r["doc_id"]: r for r in cp.corpus_dsir_select(spark, "x").collect()}
+        assert set(out) == {1, 2, 3, 4}  # K=200 keeps all four
+        assert out[3]["weight"] > out[4]["weight"]
+        # per-doc feature count = unigrams + bigrams
+        assert out[4]["n_feats"] == 6 + 5
