@@ -64,18 +64,25 @@ def hash60(c: Column) -> Column:
 DUCK_HASH60 = "(('0x' || substr(md5({col}), 1, 15))::BIGINT)"
 
 
-def minhash_signature(
-    shingle_arr: Column, n_hashes: int = 16, prime: int = 2_147_483_647
-) -> list[Column]:
-    """MinHash signature: for each permutation i, min over shingles of
-    ``(a_i * hash60(s) + b_i) mod p``. Fixed seeds → deterministic and
-    (because hash60 is md5-based) reproducible in DuckDB oracles.
-    Empty shingle set → NULL mins (callers filter those docs out).
+def shingle_hashes(
+    shingle_arr: Column, prime: int = 2_147_483_647
+) -> Column:
+    """Per-shingle md5 hash60 bounded to [0, p) — the expensive base
+    array every MinHash permutation maps over. Callers should BIND this
+    as a real attribute (sources.tables.bind) before fanning out the
+    permutations, otherwise Catalyst's project-collapse inlines it into
+    each permutation's lambda and every shingle is md5'd n_hashes
+    times."""
+    return F.transform(shingle_arr, lambda s: F.pmod(hash60(s), F.lit(prime)))
 
-    The base hash is materialized ONCE per shingle (one md5 each), then
-    each permutation is a 2-op affine map over the int array — not one
-    md5 per (shingle, permutation)."""
-    hashes = F.transform(shingle_arr, lambda s: F.pmod(hash60(s), F.lit(prime)))
+
+def minhash_from_hashes(
+    hashes: Column, n_hashes: int = 16, prime: int = 2_147_483_647
+) -> list[Column]:
+    """MinHash mins from a pre-hashed shingle array (see
+    :func:`shingle_hashes`): permutation i is the affine map
+    ``(a_i * h + b_i) mod p`` with fixed seeds — deterministic and
+    reproducible in DuckDB oracles."""
 
     def perm(a: int, b: int):
         # single-arg lambda factory (pyspark counts default params as
@@ -92,6 +99,18 @@ def minhash_signature(
             )
         )
     return sig
+
+
+def minhash_signature(
+    shingle_arr: Column, n_hashes: int = 16, prime: int = 2_147_483_647
+) -> list[Column]:
+    """MinHash signature: for each permutation i, min over shingles of
+    ``(a_i * hash60(s) + b_i) mod p``. Convenience composition of
+    :func:`shingle_hashes` + :func:`minhash_from_hashes`; hot paths
+    should bind the hash array first (see shingle_hashes docstring)."""
+    return minhash_from_hashes(
+        shingle_hashes(shingle_arr, prime), n_hashes, prime
+    )
 
 
 def minhash_signature_sql(

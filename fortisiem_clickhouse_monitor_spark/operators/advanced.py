@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions import hll
 from ..registry import register
-from ..sources.tables import table
+from ..sources.tables import bind, table
 
 # ---------------------------------------------------------------------------
 # Multi-dimensional aggregation
@@ -762,8 +762,8 @@ def quality_median_filter_per_lang(spark: SparkSession, sf_dir: str) -> DataFram
     screen."""
     from ..functions import textfns
 
-    d = table(spark, sf_dir, "documents")
-    toks = textfns.tokens("text")
+    d = bind(table(spark, sf_dir, "documents"), toks=textfns.tokens("text"))
+    toks = F.col("toks")
     stop_ratio = (
         textfns.stopword_hits(toks, textfns.STOPWORDS["en"]).cast("double")
         / F.size(toks)

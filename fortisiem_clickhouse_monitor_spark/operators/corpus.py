@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..functions import textfns
 from ..registry import register
-from ..sources.tables import fanout, spread, table
+from ..sources.tables import bind, fanout, spread, table
 
 # DuckDB twin of textfns.tokens()
 _DUCK_TOKENS = (
@@ -67,9 +67,10 @@ def text_bigram_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (no global sort). fanout() spreads the
     shingle explode across cores when the scan is single-partition
     (no-op at real scale)."""
-    d = fanout(table(spark, sf_dir, "documents"))
+    d = bind(fanout(table(spark, sf_dir, "documents")),
+             toks=textfns.tokens("text"))
     grams = d.select(
-        F.explode(textfns.shingles(textfns.tokens("text"), 2)).alias("gram")
+        F.explode(textfns.shingles(F.col("toks"), 2)).alias("gram")
     )
     return (
         grams.groupBy("gram")
@@ -259,8 +260,8 @@ def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     Chunking is a pure map-side higher-order expression (sequence →
     slice → posexplode); zero shuffle, so at 100 TB it scales with
     scan bandwidth alone."""
-    d = table(spark, sf_dir, "documents")
-    toks = textfns.tokens("text")
+    d = bind(table(spark, sf_dir, "documents"), toks=textfns.tokens("text"))
+    toks = F.col("toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(_WINDOW)).cast("int")
     chunks = F.when(
         F.size(toks) > 0,
@@ -356,12 +357,13 @@ def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle work, spreading it across all cores even when the input
     arrives as a single small parquet split (and, at scale, pre-
     balancing skewed document sizes)."""
-    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    d = bind(spread(table(spark, sf_dir, "documents"), "doc_id"),
+             toks=textfns.tokens("text"))
     sh = d.select(
         "doc_id",
         "source",
         F.explode(
-            F.array_distinct(textfns.shingles(textfns.tokens("text"), 3))
+            F.array_distinct(textfns.shingles(F.col("toks"), 3))
         ).alias("s"),
     )
     eval_sh = (
@@ -498,8 +500,9 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-K is TakeOrderedAndProject (per-partition heaps, no global
     sort). Ordering is on the ROUNDED weight with doc_id tiebreak, so
     the selected set is reproducible across engines and runs."""
-    d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    toks = textfns.tokens("text")
+    d = bind(spread(table(spark, sf_dir, "documents"), "doc_id"),
+             toks=textfns.tokens("text"))
+    toks = F.col("toks")
     feats = d.select(
         "doc_id",
         "lang",

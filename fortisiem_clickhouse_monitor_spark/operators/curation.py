@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import textfns
 from ..registry import register
-from ..sources.tables import fanout, spread, table
+from ..sources.tables import bind, fanout, spread, table
 
 # DuckDB twin of textfns.tokens() (same guard as operators/text.py: an
 # empty/whitespace doc must yield [] in both engines).
@@ -61,8 +61,8 @@ def text_chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode): zero shuffle, scales with scan bandwidth alone at
     100 TB. Contrast pack_token_sequences (corpus.py), which packs
     NON-overlapping windows."""
-    d = table(spark, sf_dir, "documents")
-    toks = textfns.tokens("text")
+    d = bind(table(spark, sf_dir, "documents"), toks=textfns.tokens("text"))
+    toks = F.col("toks")
     n = F.size(toks)
     n_starts = (
         F.lit(1)
@@ -233,8 +233,9 @@ def corpus_block_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit key (textfns.hash60) before the exchange to shrink shuffle
     bytes ~10x (kept as plain text here so the oracle joins on the
     same key)."""
-    d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    toks = textfns.tokens("text")
+    d = bind(spread(table(spark, sf_dir, "documents"), "doc_id"),
+             toks=textfns.tokens("text"))
+    toks = F.col("toks")
     n_blocks = F.ceil(F.size(toks) / F.lit(_BLK)).cast("int")
     blk = F.when(
         F.size(toks) > 0,
@@ -374,8 +375,9 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     not for books; the heavy-hitter sketch (advanced.py) is the
     long-doc path. fanout() spreads the per-doc rule evaluation across
     cores when the scan is single-partition (no-op at real scale)."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    fl = gopher_flags(textfns.tokens("text"))
+    d = bind(fanout(table(spark, sf_dir, "documents")),
+             toks=textfns.tokens("text"))
+    fl = gopher_flags(F.col("toks"))
     return d.select(
         "doc_id", *[fl[k].alias(k) for k in (
             "n_tokens", "ok_len", "ok_word_len", "ok_alpha",

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from ..functions import textfns, vectors
 from ..registry import register
-from ..sources.tables import fanout, table
+from ..sources.tables import bind, fanout, table
 
 _DUCK_TOKENS = (
     # list_filter guard: DuckDB yields [''] for an empty/whitespace
@@ -302,16 +302,24 @@ def minhash_doc_sigs(docs: DataFrame) -> DataFrame:
     """(doc_id, shingles, sig) from a documents-shaped frame — the
     map-only signature stage shared by the batch LSH query (via
     _minhash_docs, which adds persist) and the streaming near-dup job
-    (persist is illegal on a streaming frame)."""
-    sh = textfns.shingles(textfns.tokens("text"), 3)
-    out = docs.select(
-        "doc_id", F.array_distinct(sh).alias("shingles")
+    (persist is illegal on a streaming frame; bind works on both).
+
+    Each stage's product is BOUND as a real attribute (Generate
+    barrier): without it, project-collapse re-splits the text once per
+    shingle window and re-md5s every shingle once per permutation
+    (16x) — measured 6.5 s -> ~0.5 s at sf0.1 for the signature
+    materialization."""
+    b = bind(docs.select("doc_id", "text"), toks=textfns.tokens("text"))
+    b = bind(
+        b,
+        shingles=F.array_distinct(textfns.shingles(F.col("toks"), 3)),
     ).filter(F.size("shingles") > 0)
-    return out.select(
+    b = bind(b, hs=textfns.shingle_hashes(F.col("shingles"), _MH_PRIME))
+    return b.select(
         "doc_id",
         "shingles",
         F.array(
-            *textfns.minhash_signature(F.col("shingles"), _N_HASHES)
+            *textfns.minhash_from_hashes(F.col("hs"), _N_HASHES, _MH_PRIME)
         ).alias("sig"),
     )
 
@@ -951,11 +959,12 @@ def dedup_shingle_containment_pairs(
     high-cardinality key (shingle, then pair); at 100 TB the df-cap is
     what bounds the join fan-out, exactly as in production near-dup
     pipelines."""
-    d = fanout(table(spark, sf_dir, "documents"))
+    d = bind(fanout(table(spark, sf_dir, "documents")),
+             toks=textfns.tokens("text"))
     sh = d.select(
         "doc_id",
         F.explode(
-            F.array_distinct(textfns.shingles(textfns.tokens("text"), 3))
+            F.array_distinct(textfns.shingles(F.col("toks"), 3))
         ).alias("s"),
     )
     keep = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
@@ -1164,8 +1173,11 @@ def dedup_repeated_substring_windows(
     suffix-array pass (fixed W trades generality for one-pass
     parallelism). Window totals come from token counts arithmetically
     (n - W + 1) — the totals side never materializes windows."""
-    d = fanout(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
-    toks = textfns.tokens("text")
+    d = bind(
+        fanout(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"),
+        toks=textfns.tokens("text"),
+    )
+    toks = F.col("toks")
     base = d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),

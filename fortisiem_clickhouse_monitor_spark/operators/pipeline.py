@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.tables import table
+from ..sources.tables import bind, table
 
 _ALLOWED_LANGS = ("en", "es", "de", "fr")
 _MIN_CHARS = 100
@@ -156,8 +156,8 @@ def pipeline_training_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions import textfns
 
-    d = table(spark, sf_dir, "documents")
-    fl = gopher_flags(textfns.tokens("text"))
+    d = bind(table(spark, sf_dir, "documents"), toks=textfns.tokens("text"))
+    fl = gopher_flags(F.col("toks"))
     permille = F.coalesce(
         F.create_map(
             *[F.lit(x) for kv in _MIX_PERMILLE.items() for x in kv]

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..functions import textfns
 from ..registry import register
-from ..sources.tables import fanout, spread, table
+from ..sources.tables import bind, fanout, spread, table
 
 # DuckDB twin of textfns.tokens()
 _DUCK_TOKENS = (
@@ -42,8 +42,8 @@ _DUCK_TOKENS = (
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: total, distinct, and mean token length (derived
     from char count minus separators — formula mirrored in the oracle)."""
-    d = table(spark, sf_dir, "documents")
-    toks = textfns.tokens("text")
+    d = bind(table(spark, sf_dir, "documents"), toks=textfns.tokens("text"))
+    toks = F.col("toks")
     n = F.size(toks)
     return d.select(
         "doc_id",
@@ -85,8 +85,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality heuristics: stopword ratio, digit ratio, length score
     (the components a pretraining-data filter thresholds on)."""
-    d = table(spark, sf_dir, "documents")
-    toks = textfns.tokens("text")
+    d = bind(table(spark, sf_dir, "documents"), toks=textfns.tokens("text"))
+    toks = F.col("toks")
     n = F.size(toks)
     stop_hits = textfns.stopword_hits(toks, textfns.STOPWORDS["en"])
     return d.select(
@@ -212,9 +212,8 @@ def _duck_lang_guess() -> str:
 def text_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-language stopword hit counts, argmax
     with a fixed priority tiebreak (en > es > de > fr)."""
-    d = table(spark, sf_dir, "documents")
-    toks = textfns.tokens("text")
-    hits, guess = _lang_guess_exprs(toks)
+    d = bind(table(spark, sf_dir, "documents"), toks=textfns.tokens("text"))
+    hits, guess = _lang_guess_exprs(F.col("toks"))
     return d.select(
         "doc_id",
         hits["en"].alias("en_hits"),
@@ -266,8 +265,9 @@ def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle count per document. fanout() spreads the per-doc shingle
     build across cores when the scan is single-partition (no-op at real
     scale)."""
-    d = fanout(table(spark, sf_dir, "documents"))
-    toks = textfns.tokens("text")
+    d = bind(fanout(table(spark, sf_dir, "documents")),
+             toks=textfns.tokens("text"))
+    toks = F.col("toks")
     sh = textfns.shingles(toks, 3)
     return d.select(
         "doc_id",
@@ -452,8 +452,8 @@ def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     One map-side guess expression + one groupBy on a 20-cell domain:
     the shuffle carries at most |langs|^2 partial rows per task at any
     corpus size."""
-    d = table(spark, sf_dir, "documents")
-    _, guess = _lang_guess_exprs(textfns.tokens("text"))
+    d = bind(table(spark, sf_dir, "documents"), toks=textfns.tokens("text"))
+    _, guess = _lang_guess_exprs(F.col("toks"))
     return (
         d.select(F.col("lang").alias("actual_lang"), guess.alias("guessed_lang"))
         .groupBy("actual_lang", "guessed_lang")

@@ -72,6 +72,36 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df.repartition(sc.defaultParallelism, *[F.col(c) for c in cols])
 
 
+def bind(df: DataFrame, **exprs) -> DataFrame:
+    """Materialize computed columns as REAL attributes behind a Generate
+    barrier (explode of a one-element array), so CollapseProject cannot
+    inline the expression into downstream higher-order-function lambdas.
+
+    Why this exists: Catalyst collapses adjacent Projects by
+    substituting expressions into their use sites. When a HOF lambda
+    body references the substituted expression, it re-evaluates it on
+    EVERY lambda invocation — a regex-split token array referenced from
+    a sliding-window ``slice`` is re-split once per window (O(windows x
+    split) instead of one split), and a MinHash signature whose 16
+    permutations each reference the shingle-hash array re-hashes every
+    shingle 16x. A Generate's output is an attribute, not an
+    expression, so everything downstream reads the materialized value
+    exactly once per row.
+
+    Cost: one extra operator per call — NO exchange, partitioning and
+    ordering preserved, works identically on batch and streaming
+    frames. At any scale the plan stays scan -> generate -> map.
+
+    Measured (sf0.1, local[32]): 8-token window fingerprints 4.9 s ->
+    0.28 s; 3-token shingle explode 0.40 s -> 0.23 s.
+    """
+    s = F.struct(*[e.alias(k) for k, e in exprs.items()])
+    bound = df.select("*", F.explode(F.array(s)).alias("_bound"))
+    return bound.select(
+        *df.columns, *[F.col(f"_bound.{k}").alias(k) for k in exprs]
+    )
+
+
 def fanout(df: DataFrame, *cols: str) -> DataFrame:
     """Conditionally repartition CPU-heavy narrow work across all cores.
 
