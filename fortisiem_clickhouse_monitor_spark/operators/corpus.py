@@ -535,3 +535,62 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("weight"), "doc_id").limit(_DSIR_K)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer training: one BPE iteration's merge-candidate pair counts
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 20
+
+
+@register(
+    "vocab_bpe_merge_pairs",
+    oracle=f"""
+    WITH tf AS (
+      SELECT t.w AS w, count(*) AS c
+      FROM documents, unnest({_DUCK_TOKENS}) AS t(w)
+      GROUP BY t.w
+    ),
+    pairs AS (
+      SELECT substr(w, i.i, 2) AS pair, c
+      FROM tf, unnest(range(1, length(w))) AS i(i)
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT {_BPE_TOPK}
+    """,
+    tags=("TXT", "vocab"),
+)
+def vocab_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration: the top-{_BPE_TOPK} adjacent
+    character pairs by corpus frequency — the merge candidates a
+    byte-pair-encoding tokenizer would fuse next (Sennrich et al.
+    2016). The defining scale trick is COMPRESSION BEFORE EXPANSION:
+    pair enumeration runs over the DISTINCT-token frequency table
+    (|vocab| rows), never the raw token stream, so a trillion-token
+    corpus enumerates pairs over mere millions of distinct words and
+    weights them by the count — subsequent merge rounds would rerun
+    the same plan over the re-segmented vocab table only.
+
+    Shuffles: one token-keyed exchange builds tf (map-side partials),
+    one pair-keyed exchange sums weights onto the tiny pair domain,
+    top-k lowers to TakeOrderedAndProject."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    tf = (
+        d.select(F.explode(textfns.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mk_pairs = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.col("w").substr(i, F.lit(2)),
+    )
+    pairs = tf.filter(F.length("w") >= 2).select(
+        "c", F.explode(mk_pairs).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(_BPE_TOPK)
+    )
