@@ -493,3 +493,56 @@ def text_oov_rate_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_oov"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering: per-language quality deciles
+# ---------------------------------------------------------------------------
+
+_CURR_STOPS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+@register(
+    "curriculum_quality_deciles",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             (len(list_filter({_DUCK_TOKENS},
+                  t -> t IN ('the','a','of','and','to','in','is'))) * 10000)
+               // len({_DUCK_TOKENS}) AS score
+      FROM documents
+      WHERE len({_DUCK_TOKENS}) > 0
+    )
+    SELECT doc_id, lang, score,
+           CAST(ntile(10) OVER (PARTITION BY lang
+                                ORDER BY score, doc_id) AS BIGINT) AS decile
+    FROM scored
+    """,
+    tags=("CURATION", "quality"),
+)
+def curriculum_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum data ordering: every document gets a per-language
+    quality DECILE (ntile over an integerized stopword-density score
+    with doc_id tiebreak) — the assignment a curriculum schedule
+    consumes (train low deciles early / upsample high deciles late).
+    The score is integerized (hits*10000 // n_tokens) so the ordering —
+    and therefore every decile boundary — is exact in both engines; the
+    doc_id tiebreak makes ntile deterministic under score ties.
+
+    One window over one lang-keyed exchange; at 100 TB a per-lang sort
+    of (score, doc_id) int pairs — if a single language outgrows a
+    partition, pre-aggregate a score histogram and cut deciles from
+    cumulative counts instead (the sketch_histogram_quantiles shape)."""
+    d = bind(table(spark, sf_dir, "documents"), toks=textfns.tokens("text"))
+    n = F.size("toks")
+    hits = textfns.stopword_hits(F.col("toks"), _CURR_STOPS)
+    scored = d.filter(n > 0).select(
+        "doc_id",
+        "lang",
+        F.floor(hits * 10000 / n).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    return scored.select(
+        "doc_id", "lang", "score",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )

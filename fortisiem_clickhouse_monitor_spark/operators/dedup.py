@@ -1210,3 +1210,95 @@ def dedup_repeated_substring_windows(
             "dup_window_frac"
         ),
     )
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t, len({_DUCK_TOKENS}) AS n
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i.i AS pos,
+             {textfns.DUCK_HASH60.format(
+                 col=f"array_to_string(list_slice(t, i.i, i.i + {_SSW_W} - 1), ' ')"
+             )} AS wh
+      FROM toks, unnest(range(1, n - {_SSW_W} + 2)) AS i(i)
+      WHERE n >= {_SSW_W}
+    ),
+    dup AS (
+      SELECT wh FROM occ GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dpos AS (
+      SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (wh)
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dpos
+    ),
+    spans AS (
+      SELECT doc_id, grp, min(pos) AS span_start,
+             count(*) + {_SSW_W} - 1 AS span_tokens
+      FROM islands GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           count(*) AS n_dup_spans,
+           CAST(max(span_tokens) AS BIGINT) AS longest_span_tokens,
+           CAST(min(span_start) AS BIGINT) AS first_span_start
+    FROM spans GROUP BY doc_id
+    """,
+    tags=("DD", "TXT"),
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge duplicated {_SSW_W}-token windows into MAXIMAL spans via
+    gaps-and-islands (pos - row_number() is constant within a run of
+    consecutive window positions), reporting per document the span
+    count, the longest span's token length, and where duplication
+    starts — the span-level output an excision pass (cut the duplicated
+    passage, keep the document) needs, where
+    dedup_repeated_substring_windows only scores.
+
+    Scale shape: identical fingerprint stream as the window scorer
+    (16-byte rows, one wh-keyed duplicate vote), then ONE doc_id
+    exchange serves the island window AND both aggregations
+    (HashPartitioning(doc_id) satisfies all three). Island detection is
+    O(positions) per document — no self-joins, no interval trees."""
+    d = bind(
+        fanout(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"),
+        toks=textfns.tokens("text"),
+    )
+    base = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        textfns.shingles(F.col("toks"), _SSW_W).alias("wins"),
+    ).filter(F.col("n_tokens") >= _SSW_W)
+    occ = base.select(
+        "doc_id", F.posexplode("wins").alias("pos0", "win")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),  # 1-based like the oracle
+        textfns.hash60(F.col("win")).alias("wh"),
+    )
+    occ = occ.localCheckpoint()
+    dup = (
+        occ.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+    dpos = occ.join(dup, "wh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = dpos.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    spans = islands.groupBy("doc_id", "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.count(F.lit(1)) + _SSW_W - 1).alias("span_tokens"),
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.max("span_tokens").cast("long").alias("longest_span_tokens"),
+        F.min("span_start").cast("long").alias("first_span_start"),
+    )

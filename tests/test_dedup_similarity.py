@@ -77,6 +77,34 @@ def test_repeated_substring_windows_planted(spark, monkeypatch):
         assert out[i]["n_windows"] == n_tokens - 8 + 1
 
 
+def test_duplicate_spans_merges_windows(spark, monkeypatch):
+    """The 3 consecutive duplicated windows of a shared 10-token span
+    merge into ONE island whose token length equals the span (10), and
+    the reported start is the span's first window position."""
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d1 = "intro words here " + span + " tail one"          # span at tokens 4..13
+    d2 = "totally other opening " + span + " different ending words now"
+    d3 = "no duplication in this very distinct document at all ok"
+    rows = [
+        (1, d1, "en", "s", len(d1)),
+        (2, d2, "en", "s", len(d2)),
+        (3, d3, "en", "s", len(d3)),
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(dd, "table", lambda s, d, n: docs)
+    out = {r["doc_id"]: r for r in dd.dedup_duplicate_spans(spark, "x").collect()}
+    assert set(out) == {1, 2}
+    for i in (1, 2):
+        assert out[i]["n_dup_spans"] == 1
+        assert out[i]["longest_span_tokens"] == 10
+    assert out[1]["first_span_start"] == 4   # 1-based window position
+    assert out[2]["first_span_start"] == 4
+
+
 def test_minhash_lsh_finds_planted_dups(spark, tmp_path, monkeypatch):
     docs = _planted_docs(spark)
     # route the operator's table() call to our planted frame
