@@ -114,3 +114,47 @@ class TestDsirSelect:
         assert out[3]["weight"] > out[4]["weight"]
         # per-doc feature count = unigrams + bigrams
         assert out[4]["n_feats"] == 6 + 5
+
+
+class TestBpeMergePairs:
+    def test_planted_pair_counts(self, spark, monkeypatch):
+        """'abab' x3 + 'cd' x1: pair 'ab' appears twice per 'abab'
+        occurrence (positions 1 and 3), 'ba' once, 'cd' once."""
+        import fortisiem_clickhouse_monitor_spark.operators.corpus as cp
+
+        rows = [
+            (1, "abab abab cd", "en", "s", 12),
+            (2, "abab", "en", "s", 4),
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+        )
+        monkeypatch.setattr(cp, "table", lambda s, d, n: docs)
+        out = {r["pair"]: r["n"] for r in cp.vocab_bpe_merge_pairs(spark, "x").collect()}
+        # token 'abab' freq 3 -> pairs ab(x2 per token), ba(x1 per token)
+        assert out["ab"] == 6
+        assert out["ba"] == 3
+        assert out["cd"] == 1
+
+
+class TestCurriculumDeciles:
+    def test_deciles_are_deterministic_and_ordered(self, spark, monkeypatch):
+        import fortisiem_clickhouse_monitor_spark.operators.curation as cu
+
+        # 20 docs in one lang with strictly increasing stopword density
+        rows = [
+            (i, " ".join(["the"] * i + ["zz"] * (20 - i)), "en", "s", 40)
+            for i in range(1, 21)
+        ]
+        docs = spark.createDataFrame(
+            rows,
+            schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+        )
+        monkeypatch.setattr(cu, "table", lambda s, d, n: docs)
+        out = {r["doc_id"]: r["decile"] for r in
+               cu.curriculum_quality_deciles(spark, "x").collect()}
+        # 20 docs / 10 deciles -> 2 per decile, ordered by score=doc density
+        assert out[1] == 1 and out[2] == 1
+        assert out[19] == 10 and out[20] == 10
+        assert sorted(out.values()) == [d for d in range(1, 11) for _ in (0, 1)]
