@@ -308,3 +308,110 @@ def cdc_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("state_value"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@register(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id,
+             CAST(ts AS TIMESTAMP) AS valid_from,
+             CAST(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS TIMESTAMP)
+               AS valid_to,
+             round(value, 2) AS state_value
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           d.state_value,
+           epoch_us(CAST(p.ts AS TIMESTAMP))
+             - epoch_us(d.valid_from) AS us_since_state
+    FROM events p JOIN dim d
+      ON p.user_id = d.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    WHERE p.event_type = 'purchase'
+    """,
+    tags=("BEHAV", "J-ext", "CDC"),
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal validity) join: every purchase event is
+    enriched with the SCD2 state version that was CURRENT at the
+    purchase timestamp (valid_from <= ts < valid_to) — the join
+    discipline that prevents feature leakage when building training
+    data from mutable dimensions.
+
+    Plan: equi-join on user_id with the validity predicate applied at
+    the join — per-user version counts bound the fan-out (validity
+    intervals are disjoint by construction, so exactly one version
+    matches per fact row). Contrast join_asof_last_purchase, which
+    implements the same semantics join-free via union + running window
+    — THAT is the shape to switch to if a dimension's per-key version
+    count ever grows enough to make the interval filter's
+    pre-filter fan-out (versions per user) hurt."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.round("value", 2).alias("state_value"),
+        )
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    cond = (
+        (p["user_id"] == dim["user_id"])
+        & (F.col("purchase_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("purchase_ts") < F.col("valid_to")))
+    )
+    return p.join(dim, cond).select(
+        "event_id",
+        p["user_id"].alias("user_id"),
+        "purchase_ts",
+        "state_value",
+        (
+            F.unix_micros("purchase_ts") - F.unix_micros("valid_from")
+        ).alias("us_since_state"),
+    )
+
+
+@register(
+    "timeseries_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           CASE WHEN event_type <> 'error' THEN round(value, 2) END AS raw_value,
+           last_value(CASE WHEN event_type <> 'error'
+                      THEN round(value, 2) END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value
+    FROM events
+    """,
+    tags=("BEHAV", "TS"),
+)
+def timeseries_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (last observation carried forward): error readings
+    are NULLed and replaced by the user's most recent good value — the
+    standard gap-repair step before feature windows. One running
+    last-non-null window over a single user_id exchange; rows before
+    the first good observation stay NULL (no lookahead, no leakage)."""
+    ev = table(spark, sf_dir, "events")
+    good = F.when(F.col("event_type") != "error", F.round("value", 2))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        good.alias("raw_value"),
+        F.last(good, ignorenulls=True).over(w).alias("filled_value"),
+    )
