@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors
 from ..registry import register
-from ..sources.tables import fanout, table
+from ..sources.tables import bind, fanout, table
 
 _DIM = 64
 _N_PLANES = 8
@@ -516,14 +516,23 @@ def sim_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     that the normalized vector has unit norm. fanout() spreads the
     per-element math across cores when the scan is single-partition
     (no-op at real scale, where this stays a pure scan->map pass)."""
-    e = fanout(table(spark, sf_dir, "embeddings"))
-    emb = F.col("embedding").cast("array<double>")
-    norm = F.sqrt(vectors.dot(emb, emb))
-    unit = F.transform(emb, lambda x: x / norm)
+    e = bind(
+        fanout(table(spark, sf_dir, "embeddings")),
+        emb=F.col("embedding").cast("array<double>"),
+    )
+    # norm and unit BIND as attributes: referenced from per-element
+    # lambdas they would otherwise re-evaluate per element (the norm's
+    # O(dim) dot inside the divide lambda -> O(dim^2)/row). Bound names
+    # deliberately differ from the output aliases: Spark 4's lateral
+    # column alias resolution lets a select-list alias SHADOW an input
+    # column of the same name for sibling expressions, silently feeding
+    # them the aliased (here: rounded) value.
+    e = bind(e, nrm=F.sqrt(vectors.dot(F.col("emb"), F.col("emb"))))
+    e = bind(e, unit=F.transform("emb", lambda x: x / F.col("nrm")))
     return e.select(
         "vec_id",
-        F.round(norm, 6).alias("norm"),
-        F.round(vectors.dot(unit, unit), 6).alias("unit_norm_sq"),
+        F.round("nrm", 6).alias("norm"),
+        F.round(vectors.dot(F.col("unit"), F.col("unit")), 6).alias("unit_norm_sq"),
     )
 
 
@@ -777,12 +786,25 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     it only spreads a starved single-partition scan).  The oracle
     checks the scale, the quantized-value checksum, and that the
     dequantization error stays within half a quantization step."""
-    e = fanout(table(spark, sf_dir, "embeddings"))
-    emb = F.col("embedding").cast("array<double>")
-    scale = F.greatest(
-        F.array_max(F.transform(emb, F.abs)) / 127.0, F.lit(1e-12)
+    e = bind(
+        fanout(table(spark, sf_dir, "embeddings")),
+        emb=F.col("embedding").cast("array<double>"),
     )
-    q = F.transform(emb, lambda x: F.round(x / scale))
+    # scale BINDS as an attribute: three lambdas reference it, and each
+    # per-element evaluation would otherwise recompute the O(dim)
+    # array_max -> O(dim^2)/row. Bound as "qscale", NOT "scale": the
+    # output alias round(qscale, 6) AS scale would otherwise SHADOW the
+    # raw value for the sibling lambda expressions via Spark 4 lateral
+    # column alias resolution — the quantizer would silently quantize
+    # against the 6dp-rounded scale (caught by the oracle gate).
+    e = bind(
+        e,
+        qscale=F.greatest(
+            F.array_max(F.transform("emb", F.abs)) / 127.0, F.lit(1e-12)
+        ),
+    )
+    scale = F.col("qscale")
+    q = F.transform("emb", lambda x: F.round(x / scale))
     return e.select(
         "vec_id",
         F.round(scale, 6).alias("scale"),
@@ -790,7 +812,9 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             q, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
         ).alias("q_sum"),
         F.round(
-            F.array_max(F.transform(emb, lambda x: F.abs(x - F.round(x / scale) * scale))),
+            F.array_max(
+                F.transform("emb", lambda x: F.abs(x - F.round(x / scale) * scale))
+            ),
             6,
         ).alias("max_abs_err"),
     )
