@@ -94,6 +94,13 @@ def bind(df: DataFrame, **exprs) -> DataFrame:
 
     Measured (sf0.1, local[32]): 8-token window fingerprints 4.9 s ->
     0.28 s; 3-token shingle explode 0.40 s -> 0.23 s.
+
+    CALLER CONTRACT — never alias a select output with the same name as
+    a bound column that sibling expressions still reference: Spark 4's
+    lateral-column-alias resolution lets the output alias SHADOW the
+    input attribute, silently feeding the siblings the aliased value
+    (e.g. ``select(round(scale, 6).alias("scale"), f(col("scale")))``
+    hands f the ROUNDED scale). Bind under a distinct name instead.
     """
     s = F.struct(*[e.alias(k) for k, e in exprs.items()])
     bound = df.select("*", F.explode(F.array(s)).alias("_bound"))
