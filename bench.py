@@ -98,6 +98,15 @@ HEADLINE = [
     "text_lang_confusion_matrix",
     "timeseries_gap_fill_daily",
     "graph_common_neighbors_top20",
+    "dedup_repeated_substring_windows",
+    "dedup_duplicate_spans",
+    "mm_image_dhash_groups",
+    "mm_image_dhash_near_pairs",
+    "corpus_dsir_select",
+    "vocab_bpe_merge_pairs",
+    "curriculum_quality_deciles",
+    "join_point_in_time_scd2",
+    "timeseries_forward_fill",
 ]
 
 

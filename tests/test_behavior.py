@@ -107,3 +107,50 @@ class TestTransitions:
             ("view", "click"): 2,
             ("click", "purchase"): 1,
         }
+
+
+def test_forward_fill_carries_last_good_value(spark, monkeypatch):
+    import datetime as dt
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(0), 7, "error", 9.9),   # before any good value -> NULL
+        (2, t(1), 7, "view", 1.0),
+        (3, t(2), 7, "error", 9.9),
+        (4, t(3), 7, "view", 2.0),
+        (5, t(4), 7, "error", 9.9),
+        (6, t(5), 7, "error", 9.9),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    out = {r["event_id"]: r for r in bh.timeseries_forward_fill(spark, "x").collect()}
+    assert out[1]["filled_value"] is None and out[1]["raw_value"] is None
+    assert [out[i]["filled_value"] for i in (2, 3, 4, 5, 6)] == [1.0, 1.0, 2.0, 2.0, 2.0]
+
+
+def test_point_in_time_join_picks_current_version(spark, monkeypatch):
+    import datetime as dt
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (10, t(0), 7, "purchase", 5.0),  # before first signup -> dropped
+        (11, t(1), 7, "signup", 1.0),    # version A [t1, t3)
+        (12, t(2), 7, "purchase", 5.0),  # -> A
+        (13, t(3), 7, "signup", 2.0),    # version B [t3, inf)
+        (14, t(4), 7, "purchase", 5.0),  # -> B
+        (15, t(3), 7, "purchase", 5.0),  # exactly at t3 -> B (>= valid_from)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    out = {r["event_id"]: r for r in bh.join_point_in_time_scd2(spark, "x").collect()}
+    assert set(out) == {12, 14, 15}
+    assert out[12]["state_value"] == 1.0
+    assert out[14]["state_value"] == 2.0
+    assert out[15]["state_value"] == 2.0
+    assert out[14]["us_since_state"] == 1_000_000
