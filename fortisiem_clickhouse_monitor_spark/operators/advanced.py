@@ -836,43 +836,44 @@ def sketch_countmin_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(F.explode(textfns.tokens("text")).alias("term"))
+    # ONE token-stream exchange: per-term exact counts feed BOTH the
+    # counter build and the top-25 validation side (the stream was
+    # previously aggregated twice). Compression before expansion: md5
+    # runs once per DISTINCT term (bound as an attribute), and counters
+    # sum the term counts — identical counter content, |vocab| hashes
+    # instead of 3x the token stream.
+    tc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tc = bind(tc, h=F.md5("term"))
 
-    def bucket(col, start):
+    def bucket(start):
         return F.pmod(
-            F.conv(F.substring(F.md5(col), start, 15), 16, 10).cast("long"),
+            F.conv(F.substring("h", start, 15), 16, 10).cast("long"),
             F.lit(_CM_W),
         )
 
     counters = (
-        toks.select(
+        tc.select(
+            "n",
             F.explode(
                 F.array(
                     *[
                         F.struct(
                             F.lit(i).alias("i"),
-                            bucket(F.col("term"), s).alias("bucket"),
+                            bucket(s).alias("bucket"),
                         )
                         for i, s in enumerate(_CM_STARTS)
                     ]
                 )
-            ).alias("rb")
+            ).alias("rb"),
         )
         .groupBy("rb.i", "rb.bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("n").alias("c"))
     )
-    exact = (
-        toks.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), "term")
-        .limit(25)
-    )
+    exact = tc.orderBy(F.desc("n"), "term").limit(25)
     e = exact.select(
         "term",
         F.col("n").alias("exact_n"),
-        *[
-            bucket(F.col("term"), s).alias(f"b{i}")
-            for i, s in enumerate(_CM_STARTS)
-        ],
+        *[bucket(s).alias(f"b{i}") for i, s in enumerate(_CM_STARTS)],
     )
     for i in range(3):
         ci = counters.filter(F.col("i") == i).select(
