@@ -94,18 +94,33 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 PPM_CODEC = "image/x-portable-pixmap"
 
 
-def encode_ppm(asset_id: int, width: int, height: int) -> bytes:
+def encode_ppm(
+    asset_id: int, width: int, height: int, base: int | None = None
+) -> bytes:
     """Deterministic synthetic RGB image as a REAL binary PPM (P6):
     ``P6\\n{w} {h}\\n255\\n`` header followed by w*h*3 raw RGB bytes,
-    where byte i of asset a is ``(a*7 + i) % 256`` — a gradient whose
-    mean/max have closed forms (see the mm_feature_extract oracle)."""
+    where byte i of asset a is ``(base + i) % 256`` with base
+    defaulting to ``a*7 % 256`` — a gradient whose mean/max have
+    closed forms (see the mm_feature_extract oracle). ``base``
+    overrides support per-frame video payloads (encode_ppm_frame)."""
     import numpy as np
 
     n = width * height * 3
-    base = (asset_id * 7) % 256
+    if base is None:
+        base = (asset_id * 7) % 256
     body = ((np.arange(n, dtype=np.int64) + base) % 256).astype(np.uint8)
     header = f"P6\n{width} {height}\n255\n".encode("ascii")
     return header + body.tobytes()
+
+
+def encode_ppm_frame(asset_id: int, frame: int, width: int, height: int) -> bytes:
+    """Frame ``frame`` of asset ``asset_id``'s synthetic video: the same
+    P6 gradient with base ``(a*7 + 13*f^2) % 256`` — consecutive frames
+    therefore differ by a per-pair delta ``13*(2f+1) % 256``, which is
+    what gives scene-cut detection a closed-form oracle."""
+    return encode_ppm(
+        asset_id, width, height, base=(asset_id * 7 + 13 * frame * frame) % 256
+    )
 
 
 def decode_image(payload: bytes, codec: str = PPM_CODEC):
@@ -525,3 +540,110 @@ def mm_image_dhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "rep_a", "rep_b", hamming.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= _DHASH_MAX_HAMMING)
+
+
+# ---------------------------------------------------------------------------
+# Video: scene-cut detection from consecutive-frame pixel differences
+# ---------------------------------------------------------------------------
+
+_SCENE_TAU = 100  # mean abs byte diff threshold for a cut (integerized)
+
+
+@register(
+    "mm_video_scene_cuts",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id AS asset_id,
+             (doc_id % 4) * 16 + 16 AS w,
+             (doc_id % 3) * 8 + 8 AS h,
+             (doc_id % 3) + 2 AS n_frames,
+             doc_id * 7 AS a7
+      FROM documents
+    ),
+    pairs AS (
+      SELECT asset_id, f.f AS frame_from,
+             w * h * 3 AS n,
+             (a7 + 13 * f.f * f.f) % 256 AS b1,
+             (13 * (2 * f.f + 1)) % 256 AS d
+      FROM a, unnest(range(0, n_frames - 1)) AS f(f)
+    ),
+    wr AS (
+      SELECT asset_id, frame_from, n, d,
+             (n // 256) * d
+             + greatest(0, least(b1 + (n % 256), 256) - greatest(b1, 256 - d))
+             + greatest(0, b1 + (n % 256) - 256 - (256 - d)) AS wraps
+      FROM pairs
+    )
+    SELECT asset_id, frame_from,
+           CAST(n AS BIGINT) AS n_pixel_bytes,
+           CAST(wraps * (256 - d) + (n - wraps) * d AS BIGINT) AS sum_abs_diff,
+           (wraps * (256 - d) + (n - wraps) * d) >= {_SCENE_TAU} * n AS is_cut
+    FROM wr
+    """,
+    tags=("MM", "UDF", "TS"),
+)
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over video-shaped assets: every consecutive
+    frame pair is DECODED (real P6 parse per frame via encode_ppm_frame
+    -> decode_image) and reduced to the total absolute per-byte pixel
+    difference; a pair is a cut when the mean difference crosses
+    {_SCENE_TAU} (integer cross-multiplied — no float at the
+    threshold). The temporal complement to mm_frame_sample: sampling
+    picks frames, this finds the boundaries worth sampling AT.
+
+    The synthetic frame gradient shifts by 13*(2f+1) mod 256 between
+    consecutive frames, so the oracle computes the exact byte-diff sum
+    arithmetically (wrap-count closed form, brute-force-verified in
+    tests) — DuckDB validates two real decodes per pair without
+    touching a pixel.
+
+    Scale shape: decode+diff runs in mapInPandas at Arrow-batch
+    granularity (frames of ONE asset are decoded together inside the
+    batch loop — no shuffle brings frame pairs together because the
+    pair lives inside a single asset row); output rows are 5 ints per
+    pair. At real scale with frames stored as separate rows, the same
+    diff becomes a lag() window over (asset, frame) after one asset
+    exchange."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("doc_id").alias("asset_id"),
+        (F.pmod("doc_id", F.lit(4)) * 16 + 16).alias("width"),
+        (F.pmod("doc_id", F.lit(3)) * 8 + 8).alias("height"),
+        (F.pmod("doc_id", F.lit(3)) + 2).alias("n_frames"),
+    )
+
+    def diff_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            aid_o, f_o, n_o, s_o = [], [], [], []
+            for aid, w, h, nf in zip(
+                pdf["asset_id"], pdf["width"], pdf["height"], pdf["n_frames"]
+            ):
+                frames = [
+                    decode_image(encode_ppm_frame(int(aid), f, int(w), int(h)))
+                    .reshape(-1)
+                    .astype("int64")
+                    for f in range(int(nf))
+                ]
+                for f in range(int(nf) - 1):
+                    aid_o.append(aid)
+                    f_o.append(f)
+                    n_o.append(frames[f].size)
+                    s_o.append(int(abs(frames[f] - frames[f + 1]).sum()))
+            yield pd.DataFrame(
+                {
+                    "asset_id": aid_o,
+                    "frame_from": f_o,
+                    "n_pixel_bytes": n_o,
+                    "sum_abs_diff": s_o,
+                }
+            )
+
+    out = src.mapInPandas(
+        diff_batch,
+        schema="asset_id LONG, frame_from LONG, n_pixel_bytes LONG, sum_abs_diff LONG",
+    )
+    return out.withColumn(
+        "is_cut", F.col("sum_abs_diff") >= _SCENE_TAU * F.col("n_pixel_bytes")
+    )

@@ -90,6 +90,33 @@ def test_dhash_near_pairs_banding_and_hamming(spark, monkeypatch):
     assert out == {(1, 2): 1}
 
 
+def test_scene_cut_diff_matches_brute_force(spark, monkeypatch):
+    """The decode-and-diff path must equal the brute-force byte diff,
+    and the closed-form oracle arithmetic must equal both."""
+    import fortisiem_clickhouse_monitor_spark.operators.multimodal as mm
+
+    rows = [(i, "x", "en", "s", 1) for i in (3, 10, 257)]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(mm, "table", lambda s, d, n: docs)
+    out = {(r["asset_id"], r["frame_from"]): r
+           for r in mm.mm_video_scene_cuts(spark, "x").collect()}
+    for aid in (3, 10, 257):
+        w, h, nf = (aid % 4) * 16 + 16, (aid % 3) * 8 + 8, (aid % 3) + 2
+        n = w * h * 3
+        for f in range(nf - 1):
+            b1 = (aid * 7 + 13 * f * f) % 256
+            d = (13 * (2 * f + 1)) % 256
+            brute = sum(
+                abs((b1 + i) % 256 - (b1 + d + i) % 256) for i in range(n)
+            )
+            r = out[(aid, f)]
+            assert r["n_pixel_bytes"] == n
+            assert r["sum_abs_diff"] == brute
+            assert r["is_cut"] == (brute >= 100 * n)
+
+
 def test_feature_extract_values(spark):
     out = {
         r["asset_id"]: r
