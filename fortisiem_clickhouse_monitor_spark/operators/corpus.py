@@ -594,3 +594,106 @@ def vocab_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "pair")
         .limit(_BPE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Phrase mining: pointwise mutual information over adjacent token pairs
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+
+@register(
+    "vocab_phrase_pmi_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT t.w AS w
+      FROM documents,
+           unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                              _x -> _x <> '')) AS t(w)
+    ),
+    uni AS (SELECT w, count(*) AS u FROM toks GROUP BY w),
+    ut AS (SELECT sum(u) AS t FROM uni),
+    bi AS (
+      SELECT g.gram AS gram, count(*) AS b
+      FROM (
+        SELECT unnest(list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i+1])) AS gram
+        FROM (SELECT {_DUCK_TOKENS} AS tk FROM documents) s
+      ) g
+      GROUP BY g.gram HAVING count(*) >= {_PMI_MIN_COUNT}
+    ),
+    bt AS (
+      SELECT sum(len(tk) - 1) AS tb
+      FROM (SELECT {_DUCK_TOKENS} AS tk FROM documents) s
+      WHERE len(tk) >= 2
+    )
+    SELECT gram, b AS n_pair,
+           round(ln((CAST(b AS DOUBLE) / bt.tb)
+                    / ((CAST(ua.u AS DOUBLE) / ut.t)
+                       * (CAST(ub.u AS DOUBLE) / ut.t))), 4) AS pmi
+    FROM bi
+    JOIN uni ua ON ua.w = string_split(bi.gram, ' ')[1]
+    JOIN uni ub ON ub.w = string_split(bi.gram, ' ')[2]
+    CROSS JOIN ut CROSS JOIN bt
+    ORDER BY pmi DESC, gram LIMIT {_PMI_TOPK}
+    """,
+    tags=("TXT", "vocab"),
+)
+def vocab_phrase_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase mining by pointwise mutual information (the word2vec-
+    phrases recipe): adjacent token pairs occurring >= {_PMI_MIN_COUNT}
+    times ranked by ln(P(ab) / (P(a)P(b))) — high-PMI pairs are
+    collocations worth fusing into single vocabulary units before
+    tokenizer training.
+
+    Scale shape: one bound tokenize pass feeds unigram counts, bigram
+    counts, and both corpus totals; all statistics aggregate onto
+    vocabulary-sized domains with map-side partials, the unigram table
+    broadcasts to the (HAVING-pruned) bigram table, and the top-k
+    lowers to TakeOrderedAndProject — the fact table is scanned, never
+    joined."""
+    d = bind(fanout(table(spark, sf_dir, "documents")),
+             toks=textfns.tokens("text"))
+    uni = (
+        d.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("u"))
+    )
+    ut = uni.agg(F.sum("u").alias("t"))
+    bi = (
+        d.select(F.explode(textfns.shingles(F.col("toks"), 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("b"))
+        .filter(F.col("b") >= _PMI_MIN_COUNT)
+    )
+    bt = (
+        d.select(F.size("toks").alias("n"))
+        .filter(F.col("n") >= 2)
+        .agg(F.sum(F.col("n") - 1).alias("tb"))
+    )
+    ua = uni.select(F.col("w").alias("wa"), F.col("u").alias("u_a"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("u").alias("u_b"))
+    scored = (
+        bi.withColumn("wa", F.split_part("gram", F.lit(" "), F.lit(1)))
+        .withColumn("wb", F.split_part("gram", F.lit(" "), F.lit(2)))
+        .join(F.broadcast(ua), "wa")
+        .join(F.broadcast(ub), "wb")
+        .crossJoin(F.broadcast(ut))
+        .crossJoin(F.broadcast(bt))
+    )
+    pmi = F.log(
+        (F.col("b").cast("double") / F.col("tb"))
+        / (
+            (F.col("u_a").cast("double") / F.col("t"))
+            * (F.col("u_b").cast("double") / F.col("t"))
+        )
+    )
+    return (
+        scored.select(
+            "gram", F.col("b").alias("n_pair"), F.round(pmi, 4).alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), "gram")
+        .limit(_PMI_TOPK)
+    )
