@@ -209,3 +209,92 @@ def graph_common_neighbors_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("common_neighbors"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Community detection: synchronous label propagation (fixed rounds)
+# ---------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for k in range(1, _LPA_ITERS + 1):
+        rounds.append(
+            f"""l{k} AS (
+      SELECT node, lbl FROM (
+        SELECT e.v AS node, p.lbl,
+               row_number() OVER (PARTITION BY e.v
+                                  ORDER BY count(*) DESC, p.lbl) AS rn
+        FROM edges e JOIN {prev} p ON p.node = e.u
+        GROUP BY e.v, p.lbl
+      ) WHERE rn = 1)"""
+        )
+        prev = f"l{k}"
+    joined = ",\n    ".join(rounds)
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey AS u, l_suppkey + {_SUPP_OFF} AS v
+      FROM lineitem
+    ),
+    edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM edges),
+    {joined}
+    SELECT node, lbl AS community FROM {prev}
+    """
+
+
+@register("graph_label_propagation", oracle=_lpa_oracle(), tags=("GRAPH", "ITER"))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    part–supplier co-occurrence graph: every node starts as its own
+    label; each round every node adopts the most frequent label among
+    its neighbors, ties broken by smallest label — {_LPA_ITERS} fixed
+    rounds make the (normally order-sensitive) algorithm fully
+    deterministic and therefore oracle-checkable as unrolled CTEs,
+    the same discipline as the integer PageRank above. (Note the
+    bipartite caveat: synchronous updates on a bipartite graph can
+    oscillate between the two sides' label sets rather than converge —
+    fixed rounds keep the output deterministic, and nodes of the same
+    side in the same community still share a label; production LPA
+    uses asynchronous or semi-synchronous schedules to damp this.)
+
+    Scale shape per round: one join of the (checkpointed-once,
+    degree-bounded) edge list against the |nodes|-row label table, one
+    (node, lbl) count aggregate, one per-node argmax window — all three
+    cluster on the node key, so each round is effectively one
+    label-table exchange; rounds localCheckpoint to truncate lineage.
+    At 100 TB the label table is node-cardinality (vertex-cut it or
+    pre-partition both sides on node id); the edge list never moves
+    after its first partitioning."""
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").alias("u"),
+        (F.col("l_suppkey") + _SUPP_OFF).alias("v"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    labels = edges.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    from pyspark.sql import Window
+
+    for _ in range(_LPA_ITERS):
+        votes = (
+            edges.join(
+                labels.withColumnRenamed("node", "u"), "u"
+            )
+            .groupBy(F.col("v").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), "lbl")
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint()
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -348,3 +348,19 @@ def test_lang_confusion_diagonal_and_totals(spark):
     assert total == table(spark, SF_SMALL, "documents").count()
     # zh has no stopword list: it can never be guessed
     assert all(r.guessed_lang != "zh" for r in rows)
+
+
+def test_label_propagation_separates_bicliques(spark, monkeypatch):
+    """Two disjoint part-supplier bicliques end in distinct community
+    labels (same-side nodes agree within a biclique)."""
+    import fortisiem_clickhouse_monitor_spark.operators.graph as g
+
+    rows = [(p, 1) for p in (1, 2, 3)] + [(p, 2) for p in (101, 102, 103)]
+    li = spark.createDataFrame(rows, "l_partkey long, l_suppkey long")
+    monkeypatch.setattr(g, "table", lambda s, d, n: li)
+    out = {r["node"]: r["community"]
+           for r in g.graph_label_propagation(spark, "x").collect()}
+    a_parts = {out[p] for p in (1, 2, 3)}
+    b_parts = {out[p] for p in (101, 102, 103)}
+    assert len(a_parts) == 1 and len(b_parts) == 1
+    assert a_parts != b_parts
