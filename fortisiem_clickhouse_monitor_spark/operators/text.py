@@ -459,3 +459,83 @@ def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("actual_lang", "guessed_lang")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, g.g AS gram
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents) s,
+           unnest(CASE WHEN len(tk) >= 2 THEN
+                    list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])
+                  ELSE [] END) AS g(g)
+    ),
+    bc AS (SELECT gram, count(*) AS cab FROM grams GROUP BY gram),
+    ctx AS (
+      SELECT string_split(gram, ' ')[1] AS a, sum(cab) AS ca
+      FROM bc GROUP BY 1
+    ),
+    vocab AS (
+      SELECT count(DISTINCT t.w) AS v
+      FROM documents, unnest({_DUCK_TOKENS}) AS t(w)
+    )
+    SELECT g.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((bc.cab + 1.0) / (ctx.ca + vocab.v))), 4)
+             AS avg_logprob
+    FROM grams g
+    JOIN bc USING (gram)
+    JOIN ctx ON ctx.a = string_split(g.gram, ' ')[1]
+    CROSS JOIN vocab
+    GROUP BY g.doc_id
+    """,
+    tags=("TXT", "quality"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional bigram language-model quality score: per document,
+    the mean ln P(w_i | w_{i-1}) under the corpus's own add-one-smoothed
+    bigram LM (contexts = bigram-table marginals, V = unigram
+    vocabulary) — the sharper perplexity proxy one step up the LM
+    ladder from text_unigram_logprob (word-salad documents score low
+    here even when their unigram mix looks natural).
+
+    Scale shape: one bound tokenize feeds the bigram stream; bigram
+    counts, context marginals (derived from the bigram table, not a
+    second corpus pass), and the vocabulary scalar all aggregate onto
+    vocabulary-sized domains and broadcast back onto the doc-keyed
+    stream — the only corpus-sized exchanges are the bigram count and
+    the per-doc average."""
+    d = bind(spread(table(spark, sf_dir, "documents"), "doc_id"),
+             toks=textfns.tokens("text"))
+    grams = d.select(
+        "doc_id", F.explode(textfns.shingles(F.col("toks"), 2)).alias("gram")
+    )
+    bc = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cab"))
+    ctx = (
+        bc.withColumn("a", F.split_part("gram", F.lit(" "), F.lit(1)))
+        .groupBy("a")
+        .agg(F.sum("cab").alias("ca"))
+    )
+    vocab = (
+        d.select(F.explode("toks").alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    lp_tbl = (
+        bc.withColumn("a", F.split_part("gram", F.lit(" "), F.lit(1)))
+        .join(F.broadcast(ctx), "a")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "gram",
+            F.log((F.col("cab") + 1.0) / (F.col("ca") + F.col("v"))).alias("lp"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(lp_tbl), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )
