@@ -1302,3 +1302,91 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("span_tokens").cast("long").alias("longest_span_tokens"),
         F.min("span_start").cast("long").alias("first_span_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification of LSH candidates (fuzzy near-dup ladder)
+# ---------------------------------------------------------------------------
+
+_ED_DEN = 5  # keep pairs with edit_distance <= max_len / _ED_DEN
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    oracle=f"""
+    WITH {_DUCK_SHINGLES},
+    sigs AS (
+      SELECT doc_id, shingles,
+             {textfns.minhash_signature_sql("shingles", _N_HASHES, _MH_PRIME)} AS sig
+      FROM docs
+    ),
+    bands AS (
+      SELECT doc_id, t.b AS band_id,
+             list_extract(sig, 2 * CAST(t.b AS INTEGER) + 1) * {_MH_PRIME}
+               + list_extract(sig, 2 * CAST(t.b AS INTEGER) + 2) AS band_key
+      FROM sigs, range(0, {_BANDS}) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+           CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE {_ED_DEN} * levenshtein(da.text, db.text)
+          <= greatest(length(da.text), length(db.text))
+    """,
+    tags=("DD", "LSH"),
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level fuzzy dedup: MinHash-LSH candidate pairs verified
+    by EXACT Levenshtein distance (keep when edit_distance <=
+    max_len/{_ED_DEN}) — the verification rung that catches
+    small-edit duplicates (typo fixes, template fills) whose token sets
+    already overlap enough to band together but whose similarity is
+    character- not token-shaped. Completes the near-dup verification
+    ladder: token Jaccard, shingle containment, SimHash/dHash Hamming,
+    embedding cosine, and now edit distance.
+
+    Scale shape: candidate generation is the shared LSH band join —
+    the O(len^2)-per-pair Levenshtein only ever runs on banded
+    candidates, never all pairs; text reaches the verify join via two
+    doc-keyed hash joins. The threshold is integer cross-multiplied
+    ({_ED_DEN}*ed <= max_len) — no float at the boundary; both
+    engines' built-in levenshtein counts unit edits identically."""
+    docs = _minhash_docs(spark, sf_dir)
+    bands = minhash_bands(docs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    ed = F.levenshtein("ta", "tb").cast("long")
+    max_len = F.greatest(F.length("ta"), F.length("tb")).cast("long")
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(_ED_DEN * ed <= max_len)
+        .select(
+            "doc_a",
+            "doc_b",
+            ed.alias("edit_distance"),
+            max_len.alias("max_len"),
+        )
+    )

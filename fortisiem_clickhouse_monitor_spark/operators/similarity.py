@@ -1255,3 +1255,111 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_approx"), F.lit(0).cast("long")).alias("n_approx"),
         "n_hits",
     )
+
+
+# ---------------------------------------------------------------------------
+# Dimension-truncation recall: cosine over a prefix of the embedding
+# ---------------------------------------------------------------------------
+
+_TRUNC_DIM = 16
+
+
+@register(
+    "sim_truncation_recall_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < {_RECALL_NQ}
+    ),
+    pairs AS (
+      SELECT q.qid, s.vec_id,
+             round(list_cosine_similarity(s.embedding::DOUBLE[], q.qe), 6)
+               AS c_full,
+             round(list_cosine_similarity(
+               (s.embedding::DOUBLE[])[1:{_TRUNC_DIM}],
+               q.qe[1:{_TRUNC_DIM}]), 6) AS c_trunc
+      FROM q JOIN embeddings s ON s.vec_id <> q.qid
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY c_full DESC, vec_id) AS rn
+        FROM pairs
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    ap AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY c_trunc DESC, vec_id) AS rn
+        FROM pairs
+      ) WHERE rn <= {_RECALL_K}
+    )
+    SELECT e.qid AS query_id,
+           CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits
+    FROM exact e
+    LEFT JOIN ap a ON a.qid = e.qid AND a.vec_id = e.vec_id
+    GROUP BY e.qid
+    """,
+    tags=("ANN", "eval"),
+)
+def sim_truncation_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-compression evaluation (the Matryoshka question):
+    recall@{_RECALL_K} of ranking by cosine over only the FIRST
+    {_TRUNC_DIM} of 64 dimensions vs the full-dimension exact top-k —
+    per query, how many true neighbors a 4x-cheaper prefix index would
+    keep. The third entry in the approximate-path A/B family
+    (LSH-bucket recall, IVF-probe recall, now dimension truncation):
+    run these BEFORE choosing which compression ships at 100 TB.
+
+    Same engine-identical protocol as the siblings: both rankings use
+    rounded cosine with vec_id tiebreak so the top-k SETS hash
+    exactly; the {_RECALL_NQ}-row query set broadcasts; both rankings
+    share one qid-keyed exchange."""
+    from pyspark.sql import Window
+
+    e = fanout(table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    emb_d = F.col("embedding").cast("array<double>")
+    qe_d = F.col("qe").cast("array<double>")
+    pairs = e.join(F.broadcast(q), e["vec_id"] != q["qid"]).select(
+        "qid",
+        "vec_id",
+        F.round(vectors.cosine(emb_d, qe_d), 6).alias("c_full"),
+        F.round(
+            vectors.cosine(
+                F.slice(emb_d, 1, _TRUNC_DIM), F.slice(qe_d, 1, _TRUNC_DIM)
+            ),
+            6,
+        ).alias("c_trunc"),
+    )
+    w_full = Window.partitionBy("qid").orderBy(F.desc("c_full"), F.asc("vec_id"))
+    w_tr = Window.partitionBy("qid").orderBy(F.desc("c_trunc"), F.asc("vec_id"))
+    exact = (
+        pairs.withColumn("rn", F.row_number().over(w_full))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    ap = (
+        pairs.withColumn("rn", F.row_number().over(w_tr))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select(F.col("qid").alias("aqid"), F.col("vec_id").alias("avec"))
+    )
+    return (
+        exact.join(
+            ap,
+            (exact["qid"] == F.col("aqid")) & (exact["vec_id"] == F.col("avec")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.sum(F.when(F.col("avec").isNotNull(), 1).otherwise(0)).alias(
+                "n_hits"
+            )
+        )
+        .select(F.col("qid").alias("query_id"), "n_hits")
+    )
