@@ -415,3 +415,56 @@ def timeseries_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         good.alias("raw_value"),
         F.last(good, ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+_EWMA_SHIFT = 2_000_000  # keeps the integer recurrence positive
+
+
+@register(
+    "ewma_user_value",
+    oracle=f"""
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * 100) AS BIGINT) + {_EWMA_SHIFT} AS q
+      FROM events
+    ),
+    folds AS (
+      SELECT user_id, count(*) AS n_events,
+             list_reduce(list(q ORDER BY ts, event_id),
+                         (a, b) -> (a + b) // 2) AS e
+      FROM q GROUP BY user_id
+    )
+    SELECT user_id, n_events, e - {_EWMA_SHIFT} AS ewma_scaled
+    FROM folds
+    """,
+    tags=("BEHAV", "TS", "ITER"),
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer EWMA (alpha = 1/2) of each user's event values in
+    (ts, event_id) order: e_1 = q_1, e_i = (e_(i-1) + q_i) div 2 over
+    centi-units shifted into the positive domain — integer floor and
+    truncate coincide there, so Spark's fold, DuckDB's list_reduce,
+    and the streaming operator's Python fold are bit-identical (a
+    FLOAT recurrence would disagree in the last ulp across engines).
+
+    This is the BATCH TWIN of streaming/stateful.py:ewma — the batch
+    form folds a per-user collected array (fine at per-user event
+    counts; one user_id exchange), the streaming form carries O(1)
+    state per key and is the 100 TB path; the differential test in
+    tests/test_stateful.py proves them equal."""
+    ev = table(spark, sf_dir, "events")
+    q = (F.floor(F.col("value") * 100).cast("long") + _EWMA_SHIFT).alias("q")
+    per_user = ev.select("user_id", F.struct("ts", "event_id", q.alias("q")).alias("s"))
+    arr = F.array_sort(F.collect_list("s"))
+    folded = per_user.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), arr.alias("arr")
+    )
+    qs = F.transform("arr", lambda x: x["q"])
+    seed = F.element_at(qs, 1)
+    rest = F.when(
+        F.size(qs) > 1, F.slice(qs, 2, F.size(qs) - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
+    e = F.aggregate(rest, seed, lambda acc, x: ((acc + x) / 2).cast("long"))
+    return folded.select(
+        "user_id", "n_events", (e - _EWMA_SHIFT).alias("ewma_scaled")
+    )

@@ -99,3 +99,50 @@ def sessionize(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer EWMA: O(1)-state streaming twin of operators.behavior.ewma_user_value
+# ---------------------------------------------------------------------------
+
+EWMA_SHIFT = 2_000_000
+EWMA_OUTPUT_SCHEMA = "user_id LONG, n_events LONG, ewma_scaled LONG"
+#: (e, n) — shifted integer EWMA state and event count.
+EWMA_STATE_SCHEMA = "e LONG, n LONG"
+
+
+def ewma_fn(key, pdf_iter: "Iterator[pd.DataFrame]", state) -> "Iterator[pd.DataFrame]":
+    """Per-key integer EWMA fold (alpha = 1/2) over (ts, event_id)-
+    ordered batch rows. State is TWO ints per key — the property that
+    lets this run over unbounded streams where the batch twin's
+    collected array cannot. The recurrence operates on values shifted
+    into the positive domain so Python floor division, Spark `div`,
+    and DuckDB `//` agree (they differ on negatives)."""
+    (user_id,) = key
+    e, n = (list(state.get) if state.exists else (None, 0))
+    batch = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    import math
+
+    for v in batch["value"]:
+        q = int(math.floor(float(v) * 100)) + EWMA_SHIFT
+        e = q if e is None else (e + q) // 2  # positive ints: floor == trunc
+        n += 1
+    state.update((e, n))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "ewma_scaled": [e - EWMA_SHIFT]}
+    )
+
+
+def ewma(stream: DataFrame) -> DataFrame:
+    """Streaming integer EWMA per user; emits the running state each
+    batch (take the row with max n_events per user for the final
+    value). No watermark/timeout: state is O(1) per key by design."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        ewma_fn,
+        EWMA_OUTPUT_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -93,3 +93,50 @@ def test_stateful_sessionizer_matches_batch_session_window(spark, sessions_dir):
     }
     assert got == expected
     assert len(got) > 0
+
+
+@pytest.fixture(scope="module")
+def ewma_dir(spark, tmp_path_factory):
+    """Events split into three ts-ordered files with distinct mod times
+    so file-per-trigger replays them as three state-carrying batches."""
+    import time as _time
+
+    out = str(tmp_path_factory.mktemp("ewma_stream"))
+    ev = table(spark, SF_SMALL, "events").orderBy("ts", "event_id")
+    n = ev.count()
+    rows = ev.collect()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        chunk = spark.createDataFrame(rows[cuts[i]:cuts[i + 1]], ev.schema)
+        chunk.coalesce(1).write.mode("append").parquet(out)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+    return out
+
+
+def test_stateful_ewma_matches_batch_fold(spark, ewma_dir):
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    stream = jobs.events_stream(spark, ewma_dir, max_files_per_trigger=1)
+    q = (
+        stateful.ewma(stream)
+        .writeStream.format("memory")
+        .queryName("t_ewma")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.sql("SELECT * FROM t_ewma").collect()
+    # final state per user = the emission with the highest n_events
+    final = {}
+    for r in emitted:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]]["n_events"]:
+            final[r["user_id"]] = r
+    batch = {
+        r["user_id"]: r for r in bh.ewma_user_value(spark, SF_SMALL).collect()
+    }
+    assert set(final) == set(batch)
+    for uid, b in batch.items():
+        s = final[uid]
+        assert s["n_events"] == b["n_events"], uid
+        assert s["ewma_scaled"] == b["ewma_scaled"], uid
