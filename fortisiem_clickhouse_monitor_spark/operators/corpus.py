@@ -697,3 +697,89 @@ def vocab_phrase_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "gram")
         .limit(_PMI_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source dataset card: the release report a corpus ships with
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_source_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, lang, doc_id,
+             len({_DUCK_TOKENS}) AS n_toks,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             CASE WHEN len({_DUCK_TOKENS}) > 0 THEN
+               CAST(len(list_filter({_DUCK_TOKENS},
+                    t -> t IN ('the','a','of','and','to','in','is')))
+                    AS DOUBLE) / len({_DUCK_TOKENS}) END AS stop_ratio
+      FROM documents
+    ),
+    mix AS (
+      SELECT source, lang, count(*) AS c FROM base GROUP BY source, lang
+    ),
+    ent AS (
+      SELECT source,
+             round(-sum((c * 1.0 / t) * ln(c * 1.0 / t)), 4) AS lang_entropy
+      FROM (SELECT source, c,
+                   sum(c) OVER (PARTITION BY source) AS t FROM mix)
+      GROUP BY source
+    )
+    SELECT b.source,
+           count(*) AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           count(DISTINCT lang) AS n_langs,
+           count(*) - count(DISTINCT fp) AS n_dup_docs,
+           round(avg(stop_ratio), 4) AS avg_stop_ratio,
+           any_value(e.lang_entropy) AS lang_entropy
+    FROM base b JOIN ent e USING (source)
+    GROUP BY b.source
+    """,
+    tags=("CORPUS", "eval"),
+)
+def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: document count, token volume, language
+    count and Shannon entropy of the language mix, within-source exact
+    duplicates, and mean stopword density — the one-page release report
+    a corpus snapshot ships with (and the screen that surfaces a
+    domain gone bad before training does).
+
+    One bound tokenize feeds every statistic; everything aggregates
+    onto the |sources| and |source x lang| domains with map-side
+    partials — the corpus is scanned once and never joined against
+    itself (the entropy side-table is domain-sized and rejoins on
+    source)."""
+    d = bind(table(spark, sf_dir, "documents"), toks=textfns.tokens("text"))
+    n = F.size("toks")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    stop = textfns.stopword_hits(F.col("toks"), textfns.STOPWORDS["en"])
+    base = d.select(
+        "source",
+        "lang",
+        n.alias("n_toks"),
+        fp.alias("fp"),
+        F.when(n > 0, stop.cast("double") / n).alias("stop_ratio"),
+    )
+    mix = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    t = F.sum("c").over(Window.partitionBy("source"))
+    p = F.col("c").cast("double") / F.col("t")
+    ent = (
+        mix.withColumn("t", t)
+        .groupBy("source")
+        .agg(F.round(-F.sum(p * F.log(p)), 4).alias("lang_entropy"))
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+            (F.count(F.lit(1)) - F.count_distinct("fp")).alias("n_dup_docs"),
+            F.round(F.avg("stop_ratio"), 4).alias("avg_stop_ratio"),
+        )
+        .join(F.broadcast(ent), "source")
+    )
