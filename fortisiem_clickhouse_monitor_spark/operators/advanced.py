@@ -1093,3 +1093,81 @@ def timeseries_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
     )
+
+
+@register(
+    "sketch_rolling_7d_users",
+    oracle=f"""
+    WITH regs AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             {hll.duck_bucket("user_id::VARCHAR")} AS bucket,
+             max({hll.duck_rho("user_id::VARCHAR")}) AS m_rho
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (SELECT DISTINCT day FROM regs),
+    scattered AS (
+      SELECT regs.day + CAST(o.o AS INTEGER) AS day, bucket, m_rho
+      FROM regs, range(0, 7) o(o)
+    ),
+    merged AS (
+      SELECT s.day, s.bucket, max(s.m_rho) AS m_rho
+      FROM scattered s JOIN days d ON d.day = s.day
+      GROUP BY s.day, s.bucket
+    ),
+    est AS (
+      SELECT day, sum({hll.DUCK_REG_TERM}) AS s_present,
+             count(*) AS n_present
+      FROM merged GROUP BY day
+    )
+    SELECT day,
+           round({hll.duck_estimate("s_present", "n_present")}, 4)
+             AS est_users_7d
+    FROM est
+    """,
+    tags=("A-ext", "SKETCH", "TS"),
+)
+def sketch_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day via SLIDING mergeable-HLL
+    merge: daily 512-register sketches SCATTER to the up-to-7 target
+    days they cover (a bounded 7x fan-out of the kilobyte-sized
+    register table, never of raw events), bucket-wise max-merge per
+    target day, then the shared deterministic estimator. This is the
+    sliding-window distinct-count problem that exact approaches cannot
+    do at 100 TB (a user active twice in the window must count once —
+    plain daily distinct counts don't add): the expensive pass over
+    raw events happens once per day, every window is register algebra.
+
+    Reported days are those with at least one event (the observed-day
+    join prunes the scatter's tail). Same register spec as
+    approx_count_distinct_users / sketch_monthly_users_from_daily, so
+    sketches built once serve all three rollups."""
+    ev = table(spark, sf_dir, "events")
+    h = hll.hash_col(F.col("user_id"))
+    regs = (
+        ev.select(F.to_date("ts").alias("day"), h.alias("h"))
+        .select("day", hll.bucket_of(F.col("h")), hll.rho_of(F.col("h")))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    days = regs.select("day").distinct()
+    scattered = regs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "day",
+        "bucket",
+        "m_rho",
+    ).select(
+        F.date_add("day", F.col("off")).alias("day"), "bucket", "m_rho"
+    )
+    merged = (
+        scattered.join(F.broadcast(days), "day")
+        .groupBy("day", "bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
+    return merged.groupBy("day").agg(
+        F.round(
+            hll.estimate_col(
+                F.sum(F.expr(hll.REG_TERM_EXPR)), F.count(F.lit(1))
+            ),
+            4,
+        ).alias("est_users_7d")
+    )

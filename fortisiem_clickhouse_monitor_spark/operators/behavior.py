@@ -468,3 +468,40 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "user_id", "n_events", (e - _EWMA_SHIFT).alias("ewma_scaled")
     )
+
+
+@register(
+    "trend_user_value_slope",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n,
+           round(regr_slope(value, epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0), 6)
+             AS slope_per_day,
+           round(regr_r2(value, epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000.0), 6)
+             AS r2
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 2 AND var_pop(epoch_us(CAST(ts AS TIMESTAMP))) > 0
+    """,
+    tags=("BEHAV", "TS"),
+)
+def trend_user_value_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user value trend: ordinary-least-squares slope (per day) and
+    R^2 of value against event time — the drift detector that flags
+    users/sensors whose metric is ramping. Uses the built-in regression
+    aggregates (one exchange, map-side partial moments — the textbook
+    mergeable-statistics shape; no window, no sort, no per-user
+    arrays)."""
+    ev = table(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / 86400000000.0  # days as double
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "round(regr_slope(value, unix_micros(ts) / 86400000000.0), 6)"
+        ).alias("slope_per_day"),
+        F.expr(
+            "round(regr_r2(value, unix_micros(ts) / 86400000000.0), 6)"
+        ).alias("r2"),
+        F.var_pop(F.unix_micros("ts").cast("double")).alias("_vx"),
+    )
+    return agg.filter((F.col("n") >= 2) & (F.col("_vx") > 0)).drop("_vx")
