@@ -1390,3 +1390,109 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_len.alias("max_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-style candidate generation)
+# ---------------------------------------------------------------------------
+
+_PFX_NUM, _PFX_DEN = 4, 5  # Jaccard >= 4/5
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, list_distinct({_DUCK_TOKENS}) AS toks
+      FROM documents WHERE len({_DUCK_TOKENS}) > 0
+    ),
+    tok AS (SELECT doc_id, t.w AS w FROM docs, unnest(toks) AS t(w)),
+    dfreq AS (SELECT w, count(*) AS df FROM tok GROUP BY w),
+    ordered AS (
+      SELECT doc_id, list(w ORDER BY df, w) AS ow
+      FROM tok JOIN dfreq USING (w) GROUP BY doc_id
+    ),
+    pfx AS (
+      SELECT doc_id, u.w AS w
+      FROM (SELECT doc_id,
+                   ow[1:(len(ow) - ({_PFX_NUM} * len(ow) + {_PFX_NUM}) // {_PFX_DEN} + 1)]
+                     AS p
+            FROM ordered) s,
+           unnest(p) AS u(w)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pfx a JOIN pfx b ON a.w = b.w AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(da.toks, t -> list_contains(db.toks, t))) AS inter,
+             len(da.toks) + len(db.toks)
+               - len(list_filter(da.toks, t -> list_contains(db.toks, t))) AS uni
+      FROM cand c
+      JOIN docs da ON da.doc_id = c.doc_a
+      JOIN docs db ON db.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / uni, 4) AS jaccard
+    FROM scored WHERE {_PFX_DEN} * inter >= {_PFX_NUM} * uni
+    """,
+    tags=("DD",),
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join by PREFIX FILTERING (the PPJoin family,
+    Xiao et al.): order each document's distinct tokens rarest-first by
+    global document frequency; for Jaccard >= {_PFX_NUM}/{_PFX_DEN},
+    two sets can qualify only if they share a token within each
+    other's (1 - t)|set| + 1 prefix — so only PREFIX tokens are
+    indexed, and candidates come from an equi-join on those rare
+    tokens. The third candidate-generation strategy next to
+    (lang, length) blocking and LSH banding; unlike blocking it is
+    COMPLETE (no cross-block misses), unlike banding it has no
+    probabilistic misses — the trade is candidate count, bounded here
+    because rarest-first prefixes have short posting lists by
+    construction.
+
+    Integer arithmetic at every decision point: the prefix length is
+    n - ceil(t*n) + 1 computed as (4n+4) div 5, and the verify is
+    {_PFX_DEN}*inter >= {_PFX_NUM}*uni — no float at a boundary.
+    One vocabulary-domain df aggregate (broadcast back), one doc-keyed
+    ordered-list build, the prefix-token equi-join, then exact verify
+    on the two candidate doc-id hash joins."""
+    d = bind(
+        fanout(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"),
+        toks=F.array_distinct(textfns.tokens("text")),
+    ).filter(F.size("toks") > 0)
+    tok = d.select("doc_id", F.explode("toks").alias("w"))
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(F.broadcast(dfreq), "w")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "w"))).alias("arr"))
+    )
+    ow = F.transform("arr", lambda x: x["w"])
+    n = F.size("arr")
+    plen = n - F.floor((_PFX_NUM * n + _PFX_NUM) / _PFX_DEN).cast("int") + 1
+    pfx = ordered.select(
+        "doc_id", F.explode(F.slice(ow, 1, plen)).alias("w")
+    )
+    a, b = pfx.alias("a"), pfx.alias("b")
+    cand = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = d.select("doc_id", "toks")
+    da = sets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    db = sets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    uni = F.size("ta") + F.size("tb") - inter
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(_PFX_DEN * inter >= _PFX_NUM * uni)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / uni, 4).alias("jaccard"),
+        )
+    )
