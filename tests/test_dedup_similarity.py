@@ -77,6 +77,34 @@ def test_repeated_substring_windows_planted(spark, monkeypatch):
         assert out[i]["n_windows"] == n_tokens - 8 + 1
 
 
+def test_prefix_filter_finds_cross_block_pair(spark, monkeypatch):
+    """A near-dup pair split across length buckets (one doc padded) is
+    invisible to (lang, length)-blocked Jaccard but MUST be found by
+    prefix filtering — completeness is its whole point. Note token-set
+    Jaccard of doc1 vs doc2: identical distinct sets -> J = 1.0."""
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    # doc 2: same distinct token set, but n_chars lands 2 buckets away
+    pad = " ".join(base.split()[:10])
+    rows = [
+        (1, base, "en", "s", 100),
+        (2, base + " " + pad + " " + pad, "en", "s", 400),
+        (3, "completely different words entirely here now", "en", "s", 100),
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(dd, "table", lambda s, d, n: docs)
+    pfx = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dd.dedup_prefix_filter_pairs(spark, "x").collect()}
+    assert pfx == {(1, 2): 1.0}
+    blocked = {(r["doc_a"], r["doc_b"])
+               for r in dd.dedup_ngram_jaccard_pairs(spark, "x").collect()}
+    assert (1, 2) not in blocked  # the blocking miss prefix filtering fixes
+
+
 def test_duplicate_spans_merges_windows(spark, monkeypatch):
     """The 3 consecutive duplicated windows of a shared 10-token span
     merge into ONE island whose token length equals the span (10), and
