@@ -1496,3 +1496,69 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter.cast("double") / uni, 4).alias("jaccard"),
         )
     )
+
+
+@register(
+    "report_dedup_effect",
+    oracle=f"""
+    {_CC_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node
+    ),
+    ranked AS (
+      SELECT d.lang, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           count(*) AS docs_before,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_after,
+           CAST(sum(n_chars) AS BIGINT) AS chars_before,
+           CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_after,
+           round(1.0 - CAST(sum(CASE WHEN rn = 1 THEN n_chars ELSE 0 END)
+                            AS DOUBLE) / sum(n_chars), 4) AS char_savings
+    FROM ranked GROUP BY lang
+    """,
+    tags=("DD", "eval", "ITER"),
+)
+def report_dedup_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup effectiveness report: per language, document
+    and character volume before vs after keeping one canonical doc per
+    near-dup component (same keep-longest policy as
+    dedup_canonical_docs) — the number a curation run reports to
+    justify its compute ('dedup removed N% of chars in lang X').
+
+    Composes the shared pipeline subtrees (Jaccard pairs -> alternating
+    components -> per-component argmax) and collapses them onto the
+    |langs| domain — the report adds one broadcast-sized aggregation
+    to work the pipeline already does."""
+    comp = dedup_connected_components(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    joined = comp.join(d, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), "doc_id")
+    flagged = joined.withColumn("rn", F.row_number().over(w))
+    kept_chars = F.sum(F.when(F.col("rn") == 1, F.col("n_chars")).otherwise(0))
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_before"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias(
+            "docs_after"
+        ),
+        F.sum("n_chars").cast("long").alias("chars_before"),
+        kept_chars.cast("long").alias("chars_after"),
+        F.round(
+            1.0 - kept_chars.cast("double") / F.sum("n_chars"), 4
+        ).alias("char_savings"),
+    )
