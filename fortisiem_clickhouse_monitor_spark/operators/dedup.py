@@ -1338,7 +1338,9 @@ _ED_DEN = 5  # keep pairs with edit_distance <= max_len / _ED_DEN
     FROM cand c
     JOIN documents da ON da.doc_id = c.doc_a
     JOIN documents db ON db.doc_id = c.doc_b
-    WHERE {_ED_DEN} * levenshtein(da.text, db.text)
+    WHERE {_ED_DEN} * abs(length(da.text) - length(db.text))
+          <= greatest(length(da.text), length(db.text))
+      AND {_ED_DEN} * levenshtein(da.text, db.text)
           <= greatest(length(da.text), length(db.text))
     """,
     tags=("DD", "LSH"),
@@ -1377,12 +1379,15 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     da = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
     db = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
-    ed = F.levenshtein("ta", "tb").cast("long")
     max_len = F.greatest(F.length("ta"), F.length("tb")).cast("long")
+    # ed >= |len_a - len_b|, so length-incompatible pairs fail without
+    # the O(len^2) DP — the CASE guard keeps levenshtein unevaluated.
+    len_ok = _ED_DEN * F.abs(F.length("ta") - F.length("tb")) <= max_len
+    ed = F.when(len_ok, F.levenshtein("ta", "tb")).cast("long")
     return (
         cand.join(da, "doc_a")
         .join(db, "doc_b")
-        .filter(_ED_DEN * ed <= max_len)
+        .filter(len_ok & (_ED_DEN * ed <= max_len))
         .select(
             "doc_a",
             "doc_b",
@@ -1413,8 +1418,8 @@ _PFX_NUM, _PFX_DEN = 4, 5  # Jaccard >= 4/5
       FROM tok JOIN dfreq USING (w) GROUP BY doc_id
     ),
     pfx AS (
-      SELECT doc_id, u.w AS w
-      FROM (SELECT doc_id,
+      SELECT doc_id, len(ow) AS n, u.w AS w
+      FROM (SELECT doc_id, ow,
                    ow[1:(len(ow) - ({_PFX_NUM} * len(ow) + {_PFX_NUM}) // {_PFX_DEN} + 1)]
                      AS p
             FROM ordered) s,
@@ -1422,7 +1427,10 @@ _PFX_NUM, _PFX_DEN = 4, 5  # Jaccard >= 4/5
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM pfx a JOIN pfx b ON a.w = b.w AND a.doc_id < b.doc_id
+      FROM pfx a JOIN pfx b
+        ON a.w = b.w AND a.doc_id < b.doc_id
+           AND {_PFX_DEN} * a.n >= {_PFX_NUM} * b.n
+           AND {_PFX_DEN} * b.n >= {_PFX_NUM} * a.n
     ),
     scored AS (
       SELECT c.doc_a, c.doc_b,
@@ -1472,12 +1480,21 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ow = F.transform("arr", lambda x: x["w"])
     n = F.size("arr")
     plen = n - F.floor((_PFX_NUM * n + _PFX_NUM) / _PFX_DEN).cast("int") + 1
+    # length filter at the candidate join (the PPJoin companion to the
+    # prefix): J(A,B) >= t forces t|B| <= |A| <= |B|/t, so cross-size
+    # pairs prune before the distinct/verify (integer cross-multiply).
     pfx = ordered.select(
-        "doc_id", F.explode(F.slice(ow, 1, plen)).alias("w")
+        "doc_id", n.alias("n"), F.explode(F.slice(ow, 1, plen)).alias("w")
     )
     a, b = pfx.alias("a"), pfx.alias("b")
     cand = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (_PFX_DEN * F.col("a.n") >= _PFX_NUM * F.col("b.n"))
+            & (_PFX_DEN * F.col("b.n") >= _PFX_NUM * F.col("a.n")),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -1561,4 +1578,120 @@ def report_dedup_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             1.0 - kept_chars.cast("double") / F.sum("n_chars"), 4
         ).alias("char_savings"),
+    )
+
+
+@register(
+    "dedup_excise_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t, len({_DUCK_TOKENS}) AS n
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i.i AS pos,
+             {textfns.DUCK_HASH60.format(
+                 col=f"array_to_string(list_slice(t, i.i, i.i + {_SSW_W} - 1), ' ')"
+             )} AS wh
+      FROM toks, unnest(range(1, n - {_SSW_W} + 2)) AS i(i)
+      WHERE n >= {_SSW_W}
+    ),
+    dup AS (
+      SELECT wh FROM occ GROUP BY wh HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dpos AS (
+      SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (wh)
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, p.i AS idx
+      FROM dpos, unnest(range(pos, pos + {_SSW_W})) AS p(i)
+    ),
+    affected AS (SELECT DISTINCT doc_id FROM dpos),
+    positions AS (
+      SELECT tk.doc_id, i.i AS idx, tk.t[i.i] AS tok, tk.n
+      FROM toks tk JOIN affected USING (doc_id),
+           unnest(range(1, n + 1)) AS i(i)
+    ),
+    kept AS (
+      SELECT p.doc_id, p.idx, p.tok, p.n
+      FROM positions p
+      LEFT JOIN covered c ON c.doc_id = p.doc_id AND c.idx = p.idx
+      WHERE c.idx IS NULL
+    )
+    SELECT a.doc_id,
+           any_value(tk.n) AS n_tokens,
+           count(k.idx) AS n_kept,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.idx), '') AS clean_text
+    FROM affected a
+    JOIN toks tk USING (doc_id)
+    LEFT JOIN kept k ON k.doc_id = a.doc_id
+    GROUP BY a.doc_id
+    """,
+    tags=("DD", "TXT"),
+)
+def dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the substring-dedup decision: for every document containing
+    cross-document duplicated {_SSW_W}-token windows, remove every
+    covered token and emit the excised text (plus before/after token
+    counts) — the final rung of the substring family (score:
+    dedup_repeated_substring_windows -> locate: dedup_duplicate_spans
+    -> excise: this). A document that is entirely boilerplate excises
+    to the empty string rather than disappearing, so downstream filters
+    see the drop explicitly.
+
+    Scale shape: the shared 16-byte fingerprint vote; covered indices
+    explode from dup windows only (W rows per duplicated window, zero
+    for clean docs); the rebuild groups tokens of AFFECTED docs only —
+    clean documents, the overwhelming majority at scale, never leave
+    the scan."""
+    d = bind(
+        fanout(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"),
+        toks=textfns.tokens("text"),
+    )
+    base = d.select(
+        "doc_id", "toks", F.size("toks").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= _SSW_W)
+    occ = base.select(
+        "doc_id",
+        F.posexplode(textfns.shingles(F.col("toks"), _SSW_W)).alias("pos0", "win"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        textfns.hash60(F.col("win")).alias("wh"),
+    )
+    occ = occ.localCheckpoint()
+    dup = (
+        occ.groupBy("wh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("wh")
+    )
+    dpos = occ.join(dup, "wh").select("doc_id", "pos")
+    covered = dpos.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + _SSW_W - 1)).alias("idx"),
+    ).distinct()
+    affected = dpos.select("doc_id").distinct()
+    positions = base.join(affected, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        F.posexplode("toks").alias("idx0", "tok"),
+    ).select("doc_id", "n_tokens", (F.col("idx0") + 1).alias("idx"), "tok")
+    kept = positions.join(covered, ["doc_id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "tok"))),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    totals = base.join(affected, "doc_id").select("doc_id", "n_tokens")
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )

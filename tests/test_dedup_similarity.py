@@ -133,6 +133,32 @@ def test_duplicate_spans_merges_windows(spark, monkeypatch):
     assert out[2]["first_span_start"] == 4
 
 
+def test_excise_spans_removes_shared_text(spark, monkeypatch):
+    """Shared 10-token span excised from both docs; a doc that IS the
+    span excises to the empty string (reported, not dropped); clean
+    docs are absent from the output."""
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d1 = "intro words here " + span + " tail one"
+    d2 = span  # entirely boilerplate
+    d3 = "no duplication in this very distinct document at all ok"
+    rows = [
+        (1, d1, "en", "s", len(d1)),
+        (2, d2, "en", "s", len(d2)),
+        (3, d3, "en", "s", len(d3)),
+    ]
+    docs = spark.createDataFrame(
+        rows, schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    monkeypatch.setattr(dd, "table", lambda s, d, n: docs)
+    out = {r["doc_id"]: r for r in dd.dedup_excise_spans(spark, "x").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["clean_text"] == "intro words here tail one"
+    assert out[1]["n_kept"] == 5
+    assert out[2]["clean_text"] == "" and out[2]["n_kept"] == 0
+
+
 def test_minhash_lsh_finds_planted_dups(spark, tmp_path, monkeypatch):
     docs = _planted_docs(spark)
     # route the operator's table() call to our planted frame
