@@ -98,3 +98,54 @@ def test_containment_matches_bruteforce(spark, texts, monkeypatch):
         texts, dd._CONT_DF_CAP, dd._CONT_NUM, dd._CONT_DEN
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter set-similarity join vs brute-force all-pairs Jaccard
+# ---------------------------------------------------------------------------
+
+
+def _brute_jaccard_pairs(texts, num, den):
+    """All-pairs distinct-token Jaccard >= num/den — NO candidate
+    pruning, so any prefix-filter miss shows up as a missing pair."""
+    sets = {}
+    for i, t in enumerate(texts):
+        toks = set(t.split())
+        if toks:
+            sets[i + 1] = toks
+    out = {}
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if den * inter >= num * uni:
+                out[(a, b)] = round(inter / uni, 4)
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus)
+def test_prefix_filter_matches_bruteforce(spark, texts, monkeypatch):
+    """Completeness property: prefix filtering (with the length filter)
+    must return EXACTLY the brute-force all-pairs result — misses would
+    mean the prefix principle or the length bound is implemented
+    wrong."""
+    from fortisiem_clickhouse_monitor_spark.operators import dedup as dd
+
+    rows = [(i + 1, t, "en", "s", len(t)) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(dd, "table", lambda s, d, n: docs)
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dd.dedup_prefix_filter_pairs(spark, "x").collect()
+    }
+    want = _brute_jaccard_pairs(texts, dd._PFX_NUM, dd._PFX_DEN)
+    assert got == want
