@@ -505,3 +505,82 @@ def trend_user_value_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.var_pop(F.unix_micros("ts").cast("double")).alias("_vx"),
     )
     return agg.filter((F.col("n") >= 2) & (F.col("_vx") > 0)).drop("_vx")
+
+
+_BASKET_GAP_US = 1800 * 1_000_000  # 30-min session gap
+
+
+@register(
+    "basket_event_type_pairs",
+    oracle=f"""
+    WITH marks AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                       > {_BASKET_GAP_US}
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marks
+    ),
+    baskets AS (
+      SELECT DISTINCT user_id, sess_id, event_type FROM sess
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS support
+    FROM baskets a JOIN baskets b
+      ON a.user_id = b.user_id AND a.sess_id = b.sess_id
+         AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+    """,
+    tags=("BEHAV",),
+)
+def basket_event_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair support over behavioral sessions: sessions
+    are cut with the gaps-and-islands pattern (a >30-min silence opens
+    a new session — running sum of boundary marks over ONE user_id
+    window), baskets are each session's distinct event types, and the
+    output is co-occurrence support per type pair — the first step of
+    association-rule mining (a-priori's L2).
+
+    Everything clusters on user_id until the final aggregation onto
+    the |types|^2 domain: both windows and the basket distinct share
+    one exchange, and the within-session self-join joins on
+    (user, session) — pair fan-out is bounded by |types| per basket,
+    not by session length."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap.isNull() | (gap > _BASKET_GAP_US), 1
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("sess_id"),
+    )
+    baskets = sess.select("user_id", "sess_id", "event_type").distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sess_id") == F.col("b.sess_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )

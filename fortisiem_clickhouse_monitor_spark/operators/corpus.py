@@ -783,3 +783,111 @@ def corpus_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(ent), "source")
     )
+
+
+@register(
+    "pack_bin_manifests",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, len({_DUCK_TOKENS}) AS n_tokens FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS tokens_before
+      FROM sized
+    ),
+    spans AS (
+      SELECT doc_id, lang, n_tokens, tokens_before,
+             tokens_before // {_BIN_BUDGET} AS first_bin,
+             (tokens_before + n_tokens - 1) // {_BIN_BUDGET} AS last_bin
+      FROM cum WHERE n_tokens > 0
+    ),
+    pieces AS (
+      SELECT lang, b.b AS bin_id, doc_id,
+             greatest(0, tokens_before - b.b * {_BIN_BUDGET}) AS off,
+             least(n_tokens, (b.b + 1) * {_BIN_BUDGET} - tokens_before)
+               - greatest(0, b.b * {_BIN_BUDGET} - tokens_before) AS len
+      FROM spans, unnest(range(first_bin, last_bin + 1)) AS b(b)
+    )
+    SELECT lang, bin_id,
+           count(*) AS n_pieces,
+           CAST(sum(len) AS BIGINT) AS bin_tokens,
+           to_json(list(struct_pack(off := off, doc_id := doc_id, len := len)
+                        ORDER BY off, doc_id)) AS manifest_json
+    FROM pieces GROUP BY lang, bin_id
+    """,
+    tags=("TXT", "packing"),
+)
+def pack_bin_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The loader-side bookkeeping of greedy packing: for every
+    {_BIN_BUDGET}-token training bin, the ordered MANIFEST of document
+    pieces inside it — (offset-in-bin, doc_id, piece length), with
+    straddling documents split across consecutive bins — exactly what a
+    training data loader needs to rebuild attention-mask boundaries
+    (no cross-document attention) without retokenizing anything.
+
+    Same single per-lang running-sum window as pack_greedy_bins; the
+    piece explode adds at most one row per (doc, straddled bin), and
+    the manifest nest is one groupBy on (lang, bin) reusing the lang
+    exchange. Nested array<struct> output — the comparator canonizes
+    structs by field name, so the manifest is hash-checked too."""
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", F.size(textfns.tokens("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = sized.withColumn(
+        "tokens_before",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+    ).filter(F.col("n_tokens") > 0)
+    first_bin = F.floor(F.col("tokens_before") / _BIN_BUDGET).cast("long")
+    last_bin = F.floor(
+        (F.col("tokens_before") + F.col("n_tokens") - 1) / _BIN_BUDGET
+    ).cast("long")
+    spans = cum.select(
+        "doc_id", "lang", "n_tokens", "tokens_before",
+        first_bin.alias("first_bin"), last_bin.alias("last_bin"),
+    )
+    pieces = spans.select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        "tokens_before",
+        F.explode(F.sequence("first_bin", "last_bin")).alias("bin_id"),
+    ).select(
+        "lang",
+        "bin_id",
+        "doc_id",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("tokens_before") - F.col("bin_id") * _BIN_BUDGET,
+        ).alias("off"),
+        (
+            F.least(
+                F.col("n_tokens").cast("long"),
+                (F.col("bin_id") + 1) * _BIN_BUDGET - F.col("tokens_before"),
+            )
+            - F.greatest(
+                F.lit(0).cast("long"),
+                F.col("bin_id") * _BIN_BUDGET - F.col("tokens_before"),
+            )
+        ).alias("len"),
+    )
+    # JSON-serialized manifest (the repo's struct-parity discipline, see
+    # nest_items_per_order): identical field order on both engines makes
+    # the nested payload a hash-checkable plain string.
+    manifest = F.to_json(
+        F.array_sort(F.collect_list(F.struct("off", "doc_id", "len")))
+    )
+    return pieces.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_pieces"),
+        F.sum("len").cast("long").alias("bin_tokens"),
+        manifest.alias("manifest_json"),
+    )
