@@ -584,3 +584,44 @@ def basket_event_type_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("support"))
     )
+
+
+@register(
+    "normalize_winsorize_values",
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(e.value, 4) AS raw_value,
+           round(greatest(c.p01, least(c.p99, e.value)), 4) AS clipped_value,
+           (e.value < c.p01 OR e.value > c.p99) AS was_clipped
+    FROM events e JOIN cuts c USING (event_type)
+    """,
+    tags=("BEHAV", "A-ext"),
+)
+def normalize_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each event's value to its type's
+    [p01, p99] — the robust-preprocessing step that tames heavy tails
+    before z-scores or model features. Per-type cut points aggregate
+    onto the |event_type| domain (exact interpolated percentile for
+    oracle parity; percentile_approx is the drop-in at 100 TB) and
+    broadcast back — the fact is scanned once and never shuffled."""
+    ev = table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    clipped = F.greatest("p01", F.least("p99", F.col("value")))
+    return ev.join(F.broadcast(cuts), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 4).alias("raw_value"),
+        F.round(clipped, 4).alias("clipped_value"),
+        ((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99"))).alias(
+            "was_clipped"
+        ),
+    )
