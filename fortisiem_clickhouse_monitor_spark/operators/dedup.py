@@ -1470,6 +1470,13 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fanout(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"),
         toks=F.array_distinct(textfns.tokens("text")),
     ).filter(F.size("toks") > 0)
+    # NOTE (measured, sf0.1): materializing the tokenized frame here —
+    # persist() or localCheckpoint() — does NOT help: the tokenize
+    # subtree the self-join duplicates is not the bottleneck (persist
+    # 6.1 s vs 5.9 s plain), and a localCheckpoint actively HURTS
+    # (82 s) because the stat-less LogicalRDD flips the candidate join
+    # strategy.  Keep the declarative form; Catalyst's estimates are
+    # better than a blind barrier.
     tok = d.select("doc_id", F.explode("toks").alias("w"))
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     ordered = (

@@ -280,21 +280,22 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
-    from pyspark.sql import Window
-
     for _ in range(_LPA_ITERS):
+        # repartition("v") pins ONE exchange that satisfies both the
+        # (v, lbl) vote count and the per-v argmax (HashPartitioning(v)
+        # clusters both), and max(struct(c, -lbl)) replaces the
+        # row_number sort-window — count-desc / label-asc argmax as a
+        # partial-aggregatable max, no per-partition sort.
         votes = (
-            edges.join(
-                labels.withColumnRenamed("node", "u"), "u"
-            )
+            edges.join(labels.withColumnRenamed("node", "u"), "u")
+            .repartition("v")
             .groupBy(F.col("v").alias("node"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        w = Window.partitionBy("node").orderBy(F.desc("c"), "lbl")
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
+            votes.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).alias("lbl"))
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))
