@@ -891,3 +891,53 @@ def pack_bin_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").cast("long").alias("bin_tokens"),
         manifest.alias("manifest_json"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+#: 256 hash buckets: [0,204) train (~80%), [204,230) val (~10%), rest test.
+_SPLIT_TRAIN, _SPLIT_VAL = 204, 230
+
+
+@register(
+    "corpus_train_val_test_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+                WHEN bucket < {_SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    tags=("SAMPLE", "SPLIT"),
+)
+def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by content-hash bucket
+    (md5 first byte -> 256 buckets -> ~80/10/10): the split every
+    training pipeline needs, computed so that (a) membership is a pure
+    function of doc_id — stable across engines, runs, repartitions, and
+    corpus growth (a doc added tomorrow lands in the same split it
+    would have today, unlike any rank- or random()-based split), and
+    (b) it is a map-only projection — no shuffle, no state, trivially
+    correct at any scale. Downstream writers partition by the split
+    column to produce physically separated outputs."""
+    d = table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < _SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < _SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -1702,3 +1702,156 @@ def dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus (the production shape)
+# ---------------------------------------------------------------------------
+
+#: Sources src10..src19 play the "incoming crawl batch"; src0..src9 the
+#: already-indexed historical corpus.
+_INC_NEW_RE = "^src1[0-9]$"
+
+_INC_ORACLE = f"""
+    WITH docs AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      FROM (SELECT doc_id, source, {{_DUCK_TOKENS}} AS toks FROM documents)
+      WHERE len(toks) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id, source, shingles,
+             {{sig_sql}} AS sig
+      FROM docs
+    ),
+    bands AS (
+      SELECT doc_id, source,
+             regexp_matches(source, '{_INC_NEW_RE}') AS is_new,
+             t.b AS band_id,
+             list_extract(sig, 2 * CAST(t.b AS INTEGER) + 1) * {{prime}}
+               + list_extract(sig, 2 * CAST(t.b AS INTEGER) + 2) AS band_key
+      FROM sigs, range(0, {{bands}}) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS doc_id, m.doc_id AS doc_m
+      FROM bands n JOIN bands m
+        ON n.band_id = m.band_id AND n.band_key = m.band_key
+       AND n.is_new
+       AND n.doc_id <> m.doc_id
+       AND (NOT m.is_new OR m.doc_id < n.doc_id)
+    ),
+    scored AS (
+      SELECT c.doc_id, c.doc_m,
+             round(CAST(len(list_filter(sa.shingles,
+                     s -> list_contains(sb.shingles, s))) AS DOUBLE)
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_filter(sa.shingles,
+                        s -> list_contains(sb.shingles, s)))), 4) AS jac
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.doc_id
+      JOIN sigs sb ON sb.doc_id = c.doc_m
+    ),
+    verified AS (SELECT * FROM scored WHERE jac >= 0.5),
+    agg AS (
+      SELECT doc_id, count(*) AS n_matches, min(doc_m) AS duplicate_of,
+             arg_min(jac, doc_m) AS jaccard
+      FROM verified GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN a.duplicate_of IS NOT NULL THEN 'drop' ELSE 'keep' END
+             AS action,
+           a.duplicate_of, a.jaccard,
+           coalesce(a.n_matches, 0) AS n_matches
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    WHERE regexp_matches(d.source, '{_INC_NEW_RE}')
+"""
+
+
+@register(
+    "dedup_incremental_new_vs_corpus",
+    oracle=_INC_ORACLE.format(
+        _DUCK_TOKENS=_DUCK_TOKENS,
+        sig_sql=textfns.minhash_signature_sql("shingles", _N_HASHES, _MH_PRIME),
+        prime=_MH_PRIME,
+        bands=_BANDS,
+    ),
+    tags=("DD", "LSH", "INCR"),
+)
+def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup: an incoming batch (sources src10..src19)
+    is checked against the already-indexed corpus (src0..src9) plus
+    itself — never corpus-vs-corpus. Every new document gets a verdict:
+    ``drop`` with its earliest duplicate (min doc_id over verified
+    Jaccard>=0.5 matches, plus that pair's Jaccard) or ``keep``.
+
+    THE production dedup shape at 100 TB: the historical corpus's band
+    index is write-once (its (band_id, band_key, doc_id) table persists
+    between runs), and each daily batch only (a) computes signatures
+    for ITS documents — map-only over the new data — and (b) band-joins
+    new-vs-index and new-vs-new. Work per run scales with the batch,
+    not the corpus; corpus-vs-corpus pairs (the quadratic bulk that
+    full-corpus runs like dedup_minhash_lsh_pairs re-enumerate every
+    time) are never generated. The asymmetric candidate predicate
+    (match anything old, but only LOWER new ids) keeps batch-internal
+    duplicates single-counted while never letting two new docs both
+    survive as "original"."""
+    docs = _minhash_docs(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    is_new_col = F.col("source").rlike(_INC_NEW_RE)
+    tagged = minhash_bands(docs).join(F.broadcast(src), "doc_id")
+    new_b = tagged.filter(is_new_col).select("doc_id", "band_id", "band_key")
+    idx_b = tagged.select(
+        "doc_id", "band_id", "band_key", is_new_col.alias("is_new")
+    )
+    n, m = new_b.alias("n"), idx_b.alias("m")
+    cand = (
+        n.join(
+            m,
+            (F.col("n.band_id") == F.col("m.band_id"))
+            & (F.col("n.band_key") == F.col("m.band_key"))
+            & (F.col("n.doc_id") != F.col("m.doc_id"))
+            & (~F.col("m.is_new") | (F.col("m.doc_id") < F.col("n.doc_id"))),
+        )
+        .select(F.col("n.doc_id").alias("doc_id"), F.col("m.doc_id").alias("doc_m"))
+        .distinct()
+    )
+    sh = docs.select("doc_id", "shingles")
+    verified = (
+        cand.join(
+            sh.withColumnRenamed("doc_id", "doc_id").withColumnsRenamed(
+                {"shingles": "sh_a"}
+            ),
+            "doc_id",
+        )
+        .join(
+            sh.withColumnsRenamed({"doc_id": "doc_m", "shingles": "sh_b"}),
+            "doc_m",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter.cast("double") / uni, 4)
+    hits = verified.select("doc_id", "doc_m", jac.alias("jac")).filter(
+        F.col("jac") >= 0.5
+    )
+    agg = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("doc_m").alias("duplicate_of"),
+        F.min_by("jac", "doc_m").alias("jaccard"),
+    )
+    return (
+        src.filter(is_new_col)
+        .select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("duplicate_of").isNotNull(), F.lit("drop"))
+            .otherwise(F.lit("keep"))
+            .alias("action"),
+            "duplicate_of",
+            "jaccard",
+            F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
+        )
+    )

@@ -158,3 +158,32 @@ class TestCurriculumDeciles:
         assert out[1] == 1 and out[2] == 1
         assert out[19] == 10 and out[20] == 10
         assert sorted(out.values()) == [d for d in range(1, 11) for _ in (0, 1)]
+
+
+def test_train_val_test_split_deterministic_partition(spark):
+    """The split is an exhaustive, disjoint, deterministic partition of
+    the corpus: one row per doc, split consistent with the hash bucket,
+    identical across runs, and all three splits non-degenerate."""
+    from fortisiem_clickhouse_monitor_spark.operators.corpus import (
+        _SPLIT_TRAIN,
+        _SPLIT_VAL,
+        corpus_train_val_test_split,
+    )
+    from conftest import SF_SMALL
+
+    rows = corpus_train_val_test_split(spark, SF_SMALL).collect()
+    again = corpus_train_val_test_split(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "one row per document"
+    for r in rows:
+        if r["bucket"] < _SPLIT_TRAIN:
+            assert r["split"] == "train"
+        elif r["bucket"] < _SPLIT_VAL:
+            assert r["split"] == "val"
+        else:
+            assert r["split"] == "test"
+    counts = {s: 0 for s in ("train", "val", "test")}
+    for r in rows:
+        counts[r["split"]] += 1
+    assert counts["train"] > counts["val"] > 0 and counts["test"] > 0

@@ -516,3 +516,53 @@ def test_alternating_components_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         alternating_components(chain, max_rounds=0)
+
+
+def test_incremental_dedup_planted(spark, monkeypatch):
+    """New-batch docs (src10..) get keep/drop verdicts against the old
+    corpus (src0..src9) and each other; old docs never appear in the
+    output and old-vs-old pairs are never generated (the incremental
+    contract). Earliest-match-wins: an exact copy of an old doc drops
+    against it; of two identical NEW docs only the higher id drops."""
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the tall fence near the old barn door"
+    )
+    uniq1 = (
+        "completely different content about distributed query engines "
+        "processing columnar data with vectorized execution pipelines"
+    )
+    uniq2 = (
+        "another standalone passage describing adaptive shuffle "
+        "partitioning and broadcast join planning in modern optimizers"
+    )
+    rows = [
+        (1, base, "en", "src0", len(base)),       # old original
+        (2, uniq2, "en", "src3", len(uniq2)),     # old, unique
+        (100, base, "en", "src10", len(base)),    # new, dup of old 1
+        (101, uniq1, "en", "src11", len(uniq1)),  # new, unique
+        (102, uniq2 + " extra", "en", "src12", len(uniq2)),  # new, near-dup of old 2
+        (103, uniq2 + " extra", "en", "src13", len(uniq2)),  # new, = 102
+    ]
+    docs = spark.createDataFrame(
+        rows,
+        schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    monkeypatch.setattr(dd, "table", lambda s, d, n: docs)
+    out = {
+        r["doc_id"]: r
+        for r in dd.dedup_incremental_new_vs_corpus(spark, "ignored").collect()
+    }
+    assert set(out) == {100, 101, 102, 103}, "old docs must not appear"
+    assert out[100]["action"] == "drop" and out[100]["duplicate_of"] == 1
+    assert out[100]["jaccard"] == 1.0
+    assert out[101]["action"] == "keep" and out[101]["duplicate_of"] is None
+    assert out[101]["n_matches"] == 0
+    # 102 matches old doc 2 (near-dup) -> drops against the CORPUS copy,
+    # not its new twin 103 (min doc_id wins)
+    assert out[102]["action"] == "drop" and out[102]["duplicate_of"] == 2
+    # 103 matches old 2 AND new 102; earliest is 2
+    assert out[103]["action"] == "drop" and out[103]["duplicate_of"] == 2
+    assert out[103]["n_matches"] >= 2
