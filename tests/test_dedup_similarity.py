@@ -566,3 +566,66 @@ def test_incremental_dedup_planted(spark, monkeypatch):
     # 103 matches old 2 AND new 102; earliest is 2
     assert out[103]["action"] == "drop" and out[103]["duplicate_of"] == 2
     assert out[103]["n_matches"] >= 2
+
+
+def test_incremental_dedup_consistent_with_full_pairs(spark, monkeypatch):
+    """Differential contract on a seeded random corpus: a new doc drops
+    iff the FULL-corpus MinHash pair set contains a verified pair
+    linking it to an old doc or a lower-id new doc; duplicate_of is the
+    minimum such partner and n_matches the count. The incremental
+    operator must equal this restriction of the full result exactly."""
+    import random
+
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+
+    rng = random.Random(739)
+    vocab = [f"w{i}" for i in range(40)]
+
+    def mk_text():
+        return " ".join(rng.choice(vocab) for _ in range(30))
+
+    rows = []
+    texts = []
+    for i in range(30):
+        if i >= 6 and rng.random() < 0.4:
+            base = rng.choice(texts)
+            toks = base.split()
+            j = rng.randrange(len(toks))
+            toks[j] = rng.choice(vocab)  # near-dup: 1-token mutation
+            t = " ".join(toks)
+        else:
+            t = mk_text()
+        texts.append(t)
+        src = f"src{rng.randrange(20)}"  # src10..src19 = new batch
+        rows.append((i, t, "en", src, len(t)))
+    docs = spark.createDataFrame(
+        rows,
+        schema="doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    monkeypatch.setattr(dd, "table", lambda s, d, n: docs)
+
+    full = dd.dedup_minhash_lsh_pairs(spark, "ignored").collect()
+    inc = {r["doc_id"]: r for r in dd.dedup_incremental_new_vs_corpus(
+        spark, "ignored").collect()}
+
+    new_ids = {r[0] for r in rows if len(r[3]) == 5}  # src10..src19
+    assert set(inc) == new_ids
+
+    partners: dict[int, list[tuple[int, float]]] = {n: [] for n in new_ids}
+    for p in full:
+        a, b, j = p["doc_a"], p["doc_b"], p["jaccard"]
+        for n, m in ((a, b), (b, a)):
+            if n in new_ids and (m not in new_ids or m < n):
+                partners[n].append((m, j))
+    assert any(partners.values()), "seed produced no drops — test is vacuous"
+    for n in new_ids:
+        got = inc[n]
+        if partners[n]:
+            best_m = min(m for m, _ in partners[n])
+            best_j = dict(partners[n])[best_m]
+            assert got["action"] == "drop", (n, partners[n])
+            assert got["duplicate_of"] == best_m
+            assert got["jaccard"] == best_j
+            assert got["n_matches"] == len(partners[n])
+        else:
+            assert got["action"] == "keep" and got["n_matches"] == 0
