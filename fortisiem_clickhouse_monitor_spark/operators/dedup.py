@@ -632,7 +632,11 @@ def alternating_components(edges: DataFrame, max_rounds: int = 25):
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        # lazy checkpoint: the count() below materializes it, so the
+        # truncate-lineage barrier and the size probe share ONE job
+        # (eager=True would run the plan once for the checkpoint and
+        # again for the count).
+        .localCheckpoint(eager=False)
     )
     n_edges = E.count()
     rounds = 0
@@ -670,7 +674,7 @@ def alternating_components(edges: DataFrame, max_rounds: int = 25):
                 F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
             )
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n2 = E2.count()
         if n2 == n_edges and E2.exceptAll(E).count() == 0:
