@@ -1,0 +1,162 @@
+"""Data-quality operators: column profiling and referential-integrity
+screening — the observability layer a 100 TB lakehouse runs before
+anything downstream trusts a table (the Deequ/expectations capability
+family, re-expressed as plain declarative Spark).
+
+Scale shape: the profiler is ONE full-scan aggregate (every per-column
+statistic is a partial-aggregatable function, so the whole profile is
+a single map-side-combined exchange no matter how many columns), and
+the FK screen is one broadcast anti-join per relationship against a
+dim, plus one fact-keyed anti-join for the fact-fact edge — the same
+join shapes the engine already guarantees never shuffle the fact twice.
+
+Reference scope note: the reference (chStats.py) has no quality
+tooling; these extend the engine per the brief's platform mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import table
+
+# ---------------------------------------------------------------------------
+# Column profiler
+# ---------------------------------------------------------------------------
+
+#: (column, render-to-string expression) pairs for the documents table.
+#: min/max are compared as strings for VARCHAR columns and rendered via
+#: CAST for numerics so one output schema fits every column.
+_DOC_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{c}' AS col_name,
+               count(*) AS n_rows,
+               count(*) - count({c}) AS n_nulls,
+               count(DISTINCT {c}) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_val,
+               CAST(max({c}) AS VARCHAR) AS max_val
+        FROM documents"""
+        for c in _DOC_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_documents_columns", oracle=_profile_oracle(), tags=("DQ",))
+def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of the documents table: row count, null count,
+    exact distinct count, min and max (rendered as strings so one
+    schema covers every column type) — the first screen run on any
+    newly landed table.
+
+    Plan: ONE aggregate over ONE scan computes all 5 columns' stats
+    (count/count_distinct/min/max are all partial-aggregatable, so this
+    is a single map-side-combined exchange), then a literal explode
+    unpivots the stats row into one row per column — profiling cost is
+    one pass regardless of column count, vs the naive per-column-scan
+    loop which reads the table N_cols times."""
+    d = table(spark, sf_dir, "documents")
+    aggs = []
+    for c in _DOC_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = d.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_val"),
+                F.col(f"{c}__max").alias("max_val"),
+            )
+            for c in _DOC_COLS
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_fk_orphans",
+    oracle="""
+    SELECT 'orders.custkey->customer' AS relationship,
+           count(*) AS n_orphans
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem.orderkey->orders', count(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem.partkey->part', count(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier', count(*)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'customer.nationkey->nation', count(*)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                      WHERE n.n_nationkey = c.c_nationkey)
+    """,
+    tags=("DQ",),
+)
+def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity screen over the star schema: orphan counts
+    for every FK edge (fact->dim edges anti-join against BROADCAST
+    dims — the fact scans once per edge and never shuffles; the one
+    fact->fact edge, lineitem->orders, is the only shuffled anti-join).
+    Zero rows of drift is a merge-gate precondition for the incremental
+    rollup / SCD2 operators downstream."""
+
+    def orphans(fact, fk, dim, pk, label, bcast=True):
+        dimkeys = dim.select(pk)
+        if bcast:
+            dimkeys = F.broadcast(dimkeys)
+        return (
+            fact.join(dimkeys, fact[fk] == dimkeys[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(label).alias("relationship"), "n_orphans")
+        )
+
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        orphans(o, "o_custkey", table(spark, sf_dir, "customer"), "c_custkey",
+                "orders.custkey->customer")
+        .unionByName(
+            orphans(li, "l_orderkey", o, "o_orderkey",
+                    "lineitem.orderkey->orders", bcast=False))
+        .unionByName(
+            orphans(li, "l_partkey", table(spark, sf_dir, "part"), "p_partkey",
+                    "lineitem.partkey->part"))
+        .unionByName(
+            orphans(li, "l_suppkey", table(spark, sf_dir, "supplier"),
+                    "s_suppkey", "lineitem.suppkey->supplier"))
+        .unionByName(
+            orphans(table(spark, sf_dir, "customer"), "c_nationkey",
+                    table(spark, sf_dir, "nation"), "n_nationkey",
+                    "customer.nationkey->nation"))
+    )

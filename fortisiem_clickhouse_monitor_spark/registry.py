@@ -79,6 +79,7 @@ def _load_all() -> None:
         joins,
         multimodal,
         pipeline,
+        profiling,
         relational,
         reshape,
         similarity,
