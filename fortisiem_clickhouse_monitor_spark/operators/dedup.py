@@ -1494,6 +1494,11 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # length filter at the candidate join (the PPJoin companion to the
     # prefix): J(A,B) >= t forces t|B| <= |A| <= |B|/t, so cross-size
     # pairs prune before the distinct/verify (integer cross-multiply).
+    # (also measured: persisting THIS prefix index — collapsing the
+    # duplicated df-count/collect/sort subtree in the self-join — is
+    # 5.8 s vs 5.9 s plain at sf0.1; the cost lives in the candidate
+    # join + verify, which is the work itself, so no materialization
+    # barrier pays for its memory here.)
     pfx = ordered.select(
         "doc_id", n.alias("n"), F.explode(F.slice(ow, 1, plen)).alias("w")
     )
