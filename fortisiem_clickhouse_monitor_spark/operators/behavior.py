@@ -625,3 +625,57 @@ def normalize_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "was_clipped"
         ),
     )
+
+
+@register(
+    "timeseries_dow_seasonal_outliers",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type, isodow(day) AS dow,
+             CAST(sum(n) AS BIGINT) AS dow_total, count(*) AS dow_days
+      FROM daily GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.day, d.n, b.dow, b.dow_total, b.dow_days
+    FROM daily d JOIN base b
+      ON b.event_type = d.event_type AND b.dow = isodow(d.day)
+    WHERE 10 * d.n * b.dow_days > 11 * b.dow_total
+    """,
+    tags=("BEHAV", "TS"),
+)
+def timeseries_dow_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware volume anomaly screen: a day is flagged when
+    its event count exceeds 1.1x the MEAN FOR THAT DAY-OF-WEEK (its
+    seasonal baseline), not the global mean — the screen that does not
+    page on-call every Saturday because weekends differ from weekdays.
+    The 1.1x test is the integer cross-multiply 10*n*dow_days >
+    11*dow_total, so no float division sits at the decision boundary
+    (the margin is tuned to the fixtures' variance; production would
+    widen it or switch to a per-dow z-score).
+
+    Scale shape: the daily rollup aggregates within time-partitioned
+    parquet (one exchange on (event_type, day)); the baseline
+    aggregates THAT |types * 7|-row summary and broadcasts back — the
+    raw fact is never re-shuffled, the same two-level summary-join
+    pattern as outlier_events_zscore."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dow = F.weekday("day") + F.lit(1)  # ISO: Mon=1 .. Sun=7
+    base = (
+        daily.withColumn("dow", dow)
+        .groupBy("event_type", "dow")
+        .agg(F.sum("n").alias("dow_total"), F.count(F.lit(1)).alias("dow_days"))
+    )
+    return (
+        daily.withColumn("dow", dow)
+        .join(F.broadcast(base), ["event_type", "dow"])
+        .filter(10 * F.col("n") * F.col("dow_days") > 11 * F.col("dow_total"))
+        .select("event_type", "day", "n", "dow", "dow_total", "dow_days")
+    )
