@@ -78,10 +78,11 @@ def fit_alpha(points: list[tuple[int, float]]) -> float | None:
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaling_curves.json"
+    names = sys.argv[2:] or QUERIES  # optional explicit subset
     spark = get_spark("fcm-scaling")
     qs = entrymod.queries()
     results: dict[str, dict] = {}
-    for name in QUERIES:
+    for name in names:
         fn = qs[name]
         times: list[tuple[int, float]] = []
         cut = None
