@@ -183,6 +183,23 @@ def main() -> None:
     }
     if errors:
         result["errors"] = errors
+    # Persist the FULL per-query artifact in-repo so round-over-round
+    # per-query comparison never depends on the driver's truncated output
+    # tail (r2 vs r3 visible sets were disjoint; VERDICT r3 item #3).
+    # Round number comes from $SPARK_GRAFT_ROUND when the driver sets it,
+    # else "latest" so local runs still refresh a stable file.
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND", "latest")
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "docs",
+        f"bench_r{round_tag}_full.json",
+    )
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"[bench] could not persist {full_path}: {exc}", file=sys.stderr)
     print(json.dumps(result))
 
 

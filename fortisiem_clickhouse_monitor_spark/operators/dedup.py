@@ -1829,9 +1829,7 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
     sh = docs.select("doc_id", "shingles")
     verified = (
         cand.join(
-            sh.withColumnRenamed("doc_id", "doc_id").withColumnsRenamed(
-                {"shingles": "sh_a"}
-            ),
+            sh.withColumnsRenamed({"shingles": "sh_a"}),
             "doc_id",
         )
         .join(

@@ -88,7 +88,12 @@ def main() -> None:
         cut = None
         last = 0.0
         for sf_dir, k in SCALES:
-            if times and last * (k / times[-1][0]) ** 2 > SOFT_BUDGET_S:
+            # Project the next point from the alpha fitted so far, so a
+            # linear-scaling query isn't cut by a pessimistic quadratic
+            # assumption; with <2 points fall back to exponent 2.
+            proj_exp = fit_alpha(times) if len(times) >= 2 else None
+            proj_exp = 2.0 if proj_exp is None else max(proj_exp, 0.0)
+            if times and last * (k / times[-1][0]) ** proj_exp > SOFT_BUDGET_S:
                 cut = f"skipped k>={k}: projected > {SOFT_BUDGET_S:.0f}s"
                 break
             try:
