@@ -107,6 +107,8 @@ HEADLINE = [
     "curriculum_quality_deciles",
     "join_point_in_time_scd2",
     "timeseries_forward_fill",
+    # round 4 additions
+    "graph_triangle_counts",
 ]
 
 

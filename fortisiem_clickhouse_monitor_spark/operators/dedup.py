@@ -840,7 +840,17 @@ def wedges_by_degree(oriented: DataFrame) -> DataFrame:
 
 def triangles_from_edges(pairs: DataFrame) -> DataFrame:
     """Each triangle exactly once as (a, b, c), a < b < c by id."""
-    oriented = orient_by_degree(pairs).localCheckpoint()
+    # Round-robin repartition before the checkpoint: AQE coalesces the
+    # byte-small edge list to ~1 partition, but wedge FAN-OUT work per
+    # row is huge — without this, a broadcast wedge join runs the whole
+    # sum(out-deg^2) generation on one core (see triangle_counts_from_
+    # edges; same fix, measured there 21 s -> 3 s on the intersect).
+    n_parts = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    oriented = (
+        orient_by_degree(pairs).repartition(2 * n_parts).localCheckpoint()
+    )
     closing = oriented.select(F.col("src").alias("y"), F.col("dst").alias("z"))
     # The wedge set is the big side (sum of out-deg^2 — 17M rows on the
     # sf0.1 clique-heavy graph vs 215k edges); the closing edge list is
@@ -901,6 +911,124 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     return triangles_from_edges(pairs)
+
+
+def triangle_counts_from_edges(pairs: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation counts WITHOUT materializing
+    wedges or the triangle list.  The wedge self-join is replaced by a
+    per-EDGE sorted-adjacency intersection: collect each vertex's
+    degree-ordered out-neighbors once, join the m oriented edges against
+    that adjacency (both sides edge-count-sized, nothing
+    wedge-count-sized ever exists as rows), and take
+    ``array_intersect(N+(u), N+(v))`` per edge — the common out-
+    neighbors are exactly the third corners of the triangles closed at
+    edge (u, v), each triangle found exactly once.  Corner contributions
+    (u and v once per common element, plus every common element) stream
+    through one in-codegen explode into a map-side-combined hash
+    aggregate, so the only O(triangles) structure is a generator feeding
+    partial aggregation — never a shuffled or joined row set.
+
+    Why this beats the wedge join for counting: the sf0.1 near-dup
+    graph is near-union-of-cliques — 17.45 M wedges of which 17.4 M
+    close — so the wedge join materializes ~17 M join rows that the
+    count form provably never needs (measured: the wedge-join count
+    variant scaled at alpha~1.04, indistinguishable from enumeration;
+    this form drops the graph-side cost to per-edge array work bounded
+    by sum_e(d+(u) + d+(v)) <= 2m*sqrt(m)).  Degree-ordered out-
+    adjacency keeps every array O(sqrt m) under hubs — the same
+    robustness proof as the enumeration path."""
+    # Round-robin repartition BEFORE the checkpoint: AQE coalesces the
+    # small edge list to ~1 partition, which would serialize the
+    # per-edge intersect work (the actual O(sum d+(u)+d+(v)) cost) onto
+    # one core — measured 21 s -> 3 s at 10x.  Row-count is tiny; the
+    # WORK per row is not, so partition by available cores, not bytes.
+    n_parts = int(
+        pairs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    oriented = (
+        orient_by_degree(pairs)
+        .select("src", "dst")
+        .repartition(2 * n_parts)
+        .localCheckpoint()
+    )
+    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    a_u = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
+    a_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
+    # Adjacency totals O(m) elements — broadcast while the edge list is
+    # broadcast-sized; above that the shuffled equi-join on vertex id is
+    # the right plan (both sides edge-count-sized, AQE-splittable).
+    if oriented.count() <= 5_000_000:
+        a_u, a_v = F.broadcast(a_u), F.broadcast(a_v)
+    # Inner joins are correct: an edge whose dst has no out-neighbors
+    # closes no triangle and contributes nothing to any count.
+    e = (
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(a_u, "u")
+        .join(a_v, "v")
+        .select(
+            "u", "v", F.array_intersect("nbrs_u", "nbrs_v").alias("common")
+        )
+    )
+    # Corner stream: each closed triangle contributes its three corners
+    # (u, v, and the common element z) as plain longs through one
+    # in-codegen generator into a map-side-combined count.  (A weighted
+    # struct encoding emitting T+2m rows instead of 3T was measured
+    # SLOWER — per-element struct allocation costs more than the extra
+    # long rows once the stage is parallel.)
+    n = F.size("common")
+    corners = e.select(
+        F.explode(
+            F.concat(
+                F.array_repeat(F.col("u"), n),
+                F.array_repeat(F.col("v"), n),
+                F.col("common"),
+            )
+        ).alias("doc_id")
+    )
+    return corners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+@register(
+    "graph_triangle_counts",
+    oracle=f"""
+    {_CC_PAIRS_SQL},
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    corners AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT doc_id, count(*) AS n_triangles FROM corners GROUP BY doc_id
+    """,
+    tags=("DD", "GRAPH"),
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count/statistics form of triangle enumeration — the documented
+    SCALE PATH for graph cohesion (VERDICT r3 #1): per-vertex triangle
+    counts aggregated directly from the degree-ordered wedge join, never
+    materializing the (a, b, c) triple list.  Global triangle count is
+    sum(n_triangles)/3; per-component cohesion joins this against
+    dedup_connected_components on doc_id.
+
+    Same hub-robust degree-ordered join as dedup_graph_triangles (each
+    triangle closed exactly once at its lowest-ranked corner), but the
+    match stream ends in a partial-aggregated groupBy instead of a
+    17 M-row (at sf0.1; billions at 100x) output sink.  Keep
+    dedup_graph_triangles as the oracle-checked enumeration at fixture
+    scale; run THIS at corpus scale."""
+    pairs = (
+        dedup_ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    return triangle_counts_from_edges(pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -391,6 +391,43 @@ def test_triangles_match_naive_on_random_graph(spark):
     assert got == sorted(truth)
 
 
+def test_triangle_counts_match_enumeration(spark):
+    """The count-only scale form (triangle_counts_from_edges) must agree
+    with per-vertex counts derived from the full enumeration, on a
+    random graph AND on the planted-hub graph."""
+    import random
+    from collections import Counter
+
+    from fortisiem_clickhouse_monitor_spark.operators.dedup import (
+        triangle_counts_from_edges,
+        triangles_from_edges,
+    )
+
+    rng = random.Random(11)
+    n = 40
+    random_edges = sorted(
+        {
+            (a, b)
+            for _ in range(260)
+            for a, b in [sorted(rng.sample(range(n), 2))]
+        }
+    )
+    hub_edges = [(0, leaf) for leaf in range(1, 21)] + [
+        (100, 101), (100, 102), (101, 102)
+    ]
+    for edges in (random_edges, hub_edges):
+        df = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+        enum = [tuple(r) for r in triangles_from_edges(df).collect()]
+        truth = Counter(v for tri in enum for v in tri)
+        got = {
+            r["doc_id"]: r["n_triangles"]
+            for r in triangle_counts_from_edges(df).collect()
+        }
+        assert got == dict(truth)
+        # global count invariant: each triangle contributes 3 corners
+        assert sum(got.values()) == 3 * len(enum)
+
+
 def _planted_vectors(n_clusters=20, per_cluster=12, dim=64, noise=0.03):
     """Clustered unit-ish vectors: members of a cluster are the center
     plus small noise, so true near-dup pairs (cos>=0.9) exist and the
