@@ -109,6 +109,7 @@ HEADLINE = [
     "timeseries_forward_fill",
     # round 4 additions
     "graph_triangle_counts",
+    "dedup_incremental_cc_labels",
 ]
 
 

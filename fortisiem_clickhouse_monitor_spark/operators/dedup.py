@@ -2025,3 +2025,139 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce("n_matches", F.lit(0).cast("long")).alias("n_matches"),
         )
     )
+
+
+def merge_batch_into_labels(
+    old_labels: DataFrame, new_edges: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Merge a batch of new edges into existing component labels WITHOUT
+    recomputing the corpus CC — the label-maintenance half of
+    incremental dedup (pair detection is dedup_incremental_new_vs_corpus).
+
+    Contraction argument: every old component is one supernode named by
+    its label (= its min doc id).  The reduced graph has nodes {old
+    labels} ∪ {new doc ids} and the batch's edges with old endpoints
+    mapped through their label; connected components of the reduced
+    graph give min(labels ∪ new ids) per merged group, which IS the
+    full-graph min-id label, because each old label is already the min
+    of its old members and ids are globally unique.  So incremental ≡
+    full recompute, but the iterative CC runs on O(batch + touched
+    components) nodes instead of O(corpus).
+
+    ``old_labels``: DataFrame[doc_id, component] for the existing
+    corpus (in production loaded from the previous run's output, never
+    recomputed).  ``new_edges``: DataFrame[src, dst], each edge
+    touching at least one new (non-corpus) doc.
+
+    Returns ``(relabeled_old, reduced_star)``: the old corpus's
+    maintained labels, and the reduced-graph star edges
+    DataFrame[node, label] for mapping new doc ids."""
+    lab_s = old_labels.withColumnsRenamed(
+        {"doc_id": "src", "component": "src_c"}
+    )
+    lab_d = old_labels.withColumnsRenamed(
+        {"doc_id": "dst", "component": "dst_c"}
+    )
+    reduced = (
+        new_edges.join(lab_s, "src", "left")
+        .join(lab_d, "dst", "left")
+        .select(
+            F.coalesce("src_c", F.col("src")).alias("src"),
+            F.coalesce("dst_c", F.col("dst")).alias("dst"),
+        )
+    )
+    stars, _ = alternating_components(reduced)
+    red = stars.select(F.col("v").alias("node"), F.col("u").alias("label"))
+    relabeled_old = (
+        old_labels.join(
+            red.withColumnsRenamed(
+                {"node": "component", "label": "merged"}
+            ),
+            "component",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("merged", F.col("component")).alias("component")
+        )
+    )
+    return relabeled_old, red
+
+
+@register(
+    "dedup_incremental_cc_labels",
+    oracle=f"""
+    {_CC_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a
+    )
+    SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node
+    """,
+    tags=("DD", "ITER", "INCR"),
+)
+def dedup_incremental_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected-components LABEL MAINTENANCE (VERDICT r3
+    #4): the corpus (sources src0..src9) keeps its existing component
+    labels; the incoming batch (src10..src19) contributes only edges
+    touching new docs, which are contracted onto old-component
+    supernodes and resolved by a CC run over the REDUCED graph —
+    O(batch + touched components) iterative work, never O(corpus).
+    Output: (doc_id, component) for every document, identical to a full
+    recompute (dedup_connected_components) — the oracle is the same
+    full-graph recursive CTE, which is exactly the equivalence claim.
+
+    At 100 TB: the previous run's label table is write-once corpus
+    state (like the incremental band index); each batch maps its edges
+    through it with one broadcast-or-shuffle hash join, then iterates
+    only on the contracted graph.  Here the 'previous run' labels are
+    computed inline from the corpus-only edge subset so the query is
+    self-contained and deterministic at any SF."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    src = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").rlike(_INC_NEW_RE).alias("is_new")
+    )
+    fa = src.withColumnsRenamed({"doc_id": "doc_a", "is_new": "new_a"})
+    fb = src.withColumnsRenamed({"doc_id": "doc_b", "is_new": "new_b"})
+    flagged = pairs.join(F.broadcast(fa), "doc_a").join(F.broadcast(fb), "doc_b")
+    old_edges = flagged.filter(~F.col("new_a") & ~F.col("new_b")).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    new_edges = flagged.filter(F.col("new_a") | F.col("new_b")).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    # "Previous run" state: corpus-only CC (in production: read back).
+    stars_old, _ = alternating_components(old_edges)
+    old_labels = (
+        src.filter(~F.col("is_new"))
+        .select("doc_id")
+        .join(
+            stars_old.select(
+                F.col("v").alias("doc_id"), F.col("u").alias("component")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+    )
+    relabeled_old, red = merge_batch_into_labels(old_labels, new_edges)
+    new_out = (
+        src.filter(F.col("is_new"))
+        .select("doc_id")
+        .join(
+            red.withColumnsRenamed({"node": "doc_id", "label": "component"}),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+    )
+    return relabeled_old.unionByName(new_out)
