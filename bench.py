@@ -110,6 +110,7 @@ HEADLINE = [
     # round 4 additions
     "graph_triangle_counts",
     "dedup_incremental_cc_labels",
+    "graph_common_neighbors_capped",
 ]
 
 

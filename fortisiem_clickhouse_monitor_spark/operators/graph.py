@@ -211,6 +211,105 @@ def graph_common_neighbors_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CN_DEG_CAP = 50
+
+
+def capped_wedges(pairs: DataFrame, cap: int) -> DataFrame:
+    """Wedges (x, y) through middle vertices of degree <= ``cap`` only
+    — deterministic hub EXCLUSION (not sampling), so the result stays
+    oracle-checkable.  Wedge count is bounded by cap * sum(deg) =
+    2 * cap * |E|: LINEAR in edges for fixed cap, vs the uncapped
+    sum(deg^2) which a single boilerplate hub makes quadratic."""
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    kept = sym.join(
+        F.broadcast(deg.filter(F.col("d") <= cap).select("u")), "u"
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return a.join(
+        b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v"))
+    ).select(F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+
+
+def _common_neighbors_capped_oracle() -> str:
+    from .dedup import _CC_PAIRS_SQL
+
+    return f"""
+    {_CC_PAIRS_SQL},
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    kept AS (
+      SELECT s.u, s.v FROM sym s JOIN deg ON deg.u = s.u
+      WHERE deg.d <= {_CN_DEG_CAP}
+    ),
+    wedges AS (
+      SELECT a.v AS x, b.v AS y
+      FROM kept a JOIN kept b ON a.u = b.u AND a.v < b.v
+    ),
+    counts AS (SELECT x, y, count(*) AS common FROM wedges GROUP BY x, y),
+    nonedges AS (
+      SELECT c.x, c.y, c.common
+      FROM counts c
+      LEFT JOIN pairs p ON p.doc_a = c.x AND p.doc_b = c.y
+      WHERE p.doc_a IS NULL
+    )
+    SELECT x AS doc_a, y AS doc_b, CAST(common AS BIGINT) AS common_neighbors
+    FROM nonedges ORDER BY common DESC, x, y LIMIT 20
+    """
+
+
+@register(
+    "graph_common_neighbors_capped",
+    oracle=_common_neighbors_capped_oracle(),
+    tags=("graph",),
+)
+def graph_common_neighbors_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-capped common-neighbors link prediction (VERDICT r3 #7):
+    identical to graph_common_neighbors_top20, but only middle vertices
+    of degree <= {_CN_DEG_CAP} generate wedges.  This is the PRE-DEDUP-
+    safe form: the uncapped operator is sum(deg^2)-bound, so one
+    boilerplate hub document adjacent to everything makes it quadratic;
+    capping bounds wedges by 2 * cap * |E| — linear in edges — while
+    changing the answer only for pairs whose common neighbors are hubs,
+    which are exactly the neighbors that carry no similarity signal (a
+    doc 'similar' to everything discriminates nothing — the same
+    argument as df-capping in shingle containment).  Exclusion is
+    deterministic, so the DuckDB twin applies the same degree filter
+    and the result stays hash-checked."""
+    from .dedup import dedup_ngram_jaccard_pairs
+
+    pairs = (
+        dedup_ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    counts = capped_wedges(pairs, _CN_DEG_CAP).groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("common_neighbors")
+    )
+    nonedges = counts.join(
+        pairs,
+        (counts["x"] == pairs["doc_a"]) & (counts["y"] == pairs["doc_b"]),
+        "left_anti",
+    )
+    return (
+        nonedges.select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            "common_neighbors",
+        )
+        .orderBy(F.desc("common_neighbors"), "doc_a", "doc_b")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Community detection: synchronous label propagation (fixed rounds)
 # ---------------------------------------------------------------------------

@@ -364,3 +364,33 @@ def test_label_propagation_separates_bicliques(spark, monkeypatch):
     b_parts = {out[p] for p in (101, 102, 103)}
     assert len(a_parts) == 1 and len(b_parts) == 1
     assert a_parts != b_parts
+
+
+def test_capped_wedges_exclude_hub_but_keep_signal(spark):
+    """Planted hub: a K1,30 star's middle exceeds the cap and generates
+    ZERO wedges (uncapped it would make C(30,2)=435), while a small
+    planted co-neighbor structure below the cap survives untouched —
+    the pre-dedup safety property of graph_common_neighbors_capped."""
+    from fortisiem_clickhouse_monitor_spark.operators.graph import (
+        capped_wedges,
+    )
+
+    hub = [(0, leaf) for leaf in range(1, 31)]  # hub 0, degree 30
+    # docs 101 and 102 share middles 103, 104 (all degrees <= 2)
+    small = [(101, 103), (102, 103), (101, 104), (102, 104)]
+    pairs = spark.createDataFrame(hub + small, "doc_a LONG, doc_b LONG")
+
+    w = capped_wedges(pairs, cap=5)
+    rows = [(r["x"], r["y"]) for r in w.collect()]
+    # hub-middle wedges gone; only the two (101, 102) wedges via 103/104
+    # plus the (103, 104) wedges via 101/102 remain — all bounded.
+    assert (0 not in {x for x, _ in rows}) and (0 not in {y for _, y in rows})
+    assert rows.count((101, 102)) == 2
+    assert rows.count((103, 104)) == 2
+    assert len(rows) == 4
+
+    # uncapped bound check: with a generous cap the hub contributes
+    # exactly C(30,2) wedges again — the cap is the only thing between
+    # linear and quadratic.
+    w_all = capped_wedges(pairs, cap=1000)
+    assert w_all.count() == 435 + 4
