@@ -43,20 +43,63 @@ def make_dot_pandas():
 _INDEX_CACHE: dict = {}
 
 
-def load_unit_index(path: str, id_col: str, vec_col: str):
-    """Load an (ids, unit-row-matrix) index from a parquet file ON THE
-    EXECUTOR — the scale-correct replacement for ``df.collect()`` +
+class UnitIndex:
+    """A resident-FLOAT32 unit-vector index with FLOAT64 arithmetic.
+
+    The raw rows are kept in float32 — EXACT, because the parquet
+    ``array<float>`` column is float32 on disk, so no information is
+    lost — plus float64 norms computed from the float64
+    upcast.  ``sims()`` upcasts fixed-size row blocks to float64
+    transiently (block x dim x 8 bytes peak, constant), normalizes in
+    float64, and accumulates the GEMM in float64 — every unit-vector
+    component is bit-identical to the fully-float64-resident path
+    (f32->f64 upcast is exact; same f64 norm division), and the GEMM
+    agrees to BLAS-kernel reordering noise (~1e-15, eight orders below
+    the 4-dp contract; tests pin round-4 equality), at HALF the
+    resident executor memory: the documented bound drops from ~2 GB to ~1 GB
+    per 10 M x 64-dim, doubling the index size at which the exact
+    brute kernel stays viable before IVF/LSH routing (docs/SCALE.md)."""
+
+    __slots__ = ("ids", "_raw", "_norms")
+
+    def __init__(self, ids, raw_f32, norms_f64):
+        self.ids = ids
+        self._raw = raw_f32
+        self._norms = norms_f64
+
+    def sims(self, a_unit_f64, block: int = 262_144):
+        """Cosine row-block GEMM: (n_probe x dim f64) @ index.T ->
+        (n_probe x n_index f64), float64 end-to-end per block."""
+        import numpy as np
+
+        n = self._raw.shape[0]
+        out = np.empty((a_unit_f64.shape[0], n), dtype=np.float64)
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            # true division by the f64 norm (not multiply-by-reciprocal)
+            # keeps every unit component bit-identical to the old
+            # fully-f64 path: f32 -> f64 upcast is exact, and the same
+            # division then happens in the same precision.
+            blk = self._raw[s:e].astype(np.float64)
+            blk /= self._norms[s:e, None]
+            out[:, s:e] = a_unit_f64 @ blk.T
+        return out
+
+
+def load_unit_index(path: str, id_col: str, vec_col: str) -> UnitIndex:
+    """Load a :class:`UnitIndex` from a parquet file ON THE EXECUTOR —
+    the scale-correct replacement for ``df.collect()`` +
     ``sc.broadcast`` (round 1 funneled the whole embeddings table
     through the driver to build this matrix; the driver never needs it).
 
     Each executor's Python worker reads the columnar file once and
-    caches the normalized matrix for every subsequent batch/task. On a
-    cluster the path is shared storage, so this is a map-side index
-    load — the same pattern as a broadcast join's build side, minus the
-    driver hop. When the index outgrows executor memory, the per-cell
-    IVF/LSH paths (sim_ivf_topk, sim_ann_lsh_bucketed) are the answer —
-    this loader is only for indexes that would have been broadcast
-    anyway. Zero-norm vectors are dropped (cosine undefined)."""
+    caches the float32-resident index for every subsequent batch/task.
+    On a cluster the path is shared storage, so this is a map-side
+    index load — the same pattern as a broadcast join's build side,
+    minus the driver hop. When the index outgrows executor memory, the
+    per-cell IVF/LSH paths (sim_ivf_topk, sim_ann_lsh_bucketed) are the
+    answer — this loader is only for indexes that would have been
+    broadcast anyway. Zero-norm vectors are dropped (cosine undefined)."""
     import os
 
     import numpy as np
@@ -72,8 +115,8 @@ def load_unit_index(path: str, id_col: str, vec_col: str):
             del _INDEX_CACHE[old]
         t = pq.read_table(path, columns=[id_col, vec_col])
         ids = t.column(id_col).to_numpy()
-        mat = np.stack(t.column(vec_col).to_pylist()).astype("float64")
-        norms = np.linalg.norm(mat, axis=1)
+        raw = np.stack(t.column(vec_col).to_pylist()).astype("float32")
+        norms = np.linalg.norm(raw.astype("float64"), axis=1)
         keep = norms > 0
-        _INDEX_CACHE[key] = (ids[keep], mat[keep] / norms[keep, None])
+        _INDEX_CACHE[key] = UnitIndex(ids[keep], raw[keep], norms[keep])
     return _INDEX_CACHE[key]

@@ -566,7 +566,8 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gemm_pairs(batches):
         from ..functions.vectors import load_unit_index
 
-        rb_ids, rb_mat = load_unit_index(index_path, "vec_id", "embedding")
+        rb = load_unit_index(index_path, "vec_id", "embedding")
+        rb_ids = rb.ids
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -574,7 +575,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["vec_id"].to_numpy(),
                 np.stack(pdf["embedding"].to_numpy()).astype("float64"),
             )
-            sims = np.round(a_mat @ rb_mat.T, 4)
+            sims = np.round(rb.sims(a_mat), 4)
             ai, bj = np.where(
                 (sims >= 0.9) & (a_ids[:, None] < rb_ids[None, :])
             )

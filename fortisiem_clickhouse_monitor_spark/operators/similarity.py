@@ -886,7 +886,8 @@ def sim_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     def knn_batches(batches):
         from ..functions.vectors import load_unit_index
 
-        rb_ids, rb_mat = load_unit_index(index_path, "vec_id", "embedding")
+        rb = load_unit_index(index_path, "vec_id", "embedding")
+        rb_ids = rb.ids
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -894,7 +895,7 @@ def sim_knn_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["vec_id"].to_numpy(),
                 np.stack(pdf["embedding"].to_numpy()).astype("float64"),
             )
-            sims = np.round(a_mat @ rb_mat.T, 4)
+            sims = np.round(rb.sims(a_mat), 4)
             out_v, out_n, out_s = [], [], []
             for i in range(len(a_ids)):
                 s = sims[i].copy()

@@ -737,3 +737,59 @@ def test_incremental_dedup_consistent_with_full_pairs(spark, monkeypatch):
             assert got["n_matches"] == len(partners[n])
         else:
             assert got["action"] == "keep" and got["n_matches"] == 0
+
+
+def test_unit_index_f32_resident_bit_parity(tmp_path):
+    """UnitIndex (float32-resident, blocked float64 GEMM) must be
+    BIT-identical to the old fully-float64 path: f32 storage is exact
+    for parquet float columns, the upcast is exact, and the same f64
+    normalization division + accumulation runs per block."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fortisiem_clickhouse_monitor_spark.functions.vectors import (
+        load_unit_index,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim = 1000, 16
+    raw32 = rng.normal(size=(n, dim)).astype("float32")
+    raw32[5] = 0.0  # zero-norm row must be dropped
+    ids = np.arange(n, dtype="int64")
+    path = str(tmp_path / "idx.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": ids,
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in raw32],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        path,
+    )
+
+    idx = load_unit_index(path, "vec_id", "embedding")
+    assert idx._raw.dtype == np.float32  # resident memory is halved
+    assert len(idx.ids) == n - 1 and 5 not in idx.ids
+
+    # old path: fully-f64 resident unit matrix
+    mat64 = raw32.astype("float64")
+    norms = np.linalg.norm(mat64, axis=1)
+    keep = norms > 0
+    unit64 = mat64[keep] / norms[keep, None]
+
+    probes = rng.normal(size=(7, dim))
+    probes /= np.linalg.norm(probes, axis=1)[:, None]
+    expected = probes @ unit64.T
+    # block smaller than n forces multi-block assembly
+    got = idx.sims(probes, block=137)
+    assert got.dtype == np.float64
+    # the unit values are bit-identical; the GEMM itself may pick a
+    # different BLAS kernel per block shape, so assert to 1e-12 (eight
+    # orders below the 4-dp rounding the oracle contract is stated at)
+    # and exact equality AFTER that rounding.
+    assert np.max(np.abs(got - expected)) < 1e-12
+    assert np.array_equal(np.round(got, 4), np.round(expected, 4))
