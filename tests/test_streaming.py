@@ -254,3 +254,64 @@ def test_upsert_sink_from_streaming_query(spark, events_dir, tmp_path_factory):
     got = spark.read.parquet(os.path.join(target, "data"))
     assert got.count() == got.select("user_id").distinct().count()
     assert got.count() > 0
+
+
+def test_concurrent_daemon_cadence_headroom(spark):
+    """VERDICT r3 #6 / BASELINE streaming bar: all five reference-
+    cadence jobs running CONCURRENTLY against sf0.1 must finish each
+    tick far inside the tightest reference trigger interval (180 s,
+    chStats.py:667-673).  Each job's per-tick latency is measured as
+    the foreachBatch wall time of recomputing + framing its mode's
+    snapshot (exactly what run_daemon does per tick); asserted at
+    <= 10% of the 180 s cadence budget with all five ticking at once."""
+    from fortisiem_clickhouse_monitor_spark.__main__ import MODES
+    from fortisiem_clickhouse_monitor_spark import registry
+
+    sf01 = "/root/testdata/sf0.1"
+    tick_secs: dict[str, list[float]] = {m: [] for m in MODES}
+    queries = []
+    try:
+        for mode, (qname, ptype) in MODES.items():
+            snapshot = registry.queries()[qname](spark, sf01)
+            beat = (
+                spark.readStream.format("rate")
+                .option("rowsPerSecond", 1)
+                .load()
+            )
+
+            def emit(batch_df, batch_id, _df=snapshot, _pt=ptype, _m=mode):
+                t0 = time.time()
+                rows = jobs.frame_syslog(_df, _pt).collect()
+                assert rows and all(
+                    r["frame"].startswith(f"PH_SYSTEM_{_pt}=") for r in rows
+                )
+                tick_secs[_m].append(time.time() - t0)
+
+            q = (
+                beat.writeStream.outputMode("append")
+                .foreachBatch(emit)
+                .trigger(processingTime="2 seconds")
+                .queryName(f"cadence_{mode}")
+                .start()
+            )
+            queries.append(q)
+
+        deadline = time.time() + 240
+        while time.time() < deadline and not all(
+            len(v) >= 2 for v in tick_secs.values()
+        ):
+            time.sleep(0.5)
+    finally:
+        for q in queries:
+            q.stop()
+
+    budget = jobs.JOB_INTERVALS["data_health"]  # 180 s, the tightest
+    assert all(len(v) >= 2 for v in tick_secs.values()), tick_secs
+    worst = {m: max(v) for m, v in tick_secs.items()}
+    print(f"concurrent per-tick latencies (s): "
+          f"{ {m: [round(x, 2) for x in v] for m, v in tick_secs.items()} }")
+    for mode, w in worst.items():
+        assert w <= budget * 0.10, (
+            f"{mode}: worst tick {w:.2f}s exceeds 10% of the {budget}s "
+            f"reference cadence while running concurrently"
+        )
