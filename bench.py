@@ -111,6 +111,7 @@ HEADLINE = [
     "graph_triangle_counts",
     "dedup_incremental_cc_labels",
     "graph_common_neighbors_capped",
+    "graph_component_cohesion",
 ]
 
 

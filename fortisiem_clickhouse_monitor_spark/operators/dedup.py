@@ -2170,3 +2170,111 @@ def dedup_incremental_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return relabeled_old.unionByName(new_out)
+
+
+@register(
+    "graph_component_cohesion",
+    oracle=f"""
+    {_CC_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    corners AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    vc AS (SELECT doc_id, count(*) AS c FROM corners GROUP BY doc_id),
+    agg AS (
+      SELECT comp.component,
+             count(*) AS n_members,
+             CAST(coalesce(sum(vc.c), 0) / 3 AS BIGINT) AS n_triangles
+      FROM comp LEFT JOIN vc USING (doc_id)
+      GROUP BY comp.component
+    )
+    SELECT component, n_members, n_triangles,
+           CASE WHEN n_members >= 3 THEN
+             round(CAST(n_triangles AS DOUBLE)
+                   / (n_members * (n_members - 1) * (n_members - 2) / 6), 4)
+           END AS triangle_density
+    FROM agg WHERE n_members >= 2
+    """,
+    tags=("DD", "GRAPH", "ITER"),
+)
+def graph_component_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision metric the triangle family exists FOR: per near-dup
+    component, triangle density = triangles / C(k, 3) — near 1.0 means
+    a true duplicate cluster (near-clique: collapse aggressively), near
+    0 on a k>=3 component means a chain of borderline pairs (review
+    before collapsing).  Singletons are excluded (no cohesion to
+    measure); 2-member components report NULL density (no triangle is
+    possible).
+
+    Composition is the 100 TB story: ONE checkpointed edge list feeds
+    both iterative subtrees — alternating-star CC for membership and
+    the per-edge adjacency-intersect triangle counts (never a
+    wedge-sized row set) — then a component-domain aggregate joins
+    them; the metric costs one broadcast-sized rollup on top of work a
+    dedup pipeline already does."""
+    pairs = (
+        dedup_ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    stars, _ = alternating_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(
+            stars.select(
+                F.col("v").alias("doc_id"), F.col("u").alias("component")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+    )
+    vc = triangle_counts_from_edges(pairs)
+    agg = (
+        comp.join(vc, "doc_id", "left")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3)
+            .cast("long")
+            .alias("n_triangles"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    k = F.col("n_members")
+    density = F.when(
+        k >= 3,
+        F.round(
+            F.col("n_triangles").cast("double") / (k * (k - 1) * (k - 2) / 6),
+            4,
+        ),
+    )
+    return agg.select(
+        "component", "n_members", "n_triangles",
+        density.alias("triangle_density"),
+    )

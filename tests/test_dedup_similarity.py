@@ -793,3 +793,34 @@ def test_unit_index_f32_resident_bit_parity(tmp_path):
     # and exact equality AFTER that rounding.
     assert np.max(np.abs(got - expected)) < 1e-12
     assert np.array_equal(np.round(got, 4), np.round(expected, 4))
+
+
+def test_component_cohesion_clique_vs_chain(spark, monkeypatch):
+    """Planted graph: a 3-clique reports density 1.0 (collapse), a
+    4-chain reports 0.0 (review), a 2-component reports NULL (no
+    triangle possible), singletons are excluded."""
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3),            # clique k=3
+         (10, 11), (11, 12), (12, 13),      # chain k=4
+         (20, 21)],                          # pair k=2
+        "doc_a LONG, doc_b LONG",
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12, 13, 20, 21, 30)],
+        "doc_id LONG",
+    )
+    monkeypatch.setattr(dd, "dedup_ngram_jaccard_pairs", lambda s, d: edges)
+    monkeypatch.setattr(dd, "table", lambda s, d, n: docs)
+    out = {
+        r["component"]: r
+        for r in dd.graph_component_cohesion(spark, "x").collect()
+    }
+    assert set(out) == {1, 10, 20}  # singleton 30 excluded
+    assert out[1]["n_members"] == 3 and out[1]["n_triangles"] == 1
+    assert out[1]["triangle_density"] == 1.0
+    assert out[10]["n_members"] == 4 and out[10]["n_triangles"] == 0
+    assert out[10]["triangle_density"] == 0.0
+    assert out[20]["n_members"] == 2
+    assert out[20]["triangle_density"] is None
