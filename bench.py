@@ -112,6 +112,7 @@ HEADLINE = [
     "dedup_incremental_cc_labels",
     "graph_common_neighbors_capped",
     "graph_component_cohesion",
+    "mm_image_resize",
 ]
 
 

@@ -647,3 +647,104 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "is_cut", F.col("sum_abs_diff") >= _SCENE_TAU * F.col("n_pixel_bytes")
     )
+
+
+def resize_nearest(img, out_h: int, out_w: int):
+    """Nearest-neighbor resize of an (h, w, 3) uint8 image — index
+    sampling only (no interpolation arithmetic), so the result is
+    deterministic and closed-form for the synthetic gradient."""
+    import numpy as np
+
+    h, w = img.shape[0], img.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[np.ix_(rows, cols)]
+
+
+_THUMB = 8  # fixed 8x8 thumbnail
+
+
+@register(
+    "mm_image_resize",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id AS asset_id,
+             (doc_id % 4) * 16 + 16 AS w,
+             (doc_id % 3) * 8 + 8 AS h,
+             (doc_id * 7) % 256 AS b
+      FROM documents
+    ),
+    px AS (
+      SELECT asset_id,
+             (b + 3 * (((r.r * h) // {_THUMB}) * w + (c.c * w) // {_THUMB})
+              + ch.ch) % 256 AS v
+      FROM a, range({_THUMB}) r(r), range({_THUMB}) c(c), range(3) ch(ch)
+    )
+    SELECT asset_id,
+           {_THUMB}::BIGINT AS out_w, {_THUMB}::BIGINT AS out_h,
+           round(CAST(sum(v) AS DOUBLE) / ({_THUMB} * {_THUMB} * 3), 6)
+             AS thumb_mean,
+           CAST(min(v) AS BIGINT) AS thumb_min,
+           CAST(max(v) AS BIGINT) AS thumb_max
+    FROM px GROUP BY asset_id
+    """,
+    tags=("MM", "UDF"),
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE on the real decode path (the brief's multimodal
+    decode/feature/RESIZE/frame-sample quartet): every asset's P6 PPM
+    payload is decoded (decode_image) and nearest-neighbor-resized to a
+    fixed {_THUMB}x{_THUMB} thumbnail (resize_nearest — pure index
+    sampling, the preprocessing step before any perceptual hash or
+    vision-encoder input), and per-thumbnail byte stats are emitted.
+    The oracle reconstructs every SAMPLED byte arithmetically from the
+    gradient closed form — DuckDB verifies the decode+resize pipeline
+    without touching an image, the same technique as the dHash oracle.
+
+    Scale shape: identical to mm_feature_extract — decode+resize is
+    mapInPandas at Arrow-batch granularity (executor memory bounded by
+    maxRecordsPerBatch, not asset count or source resolution); the
+    shuffle-free output carries a fixed few columns per asset, and in a
+    real pipeline the (out_h, out_w, 3) thumbnail bytes themselves
+    would ride along as one bounded binary column."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    src = d.select(
+        F.col("doc_id").alias("asset_id"),
+        (F.pmod("doc_id", F.lit(4)) * 16 + 16).alias("width"),
+        (F.pmod("doc_id", F.lit(3)) * 8 + 8).alias("height"),
+    )
+
+    schema = (
+        "asset_id LONG, out_w LONG, out_h LONG, thumb_mean DOUBLE, "
+        "thumb_min LONG, thumb_max LONG"
+    )
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means, mins, maxes = [], [], []
+            for aid, w, h in zip(pdf["asset_id"], pdf["width"], pdf["height"]):
+                img = decode_image(encode_ppm(int(aid), int(w), int(h)))
+                thumb = resize_nearest(img, _THUMB, _THUMB).astype("int64")
+                flat = thumb.reshape(-1)
+                means.append(float(flat.sum()) / flat.size)
+                mins.append(int(flat.min()))
+                maxes.append(int(flat.max()))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "out_w": _THUMB,
+                    "out_h": _THUMB,
+                    "thumb_mean": means,
+                    "thumb_min": mins,
+                    "thumb_max": maxes,
+                }
+            )
+
+    out = src.mapInPandas(resize_batch, schema=schema)
+    return out.select(
+        "asset_id", "out_w", "out_h",
+        F.round("thumb_mean", 6).alias("thumb_mean"),
+        "thumb_min", "thumb_max",
+    )

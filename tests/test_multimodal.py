@@ -139,3 +139,26 @@ def test_feature_extract_values(spark):
         assert r["n_pixel_bytes"] == w * h * 3
         assert r["pixel_max"] == int(flat.max())
         assert r["pixel_mean"] == pytest.approx(flat.mean(), abs=1e-6)
+
+
+def test_resize_nearest_samples_expected_pixels():
+    """Nearest-neighbor resize must select exactly the grid pixels
+    (r*h//8, c*w//8) of the decoded image — checked against direct
+    indexing, plus shape and dtype."""
+    import numpy as np
+
+    from fortisiem_clickhouse_monitor_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    img = decode_image(encode_ppm(5, 48, 16))
+    thumb = resize_nearest(img, 8, 8)
+    assert thumb.shape == (8, 8, 3) and thumb.dtype == img.dtype
+    for r in range(8):
+        for c in range(8):
+            assert (thumb[r, c] == img[(r * 16) // 8, (c * 48) // 8]).all()
+    # idempotence on an already-8x8 image
+    small = decode_image(encode_ppm(3, 8, 8))
+    assert (resize_nearest(small, 8, 8) == small).all()
