@@ -1,8 +1,8 @@
 """Generate deterministic scaled replicas of sf0.1 for scaling-curve
 measurements: ``python tools/make_scale_data.py [outroot]``.
 
-Writes ``{outroot}/sf{0.2,0.5,1.0}/*.parquet`` (default
-``/tmp/sfscale``) where each scale is K in {2, 5, 10} deterministic
+Writes ``{outroot}/sf{0.2,0.5,1.0,2.0}/*.parquet`` (default
+``/tmp/sfscale``) where each scale is K in {2, 5, 10, 20} deterministic
 replicas of the sf0.1 FACT tables (orders, lineitem, events, documents,
 embeddings) with the dimension tables (region, nation, customer,
 supplier, part) copied through unchanged — the TPC-H convention of
@@ -41,7 +41,7 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 KEY_SHIFT = 10_000_000
 DIMS = ["region", "nation", "customer", "supplier", "part"]
-SCALES = {"sf0.2": 2, "sf0.5": 5, "sf1.0": 10}
+SCALES = {"sf0.2": 2, "sf0.5": 5, "sf1.0": 10, "sf2.0": 20}
 
 
 def replicate(con: duckdb.DuckDBPyConnection, out_dir: str, k: int) -> None:
@@ -98,8 +98,11 @@ def replicate(con: duckdb.DuckDBPyConnection, out_dir: str, k: int) -> None:
 
 def main() -> None:
     outroot = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfscale"
+    only = set(sys.argv[2:])  # optional subset, e.g. just the new sf2.0
     con = duckdb.connect()
     for name, k in SCALES.items():
+        if only and name not in only:
+            continue
         out_dir = os.path.join(outroot, name)
         replicate(con, out_dir, k)
         n = con.execute(

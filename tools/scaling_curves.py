@@ -33,6 +33,7 @@ SCALES = [
     ("/tmp/sfscale/sf0.2", 2),
     ("/tmp/sfscale/sf0.5", 5),
     ("/tmp/sfscale/sf1.0", 10),
+    ("/tmp/sfscale/sf2.0", 20),
 ]
 
 #: family-spanning subset; see docs/SCALING.md for the rationale per row
