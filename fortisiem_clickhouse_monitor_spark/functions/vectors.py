@@ -115,7 +115,21 @@ def load_unit_index(path: str, id_col: str, vec_col: str) -> UnitIndex:
             del _INDEX_CACHE[old]
         t = pq.read_table(path, columns=[id_col, vec_col])
         ids = t.column(id_col).to_numpy()
-        raw = np.stack(t.column(vec_col).to_pylist()).astype("float32")
+        col = t.column(vec_col).combine_chunks()
+        # Arrow-native load: for the uniform-dim, null-free embedding
+        # column the list array's value buffer IS the matrix — one
+        # float32 view + reshape, no per-row Python lists (to_pylist on
+        # a 10 M x 64 index would materialize ~650 M Python floats).
+        offsets = col.offsets.to_numpy()
+        widths = offsets[1:] - offsets[:-1]
+        if col.null_count == 0 and len(widths) and (widths == widths[0]).all():
+            raw = (
+                col.values.to_numpy(zero_copy_only=False)
+                .astype("float32", copy=False)
+                .reshape(len(col), int(widths[0]))
+            )
+        else:  # ragged / null rows: slow exact fallback
+            raw = np.stack(col.to_pylist()).astype("float32")
         norms = np.linalg.norm(raw.astype("float64"), axis=1)
         keep = norms > 0
         _INDEX_CACHE[key] = UnitIndex(ids[keep], raw[keep], norms[keep])
