@@ -113,6 +113,7 @@ HEADLINE = [
     "graph_common_neighbors_capped",
     "graph_component_cohesion",
     "mm_image_resize",
+    "graph_common_neighbors_sketch_eval",
 ]
 
 

@@ -398,3 +398,156 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+_CN_MH_K = 16  # minhash permutations per neighbor-set signature
+
+
+def _common_neighbors_sketch_oracle() -> str:
+    from ..functions import textfns
+    from .dedup import _CC_PAIRS_SQL
+
+    mc = (
+        f"len(list_filter(range(1, {_CN_MH_K + 1}), "
+        f"i -> sa.sig[i] = sb.sig[i]))"
+    )
+    est = (
+        f"round((({mc}) / {_CN_MH_K}.0) / (1 + ({mc}) / {_CN_MH_K}.0)"
+        f" * (sa.deg + sb.deg), 4)"
+    )
+    exact = "len(list_filter(sa.nb, n -> list_contains(sb.nb, n)))"
+    return f"""
+    {_CC_PAIRS_SQL},
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    kept AS (
+      SELECT s.u, s.v FROM sym s JOIN deg ON deg.u = s.u
+      WHERE deg.d <= {_CN_DEG_CAP}
+    ),
+    wedges AS (
+      SELECT a.v AS x, b.v AS y
+      FROM kept a JOIN kept b ON a.u = b.u AND a.v < b.v
+    ),
+    counts AS (SELECT x, y, count(*) AS common FROM wedges GROUP BY x, y),
+    nonedges AS (
+      SELECT c.x, c.y, c.common
+      FROM counts c
+      LEFT JOIN pairs p ON p.doc_a = c.x AND p.doc_b = c.y
+      WHERE p.doc_a IS NULL
+    ),
+    top AS (
+      SELECT x AS doc_a, y AS doc_b
+      FROM nonedges ORDER BY common DESC, x, y LIMIT 20
+    ),
+    adjl AS (
+      SELECT u, list(CAST(v AS VARCHAR)) AS nb, count(*) AS deg
+      FROM sym GROUP BY u
+    ),
+    sigs AS (
+      SELECT u, nb, deg,
+             {textfns.minhash_signature_sql("nb", _CN_MH_K)} AS sig
+      FROM adjl
+    )
+    SELECT t.doc_a, t.doc_b,
+           CAST({exact} AS BIGINT) AS exact_common,
+           {est} AS est_common,
+           round(abs({est} - ({exact})), 4) AS abs_err
+    FROM top t
+    JOIN sigs sa ON sa.u = t.doc_a
+    JOIN sigs sb ON sb.u = t.doc_b
+    """
+
+
+@register(
+    "graph_common_neighbors_sketch_eval",
+    oracle=_common_neighbors_sketch_oracle(),
+    tags=("graph", "eval", "LSH"),
+)
+def graph_common_neighbors_sketch_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash-of-neighbors sketch for common-neighbor counting, with
+    its accuracy eval in one query (the VERDICT r3 sketch-variant
+    companion to the degree cap): each vertex carries a {_CN_MH_K}-perm
+    MinHash signature of its NEIGHBOR SET, so for any candidate pair
+    the common-neighbor count is estimated as
+    J/(1+J) * (deg_a + deg_b) with J = signature match fraction — O(k)
+    per pair and O(deg) per vertex, so a celebrity hub costs one linear
+    signature pass instead of a deg^2 wedge blowup.  Following the
+    repo's sketch discipline (dedup_minhash_estimate_error,
+    sim_*_recall_eval), the operator ships WITH its error audit: for
+    the capped top-20 link-prediction pairs it reports exact vs
+    estimated common-neighbor count and the absolute error — the
+    numbers that tell you whether the sketch is trustworthy before you
+    rank by it at corpus scale.
+
+    Signature build reuses the text MinHash machinery over neighbor ids
+    rendered as strings (same md5-slice hash60 both engines compute
+    bit-identically), one groupBy per vertex; the eval joins 20 rows
+    against the signature table — broadcast-sized by construction."""
+    from ..functions import textfns
+    from .dedup import dedup_ngram_jaccard_pairs
+
+    pairs = (
+        dedup_ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    adj = sym.groupBy("u").agg(
+        F.collect_list(F.col("v").cast("string")).alias("nb"),
+        F.count(F.lit(1)).alias("deg"),
+    )
+    sigs = adj.select(
+        "u", "nb", "deg",
+        F.array(*textfns.minhash_signature(F.col("nb"), _CN_MH_K)).alias("sig"),
+    )
+    counts = capped_wedges(pairs, _CN_DEG_CAP).groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("common")
+    )
+    top = (
+        counts.join(
+            pairs,
+            (counts["x"] == pairs["doc_a"]) & (counts["y"] == pairs["doc_b"]),
+            "left_anti",
+        )
+        .orderBy(F.desc("common"), "x", "y")
+        .limit(20)
+        .select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
+    )
+    sa = sigs.select(
+        F.col("u").alias("doc_a"),
+        F.col("nb").alias("nb_a"),
+        F.col("deg").alias("deg_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    sb = sigs.select(
+        F.col("u").alias("doc_b"),
+        F.col("nb").alias("nb_b"),
+        F.col("deg").alias("deg_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    joined = top.join(sa, "doc_a").join(sb, "doc_b")
+    mc = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda b: b
+        )
+    )
+    jest = mc / F.lit(float(_CN_MH_K))
+    est = F.round(jest / (1 + jest) * (F.col("deg_a") + F.col("deg_b")), 4)
+    exact = F.size(F.array_intersect("nb_a", "nb_b")).cast("long")
+    return joined.select(
+        "doc_a",
+        "doc_b",
+        exact.alias("exact_common"),
+        est.alias("est_common"),
+        F.round(F.abs(est - exact), 4).alias("abs_err"),
+    )

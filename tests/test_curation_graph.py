@@ -394,3 +394,32 @@ def test_capped_wedges_exclude_hub_but_keep_signal(spark):
     # linear and quadratic.
     w_all = capped_wedges(pairs, cap=1000)
     assert w_all.count() == 435 + 4
+
+
+def test_sketch_common_neighbors_identical_sets_exact(spark, monkeypatch):
+    """Identical neighbor sets give signature match fraction J = 1, so
+    the estimate J/(1+J) * (da+db) collapses to the EXACT common count
+    — the sketch's fixed point. Docs 101/102 both neighbor {1..5}
+    (never each other), so the capped top-20 contains (101, 102) with
+    exact = est = 5.0; a hub's cost under the sketch is one O(deg)
+    signature pass, never a wedge blowup."""
+    import fortisiem_clickhouse_monitor_spark.operators.graph as g
+
+    edges = [(101, n) for n in range(1, 6)] + [(102, n) for n in range(1, 6)]
+    pairs = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+    monkeypatch.setattr(
+        g, "dedup_ngram_jaccard_pairs", lambda s, d: pairs, raising=False
+    )
+    # the operator imports inside the function body from .dedup — patch
+    # there instead
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+
+    monkeypatch.setattr(dd, "dedup_ngram_jaccard_pairs", lambda s, d: pairs)
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in g.graph_common_neighbors_sketch_eval(spark, "x").collect()
+    }
+    assert (101, 102) in out
+    r = out[(101, 102)]
+    assert r["exact_common"] == 5
+    assert r["est_common"] == 5.0 and r["abs_err"] == 0.0
