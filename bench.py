@@ -114,6 +114,7 @@ HEADLINE = [
     "graph_component_cohesion",
     "mm_image_resize",
     "graph_common_neighbors_sketch_eval",
+    "quality_split_leakage_pairs",
 ]
 
 

@@ -941,3 +941,67 @@ def corpus_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def _split_leakage_oracle() -> str:
+    from .dedup import _MINHASH_LSH_ORACLE
+
+    return f"""
+    WITH lsh AS ({_MINHASH_LSH_ORACLE}),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+                  WHEN bucket < {_SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT
+                 AS bucket
+        FROM documents
+      )
+    )
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           sa.split AS split_a, sb.split AS split_b
+    FROM lsh p
+    JOIN s sa ON sa.doc_id = p.doc_a
+    JOIN s sb ON sb.doc_id = p.doc_b
+    WHERE sa.split <> sb.split
+    """
+
+
+@register(
+    "quality_split_leakage_pairs",
+    oracle=_split_leakage_oracle(),
+    tags=("DD", "LSH", "SPLIT", "eval"),
+)
+def quality_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: verified near-dup pairs
+    (MinHash-LSH, Jaccard >= 0.5) whose endpoints land in DIFFERENT
+    train/val/test splits — each row is an eval document whose
+    near-duplicate sits in training data, i.e. a leak that silently
+    inflates eval metrics.  The content-hash split is deliberately
+    blind to content similarity (membership is a pure function of
+    doc_id), so near-dup clusters DO straddle splits unless this audit
+    gates them — the standard fix being split-by-component (assign
+    whole dedup components, not documents): this query is exactly the
+    list of pairs that fix would rehome.
+
+    Pure composition of two oracle-proven subtrees (the LSH pair
+    generation and the md5-bucket split assignment) plus two hash
+    joins on doc id against the map-only split projection — the audit
+    adds no new shuffle shape and runs at the cost of the dedup pass a
+    pipeline already does."""
+    from .dedup import dedup_minhash_lsh_pairs
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    splits = corpus_train_val_test_split(spark, sf_dir).select(
+        "doc_id", "split"
+    )
+    sa = splits.withColumnsRenamed({"doc_id": "doc_a", "split": "split_a"})
+    sb = splits.withColumnsRenamed({"doc_id": "doc_b", "split": "split_b"})
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+    )
