@@ -115,6 +115,7 @@ HEADLINE = [
     "mm_image_resize",
     "graph_common_neighbors_sketch_eval",
     "quality_split_leakage_pairs",
+    "corpus_split_by_component",
 ]
 
 

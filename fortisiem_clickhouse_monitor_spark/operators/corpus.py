@@ -1005,3 +1005,87 @@ def quality_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("split_a") != F.col("split_b"))
         .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
     )
+
+
+def _split_by_component_oracle() -> str:
+    from .dedup import _MINHASH_LSH_ORACLE
+
+    return f"""
+    WITH RECURSIVE lsh AS ({_MINHASH_LSH_ORACLE}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM lsh
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM lsh
+    ),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node
+    )
+    SELECT doc_id, component,
+           CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+                WHEN bucket < {_SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, component,
+             ('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 2))::BIGINT
+               AS bucket
+      FROM comp
+    )
+    """
+
+
+@register(
+    "corpus_split_by_component",
+    oracle=_split_by_component_oracle(),
+    tags=("SAMPLE", "SPLIT", "DD", "ITER"),
+)
+def corpus_split_by_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAK-FREE train/val/test split: the fix for what
+    quality_split_leakage_pairs finds.  Near-dup components (connected
+    components over the verified MinHash-LSH pairs — the same pair set
+    the audit uses, so the guarantee is airtight by construction) are
+    assigned as WHOLE units: every member inherits the split chosen by
+    the md5-bucket of the component's min doc id.  Singletons hash
+    exactly as in corpus_train_val_test_split would hash their own id,
+    so the two splits agree everywhere dedup found nothing — only
+    documents with a cross-split near-duplicate move.
+
+    tests/test_corpus_quality.py pins the invariant: re-running the
+    leakage audit against THESE splits returns zero rows.  Scale shape:
+    the LSH + CC work is what a dedup pipeline already runs; the split
+    itself is one map-side hash of the component label."""
+    from .dedup import alternating_components, dedup_minhash_lsh_pairs
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    stars, _ = alternating_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(
+            stars.select(
+                F.col("v").alias("doc_id"), F.col("u").alias("component")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+        )
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("component").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    return comp.select(
+        "doc_id",
+        "component",
+        F.when(bucket < _SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < _SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -187,3 +187,40 @@ def test_train_val_test_split_deterministic_partition(spark):
     for r in rows:
         counts[r["split"]] += 1
     assert counts["train"] > counts["val"] > 0 and counts["test"] > 0
+
+
+def test_split_by_component_is_leak_free(spark):
+    """THE invariant corpus_split_by_component exists for: no verified
+    near-dup pair may straddle splits once whole components are
+    assigned together — and singletons keep the exact split the plain
+    content-hash assignment gives them."""
+    from conftest import SF_SMALL
+    from fortisiem_clickhouse_monitor_spark.operators.corpus import (
+        corpus_split_by_component,
+        corpus_train_val_test_split,
+    )
+    from fortisiem_clickhouse_monitor_spark.operators.dedup import (
+        dedup_minhash_lsh_pairs,
+    )
+
+    comp_split = {
+        r["doc_id"]: (r["component"], r["split"])
+        for r in corpus_split_by_component(spark, SF_SMALL).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh_pairs(spark, SF_SMALL).collect()
+    ]
+    assert pairs, "fixture must contain verified near-dup pairs"
+    for a, b in pairs:
+        assert comp_split[a][1] == comp_split[b][1], (a, b)
+
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in corpus_train_val_test_split(spark, SF_SMALL).collect()
+    }
+    in_pairs = {d for p in pairs for d in p}
+    singletons = [d for d, (c, _) in comp_split.items() if c == d and d not in in_pairs]
+    assert singletons
+    for d in singletons:
+        assert comp_split[d][1] == plain[d]
