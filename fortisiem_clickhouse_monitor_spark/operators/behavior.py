@@ -679,3 +679,263 @@ def timeseries_dow_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(10 * F.col("n") * F.col("dow_days") > 11 * F.col("dow_total"))
         .select("event_type", "day", "n", "dow", "dow_total", "dow_days")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency / frequency / monetary quartiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(max(o_orderdate) AS DATE) AS last_order_date,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT *,
+             ntile(4) OVER (ORDER BY last_order_date DESC, custkey) AS r_score,
+             ntile(4) OVER (ORDER BY n_orders DESC, custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary_cents DESC, custkey) AS m_score
+      FROM per_cust
+    )
+    SELECT custkey, last_order_date, n_orders, monetary_cents,
+           r_score, f_score, m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS INTEGER) AS rfm_cell
+    FROM scored
+    """,
+    tags=("BEHAV", "SEGMENT"),
+)
+def behavior_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation — the
+    classic customer-base cut that a curation pipeline reuses verbatim
+    to tier DATA SOURCES (recently crawled / frequently updated / large
+    contribution).  Monetary totals are summed in exact centi-unit
+    BIGINTs (floor(price*100)) so the quartile boundaries are
+    deterministic across engines — a float sum's last-ulp wobble could
+    flip a customer across an ntile edge; every ntile ordering carries
+    the custkey tie-break for the same reason.
+
+    Scale shape: one groupBy(custkey) exchange builds the per-customer
+    triple; the three ntile windows are global single-partition sorts
+    over the |customers| SUMMARY (not the fact table) — at 100 TB the
+    summary is ~1e8 rows, and the standard fix if that sort ever hurts
+    is percentile-bucket scores from approx quantiles; the quartile
+    semantics here keep the oracle exact."""
+    o = table(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order_date"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    r = F.ntile(4).over(
+        Window.orderBy(F.desc("last_order_date"), "custkey")
+    )
+    fq = F.ntile(4).over(Window.orderBy(F.desc("n_orders"), "custkey"))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary_cents"), "custkey"))
+    scored = per_cust.select(
+        "custkey", "last_order_date", "n_orders", "monetary_cents",
+        r.alias("r_score"), fq.alias("f_score"), m.alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_cell",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: purchase -> most recent preceding non-purchase
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_attribution_last_touch",
+    oracle="""
+    WITH touched AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_ts
+      FROM events
+    )
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+           touch_type, CAST(touch_ts AS TIMESTAMP) AS touch_ts,
+           CAST(epoch_us(ts) - epoch_us(touch_ts) AS BIGINT) AS touch_gap_us
+    FROM touched WHERE event_type = 'purchase'
+    """,
+    tags=("BEHAV", "ATTRIBUTION"),
+)
+def behavior_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch last-touch attribution: every purchase is credited to the
+    most recent PRECEDING non-purchase event of the same user (its
+    channel and timestamp), NULL when the purchase opens the user's
+    history — the batch twin of streaming/stateful.py's
+    stream_attribution_pairs, and the query that turns a raw event log
+    into channel-level conversion credit.
+
+    One user_id exchange; the two IGNORE-NULLS running windows share
+    the same (user, ts, event_id) sort, so Spark evaluates them in a
+    single Window operator — no self-join against the purchase subset
+    (the naive formulation joins events to purchases with a range
+    predicate and goes quadratic on heavy users).  The purchase filter
+    sits ABOVE the window (semantics need non-purchase rows seen), so
+    predicate pushdown is correctly impossible; the window frame ends
+    at 1 PRECEDING so a purchase never attributes to itself even at
+    equal timestamps."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_p = F.col("event_type") != "purchase"
+    touched = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(non_p, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(non_p, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    return touched.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "touch_type",
+        "touch_ts",
+        (F.unix_micros("ts") - F.unix_micros("touch_ts")).alias("touch_gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation over per-user daily gaps
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_linear_interpolate",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             sum(CAST(floor(value * 100) AS BIGINT)) AS q
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    spine AS (
+      SELECT user_id,
+             CAST(unnest(range(CAST(min(day) AS TIMESTAMP),
+                               CAST(max(day) AS TIMESTAMP) + INTERVAL 1 DAY,
+                               INTERVAL 1 DAY)) AS DATE) AS day
+      FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT s.user_id, s.day, d.q FROM spine s
+      LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+    ),
+    ctx AS (
+      SELECT user_id, day, q,
+             last_value(q IGNORE NULLS) OVER w_prev AS pq,
+             last_value(CASE WHEN q IS NOT NULL THEN day END IGNORE NULLS)
+               OVER w_prev AS pd,
+             first_value(q IGNORE NULLS) OVER w_next AS nq,
+             first_value(CASE WHEN q IS NOT NULL THEN day END IGNORE NULLS)
+               OVER w_next AS nd
+      FROM grid
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_next AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day, q IS NOT NULL AS observed,
+           round(CASE WHEN q IS NOT NULL THEN q / 100.0
+                      ELSE (pq + (nq - pq) * CAST(day - pd AS DOUBLE)
+                                           / CAST(nd - pd AS DOUBLE)) / 100.0
+                 END, 4) AS value_interp
+    FROM ctx
+    """,
+    tags=("BEHAV", "TS"),
+)
+def timeseries_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily series with LINEAR interpolation across missing
+    days (the repair step beyond timeseries_forward_fill's flat carry):
+    each user's calendar spine spans their own [first, last] active day,
+    gap days get pq + (nq-pq) * elapsed/width between the surrounding
+    observed days.  Daily totals are exact centi-unit BIGINT sums, so
+    the interpolation arithmetic starts from integers and the one
+    double division is the same expression in both engines — no float
+    accumulation order anywhere.
+
+    Scale shape: one (user, day) rollup exchange, a per-user
+    sequence() spine (explode of a 2-row-per-user summary — no
+    calendar cross-join against the fact table), and two mirrored
+    running windows that share one user_id sort.  The spine join is
+    co-partitioned with the rollup on user_id; at 100 TB the grid is
+    |users| * span rows, linear in the summary, never in events."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("q"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id", F.explode(F.sequence("mn", "mx")).alias("day")
+        )
+    )
+    grid = spine.join(daily, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("q").isNotNull(), F.col("day"))
+    ctx = grid.select(
+        "user_id",
+        "day",
+        "q",
+        F.last("q", ignorenulls=True).over(w_prev).alias("pq"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("q", ignorenulls=True).over(w_next).alias("nq"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    interp = (
+        F.col("pq")
+        + (F.col("nq") - F.col("pq"))
+        * F.datediff("day", "pd").cast("double")
+        / F.datediff("nd", "pd").cast("double")
+    ) / 100.0
+    return ctx.select(
+        "user_id",
+        "day",
+        F.col("q").isNotNull().alias("observed"),
+        F.round(
+            F.when(F.col("q").isNotNull(), F.col("q") / 100.0).otherwise(interp),
+            4,
+        ).alias("value_interp"),
+    )

@@ -506,10 +506,6 @@ def graph_common_neighbors_sketch_eval(
         F.collect_list(F.col("v").cast("string")).alias("nb"),
         F.count(F.lit(1)).alias("deg"),
     )
-    sigs = adj.select(
-        "u", "nb", "deg",
-        F.array(*textfns.minhash_signature(F.col("nb"), _CN_MH_K)).alias("sig"),
-    )
     counts = capped_wedges(pairs, _CN_DEG_CAP).groupBy("x", "y").agg(
         F.count(F.lit(1)).alias("common")
     )
@@ -522,6 +518,20 @@ def graph_common_neighbors_sketch_eval(
         .orderBy(F.desc("common"), "x", "y")
         .limit(20)
         .select(F.col("x").alias("doc_a"), F.col("y").alias("doc_b"))
+        .localCheckpoint()
+    )
+    # Only the <=40 vertices in the top-20 pairs are ever evaluated:
+    # restrict adjacency BEFORE the k-perm MinHash projection (a
+    # broadcast semi-join on the 20-row result) so signature hashing is
+    # O(40 * deg), not O(|V| * deg) — at corpus scale the full-vertex
+    # signature table is only needed when the sketch REPLACES the exact
+    # ranking, not in this audit where it is compared against it.
+    needed = top.select(F.col("doc_a").alias("u")).unionByName(
+        top.select(F.col("doc_b").alias("u"))
+    ).distinct()
+    sigs = adj.join(F.broadcast(needed), "u", "semi").select(
+        "u", "nb", "deg",
+        F.array(*textfns.minhash_signature(F.col("nb"), _CN_MH_K)).alias("sig"),
     )
     sa = sigs.select(
         F.col("u").alias("doc_a"),
