@@ -561,3 +561,198 @@ def graph_common_neighbors_sketch_eval(
         est.alias("est_common"),
         F.round(F.abs(est - exact), 4).alias("abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peel) over the near-dup doc graph
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    from .dedup import _CC_PAIRS_SQL
+
+    rounds = []
+    prev = "e0"
+    for k in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""n{k} AS (
+      SELECT u FROM {prev} GROUP BY u HAVING count(*) >= {_KCORE_K}
+    ),
+    e{k} AS (
+      SELECT e.u, e.v FROM {prev} e
+      JOIN n{k} a ON a.u = e.u JOIN n{k} b ON b.u = e.v)"""
+        )
+        prev = f"e{k}"
+    joined = ",\n    ".join(rounds)
+    return f"""
+    {_CC_PAIRS_SQL},
+    e0 AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    {joined}
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS core_degree
+    FROM {prev} GROUP BY u
+    """
+
+
+@register("graph_kcore_membership", oracle=_kcore_oracle(), tags=("GRAPH", "ITER"))
+def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_KCORE_K}-core of the near-duplicate document graph by fixed-round
+    peeling: each round drops every vertex whose CURRENT degree is below
+    k, plus its incident edges — after enough rounds the survivors are
+    the k-core, the standard 'dense center' cut that separates
+    boilerplate clusters (tightly interlinked near-dups worth one
+    canonical doc) from incidental pairwise matches.  Fixed
+    {_KCORE_ROUNDS} rounds keep the (normally data-dependent-depth)
+    algorithm deterministic and oracle-checkable as unrolled CTEs —
+    same discipline as the integer PageRank / LPA above; the fixture
+    graph converges well inside the budget (round 5 is a fixpoint).
+
+    Scale shape per round: one degree aggregate on u (the edge list's
+    existing hash partitioning) and two semi-joins that reuse it — the
+    u-side filter co-locates with the aggregate, the v-side is one
+    exchange of the shrinking survivor set; each round localCheckpoints
+    so lineage stays flat.  Peeling only ever SHRINKS the edge list, so
+    the worst round is the first — at 100 TB the survivor set after
+    round 1 is typically a small fraction of |V| (power-law degrees),
+    and rounds get cheaper monotonically."""
+    from .dedup import dedup_ngram_jaccard_pairs
+
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint()
+    )
+    for _ in range(_KCORE_ROUNDS):
+        nodes = (
+            edges.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("u")
+        )
+        edges = (
+            edges.join(nodes, "u", "semi")
+            .join(nodes.withColumnRenamed("u", "v"), "v", "semi")
+            .localCheckpoint()
+        )
+    return edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction (hub-discounted common neighbors)
+# ---------------------------------------------------------------------------
+
+_AA_SCALE = 1_000_000
+
+
+def _adamic_adar_oracle() -> str:
+    from .dedup import _CC_PAIRS_SQL
+
+    return f"""
+    {_CC_PAIRS_SQL},
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    keptw AS (
+      SELECT s.u, s.v,
+             CAST(round({_AA_SCALE} / ln(deg.d)) AS BIGINT) AS w
+      FROM sym s JOIN deg ON deg.u = s.u
+      WHERE deg.d BETWEEN 2 AND {_CN_DEG_CAP}
+    ),
+    wedges AS (
+      SELECT a.v AS x, b.v AS y, a.w
+      FROM keptw a JOIN keptw b ON a.u = b.u AND a.v < b.v
+    ),
+    scores AS (
+      SELECT x, y, CAST(sum(w) AS BIGINT) AS s, count(*) AS nc
+      FROM wedges GROUP BY x, y
+    ),
+    nonedges AS (
+      SELECT c.x, c.y, c.s, c.nc
+      FROM scores c
+      LEFT JOIN pairs p ON p.doc_a = c.x AND p.doc_b = c.y
+      WHERE p.doc_a IS NULL
+    )
+    SELECT x AS doc_a, y AS doc_b,
+           round(s / {_AA_SCALE}.0, 4) AS aa_score,
+           CAST(nc AS BIGINT) AS common_neighbors
+    FROM nonedges ORDER BY s DESC, x, y LIMIT 20
+    """
+
+
+@register(
+    "graph_adamic_adar_top20", oracle=_adamic_adar_oracle(), tags=("GRAPH",)
+)
+def graph_adamic_adar_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the near-dup graph: candidate
+    pair (x, y) scores sum(1/ln(deg(z))) over common neighbors z — a
+    shared RARE neighbor (two docs both near-dup of the same obscure
+    page) is strong evidence, a shared hub is weak, which is exactly
+    the discount the count-based graph_common_neighbors_top20 lacks.
+    Per-middle weights are pre-rounded to {_AA_SCALE}-scaled BIGINTs so
+    the score SUM is exact integer arithmetic in both engines (a double
+    sum's addition order would wobble the top-20 boundary); ranking
+    uses the integer sum, display divides once.
+
+    Scale shape: same capped-wedge frame as the capped variant (middles
+    bounded to deg <= {_CN_DEG_CAP}, so wedges <= 2*cap*|E| — linear in
+    edges; here the cap is doubly principled since high-deg middles
+    carry ~zero Adamic-Adar weight by construction), one (x, y)
+    aggregate, broadcast anti-join against the edge list, global top-20."""
+    from .dedup import dedup_ngram_jaccard_pairs
+
+    pairs = (
+        dedup_ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    w = F.round(F.lit(_AA_SCALE) / F.log("d")).cast("long")
+    keptw = sym.join(
+        F.broadcast(
+            deg.filter(
+                (F.col("d") >= 2) & (F.col("d") <= _CN_DEG_CAP)
+            ).select("u", w.alias("w"))
+        ),
+        "u",
+    )
+    a, b = keptw.alias("a"), keptw.alias("b")
+    wedges = a.join(
+        b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v"))
+    ).select(F.col("a.v").alias("x"), F.col("b.v").alias("y"), F.col("a.w").alias("w"))
+    scores = wedges.groupBy("x", "y").agg(
+        F.sum("w").alias("s"), F.count(F.lit(1)).alias("nc")
+    )
+    nonedges = scores.join(
+        pairs,
+        (scores["x"] == pairs["doc_a"]) & (scores["y"] == pairs["doc_b"]),
+        "left_anti",
+    )
+    return (
+        nonedges.orderBy(F.desc("s"), "x", "y")
+        .limit(20)
+        .select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            F.round(F.col("s") / _AA_SCALE, 4).alias("aa_score"),
+            F.col("nc").alias("common_neighbors"),
+        )
+    )
