@@ -160,3 +160,106 @@ def quality_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     table(spark, sf_dir, "nation"), "n_nationkey",
                     "customer.nationkey->nation"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift: per-dimension two-sample screen between batch halves
+# ---------------------------------------------------------------------------
+
+_DRIFT_GRID = 1_000_000  # q(x) = floor(x * grid): exact BIGINT moments
+
+
+@register(
+    "profile_embedding_drift",
+    oracle=f"""
+    WITH ex AS (
+      SELECT vec_id % 2 AS half, i AS dim,
+             CAST(floor(embedding[i]::DOUBLE * {_DRIFT_GRID}) AS BIGINT) AS q
+      FROM embeddings, range(1, 65) t(i)
+    ),
+    mom AS (
+      SELECT dim, half, count(*) AS n,
+             CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS ss
+      FROM ex GROUP BY dim, half
+    ),
+    ab AS (
+      SELECT a.dim,
+             a.n AS n_a, b.n AS n_b, a.s AS s_a, b.s AS s_b,
+             a.ss AS ss_a, b.ss AS ss_b
+      FROM mom a JOIN mom b ON a.dim = b.dim
+      WHERE a.half = 0 AND b.half = 1
+    )
+    SELECT CAST(dim AS INTEGER) AS dim,
+           round(s_a / (n_a * {_DRIFT_GRID}.0), 6) AS mean_a,
+           round(s_b / (n_b * {_DRIFT_GRID}.0), 6) AS mean_b,
+           round((s_a / CAST(n_a AS DOUBLE) - s_b / CAST(n_b AS DOUBLE))
+                 / sqrt((ss_a - s_a / CAST(n_a AS DOUBLE) * s_a)
+                          / (n_a - 1) / n_a
+                        + (ss_b - s_b / CAST(n_b AS DOUBLE) * s_b)
+                          / (n_b - 1) / n_b), 4) AS z_score
+    FROM ab
+    """,
+    tags=("DQ", "EMBED"),
+)
+def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding drift screen (Welch two-sample z) between
+    two halves of the corpus (vec_id parity stands in for
+    batch-A/batch-B): a dimension whose mean shifts by many standard
+    errors between ingestion batches means the upstream encoder changed
+    — THE silent failure mode of long-running embedding pipelines,
+    caught here before any ANN index built on mixed batches degrades.
+    All moments (sum, sum-of-squares) accumulate over
+    {_DRIFT_GRID}-grid BIGINTs, so the z-scores derive from EXACT
+    integers and round identically in both engines — a float
+    sum's order-dependence would make a 4-dp z nondeterministic.
+
+    Scale shape: posexplode fans each vector to 64 (dim, q) rows that
+    partial-aggregate map-side into 128 moment rows TOTAL — the only
+    exchange carries 128 rows regardless of corpus size; the halves
+    join is a 64-row broadcast self-join.  This is the profiler
+    pattern (one full scan, mergeable moments) applied to the vector
+    column."""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _DRIFT_GRID).cast("long"),
+            )
+        ).alias("pos", "q"),
+    ).select("half", (F.col("pos") + 1).alias("dim"), "q")
+    mom = ex.groupBy("dim", "half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("ss"),
+    )
+    a = mom.filter(F.col("half") == 0).select(
+        "dim",
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+        F.col("ss").alias("ss_a"),
+    )
+    b = mom.filter(F.col("half") == 1).select(
+        "dim",
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+        F.col("ss").alias("ss_b"),
+    )
+    ab = a.join(F.broadcast(b), "dim")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    mean_a = F.col("s_a") / (F.col("n_a") * float(_DRIFT_GRID))
+    mean_b = F.col("s_b") / (F.col("n_b") * float(_DRIFT_GRID))
+    var_a = (F.col("ss_a") - F.col("s_a") / na * F.col("s_a")) / (
+        F.col("n_a") - 1
+    ) / F.col("n_a")
+    var_b = (F.col("ss_b") - F.col("s_b") / nb * F.col("s_b")) / (
+        F.col("n_b") - 1
+    ) / F.col("n_b")
+    z = (F.col("s_a") / na - F.col("s_b") / nb) / F.sqrt(var_a + var_b)
+    return ab.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(z, 4).alias("z_score"),
+    )

@@ -1364,3 +1364,118 @@ def sim_truncation_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("qid").alias("query_id"), "n_hits")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: per-subspace codes + reconstruction error
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4           # subspaces
+_PQ_SUB = _DIM // _PQ_M
+_PQ_K = 16          # codebook entries per subspace (vec_id 0..15)
+_PQ_GRID = 1_000_000  # integer grid: q(x) = floor(x * grid)
+
+
+def _pq_oracle() -> str:
+    def dist(s: int) -> str:
+        lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB + 1
+        return (
+            f"CAST(list_sum(list_transform(range({lo}, {hi}), "
+            f"i -> (qv[i]-qc[i])*(qv[i]-qc[i]))) AS BIGINT)"
+        )
+
+    dcols = ",\n         ".join(f"{dist(s)} AS d{s}" for s in range(_PQ_M))
+    mcols = ",\n         ".join(
+        f"min(struct_pack(d := d{s}, c := cid)) AS m{s}" for s in range(_PQ_M)
+    )
+    codes = ",\n           ".join(
+        f"CAST(m{s}.c AS INTEGER) AS code_{s}" for s in range(_PQ_M)
+    )
+    tot = " + ".join(f"m{s}.d" for s in range(_PQ_M))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {_PQ_GRID}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, qv AS qc FROM e WHERE vec_id < {_PQ_K}),
+    d AS (
+      SELECT e.vec_id, e.label, c.cid,
+         {dcols}
+      FROM e, c
+    ),
+    m AS (
+      SELECT vec_id, label,
+         {mcols}
+      FROM d GROUP BY vec_id, label
+    )
+    SELECT vec_id, label,
+           {codes},
+           round(({tot}) / {float(_PQ_GRID) ** 2}, 6) AS recon_err
+    FROM m
+    """
+
+
+@register("sim_pq_codes", oracle=_pq_oracle(), tags=("ANN", "PQ"))
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: each embedding splits into {_PQ_M} disjoint
+    {_PQ_SUB}-dim subvectors, each assigned to its nearest of {_PQ_K}
+    codebook entries (deterministic codebook: the subvectors of
+    vec_id 0..{_PQ_K - 1}) — the compression behind IVF-PQ, the
+    standard billion-vector ANN layout: {_PQ_M} bytes/vector instead of
+    {_DIM} floats, with the returned per-vector reconstruction error
+    (sum of squared subspace residuals) as the fidelity audit, the same
+    ship-with-its-eval discipline as sim_*_recall_eval.  Vectors are
+    snapped to a {_PQ_GRID} integer grid first, so every distance is an
+    exact BIGINT and argmin ties break on codebook id identically in
+    both engines — no float comparison anywhere near a code boundary.
+
+    Scale shape: the codebook is {_PQ_K} rows — a broadcast cross join;
+    distances and the per-subspace min(struct) argmin partial-aggregate
+    map-side, so the one vec_id exchange carries {_PQ_M} structs per
+    vector, not the {_PQ_K}-way candidate fan.  At 100 TB the codebook
+    is trained offline (k-means per subspace — sim_kmeans_clusters is
+    the building block); assignment, the hot path, is exactly this
+    broadcast-GEMM-argmin shape."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _PQ_GRID).cast("long"),
+        ).alias("qv"),
+    )
+    cb = F.broadcast(
+        e.filter(F.col("vec_id") < _PQ_K).select(
+            F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("qc")
+        )
+    )
+    d = e.crossJoin(cb)
+    dist = [
+        F.aggregate(
+            F.zip_with(
+                F.slice("qv", s * _PQ_SUB + 1, _PQ_SUB),
+                F.slice("qc", s * _PQ_SUB + 1, _PQ_SUB),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias(f"d{s}")
+        for s in range(_PQ_M)
+    ]
+    scored = d.select("vec_id", "label", "cid", *dist)
+    m = scored.groupBy("vec_id", "label").agg(
+        *[
+            F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("cid").alias("c")))
+            .alias(f"m{s}")
+            for s in range(_PQ_M)
+        ]
+    )
+    tot = sum(F.col(f"m{s}.d") for s in range(1, _PQ_M)) + F.col("m0.d")
+    return m.select(
+        "vec_id",
+        "label",
+        *[F.col(f"m{s}.c").alias(f"code_{s}") for s in range(_PQ_M)],
+        F.round(tot / F.lit(float(_PQ_GRID) ** 2), 6).alias("recon_err"),
+    )
