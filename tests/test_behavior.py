@@ -154,3 +154,81 @@ def test_point_in_time_join_picks_current_version(spark, monkeypatch):
     assert out[14]["state_value"] == 2.0
     assert out[15]["state_value"] == 2.0
     assert out[14]["us_since_state"] == 1_000_000
+
+
+def test_attribution_last_touch_planted(spark, monkeypatch):
+    import datetime as dt
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        (1, t(0), 7, "purchase", 1.0),   # opens history -> NULL touch
+        (2, t(1), 7, "view", 1.0),
+        (3, t(2), 7, "click", 1.0),
+        (4, t(3), 7, "purchase", 5.0),   # -> click at t(2)
+        (5, t(4), 7, "purchase", 5.0),   # consecutive purchase -> still click
+        (6, t(5), 8, "signup", 1.0),
+        (7, t(5), 8, "purchase", 2.0),   # equal-ts tie: event_id orders signup first
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    out = {r["event_id"]: r for r in
+           bh.behavior_attribution_last_touch(spark, "x").collect()}
+    assert set(out) == {1, 4, 5, 7}
+    assert out[1]["touch_type"] is None and out[1]["touch_gap_us"] is None
+    assert out[4]["touch_type"] == "click" and out[4]["touch_ts"] == t(2)
+    assert out[5]["touch_type"] == "click"        # purchases never self-credit
+    assert out[7]["touch_type"] == "signup" and out[7]["touch_gap_us"] == 0
+
+
+def test_linear_interpolate_planted_gap(spark, monkeypatch):
+    import datetime as dt
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h)
+    rows = [  # user 7: observed days 1 (sum 1.00) and 4 (sum 4.00); gap 2,3
+        (1, d(1), 7, "view", 1.0),
+        (2, d(4, 1), 7, "view", 1.5),
+        (3, d(4, 2), 7, "view", 2.5),
+        (4, d(2), 8, "view", 9.0),   # single-day user: spine is 1 row
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    monkeypatch.setattr(bh, "table", lambda s, d_, n: ev)
+    out = {(r["user_id"], r["day"].day): (r["observed"], r["value_interp"])
+           for r in bh.timeseries_linear_interpolate(spark, "x").collect()}
+    assert out[(7, 1)] == (True, 1.0)
+    assert out[(7, 2)] == (False, 2.0)   # 1 + (4-1)*1/3
+    assert out[(7, 3)] == (False, 3.0)
+    assert out[(7, 4)] == (True, 4.0)
+    assert out[(8, 2)] == (True, 9.0) and len(out) == 5
+
+
+def test_rfm_quartiles_planted(spark, monkeypatch):
+    import datetime as dt
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    # 8 customers: recency/frequency/monetary each strictly ordered by
+    # custkey, so every quartile assignment is forced (2 per bucket).
+    rows = []
+    for c in range(1, 9):
+        for k in range(9 - c):  # frequency: cust 1 -> 8 orders ... cust 8 -> 1
+            rows.append(
+                (c * 100 + k, c, "O",
+                 float(1000 * (9 - c)),                    # monetary desc in c
+                 dt.datetime(2024, 1, 31 - c), "p")        # recency desc in c
+            )
+    o = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    monkeypatch.setattr(bh, "table", lambda s, d, n: o)
+    out = {r["custkey"]: r for r in bh.behavior_rfm_segments(spark, "x").collect()}
+    for c in range(1, 9):
+        q = (c + 1) // 2  # custkeys 1,2 -> quartile 1 ... 7,8 -> quartile 4
+        assert (out[c]["r_score"], out[c]["f_score"], out[c]["m_score"]) == (q, q, q)
+    assert out[1]["rfm_cell"] == 111 and out[8]["rfm_cell"] == 444
+    assert out[1]["n_orders"] == 8 and out[1]["monetary_cents"] == 8 * 800000

@@ -423,3 +423,43 @@ def test_sketch_common_neighbors_identical_sets_exact(spark, monkeypatch):
     r = out[(101, 102)]
     assert r["exact_common"] == 5
     assert r["est_common"] == 5.0 and r["abs_err"] == 0.0
+
+
+def test_kcore_peels_pendants_keeps_triangle(spark, monkeypatch):
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+    import fortisiem_clickhouse_monitor_spark.operators.graph as gr
+
+    # triangle 1-2-3 plus a pendant chain 3-4-5: the chain peels away
+    # (4 and 5 never reach degree 2 once 5 drops), triangle survives.
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(dd, "dedup_ngram_jaccard_pairs", lambda s, d: pairs)
+    out = {r["node"]: r["core_degree"]
+           for r in gr.graph_kcore_membership(spark, "x").collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_adamic_adar_discounts_hubs(spark, monkeypatch):
+    import math
+
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+    import fortisiem_clickhouse_monitor_spark.operators.graph as gr
+
+    # x=1, y=2 share rare middle 10 (deg 2) and hub-ish middle 11
+    # (deg 4): score = 1/ln(2) + 1/ln(4); pair (1,3) shares only 11.
+    pairs = spark.createDataFrame(
+        [(1, 10), (2, 10), (1, 11), (2, 11), (3, 11), (4, 11)],
+        "doc_a long, doc_b long",
+    )
+    monkeypatch.setattr(dd, "dedup_ngram_jaccard_pairs", lambda s, d: pairs)
+    rows = gr.graph_adamic_adar_top20(spark, "x").collect()
+    scores = {(r["doc_a"], r["doc_b"]): (r["aa_score"], r["common_neighbors"])
+              for r in rows}
+    exp_12 = (round(1e6 / math.log(2)) + round(1e6 / math.log(4))) / 1e6
+    assert scores[(1, 2)] == (round(exp_12, 4), 2)
+    assert scores[(1, 3)][1] == 1
+    # rare-neighbor pair outranks the hub-only pair
+    assert scores[(1, 2)][0] > scores[(1, 3)][0]
+    # symmetric twin: (10, 11) is seen through middles 1 AND 2
+    assert scores[(10, 11)][1] == 2

@@ -61,3 +61,19 @@ def test_kmeans_matches_numpy_reference(spark):
             n_mismatch += 1
     assert n_mismatch <= len(ids) * 0.01
     assert len(set(got.values())) > 1  # clustering actually separates
+
+
+def test_pq_codebook_vectors_self_assign(spark):
+    from fortisiem_clickhouse_monitor_spark.operators.similarity import (
+        _PQ_K, _PQ_M, sim_pq_codes,
+    )
+
+    out = {r["vec_id"]: r for r in
+           sim_pq_codes(spark, "/root/testdata/sf0.001").collect()}
+    for vid in range(_PQ_K):  # codebook rows reconstruct exactly
+        r = out[vid]
+        assert [r[f"code_{s}"] for s in range(_PQ_M)] == [vid] * _PQ_M
+        assert r["recon_err"] == 0.0
+    for r in out.values():
+        assert all(0 <= r[f"code_{s}"] < _PQ_K for s in range(_PQ_M))
+        assert r["recon_err"] >= 0.0

@@ -72,3 +72,27 @@ def test_profile_counts_nulls_and_distincts(spark, monkeypatch):
     assert out["source"]["n_nulls"] == 1 and out["source"]["n_distinct"] == 1
     assert out["lang"]["n_nulls"] == 0 and out["lang"]["n_distinct"] == 2
     assert out["n_chars"]["min_val"] == "2" and out["doc_id"]["max_val"] == "3"
+
+
+def test_embedding_drift_flags_shifted_dimension(spark, monkeypatch):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(200):
+        v = [round(rng.gauss(0.0, 0.1), 4) for _ in range(64)]
+        if vid % 2 == 1:
+            v[5] += 1.0  # planted drift in dim 6 (1-based) of half B
+        rows.append((vid, v, 0))
+    e = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(prof, "table", lambda s, d, n: e)
+    out = {r["dim"]: r for r in
+           prof.profile_embedding_drift(spark, "x").collect()}
+    assert len(out) == 64
+    z6 = abs(out[6]["z_score"])
+    assert z6 > 30  # a full-sigma*10 shift is unmissable
+    others = [abs(out[d]["z_score"]) for d in out if d != 6]
+    assert max(others) < 5
+    assert abs(out[6]["mean_b"] - out[6]["mean_a"] - 1.0) < 0.05
