@@ -939,3 +939,232 @@ def timeseries_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame
             4,
         ).alias("value_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Alert suppression: first-of-storm pages, the rest are suppressed
+# ---------------------------------------------------------------------------
+
+_SUPPRESS_GAP_US = 600 * 1_000_000  # 10-min suppression window
+
+
+@register(
+    "alert_suppression_window",
+    oracle=f"""
+    WITH errs AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                       > {_SUPPRESS_GAP_US}
+                  THEN 1 ELSE 0 END AS fires
+      FROM events WHERE event_type = 'error'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    storms AS (
+      SELECT user_id, event_id, ts,
+             sum(fires) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS storm_id
+      FROM errs
+    )
+    SELECT user_id,
+           min(event_id) AS alert_event_id,
+           CAST(min(ts) AS TIMESTAMP) AS first_ts,
+           CAST(max(ts) AS TIMESTAMP) AS last_ts,
+           CAST(count(*) - 1 AS BIGINT) AS n_suppressed
+    FROM storms GROUP BY user_id, storm_id
+    """,
+    tags=("BEHAV", "MONITOR"),
+)
+def alert_suppression_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-storm suppression (the monitoring-domain twin of the
+    reference's health jobs): error events of one entity within a
+    10-minute quiet gap form one STORM; only the first pages, and each
+    page carries how many followers it suppressed plus the storm's time
+    span — what an on-call actually wants from a flapping replica
+    instead of 400 identical pages.  Storms are cut with the
+    gaps-and-islands pattern (boundary when the lag-gap exceeds the
+    window), which restarts the clock on each error — the documented,
+    SQL-expressible variant of fixed-window-from-first-page
+    throttling (that form needs recursive state; the streaming twin
+    below is where it belongs).
+
+    One user_id exchange shared by the lag and the running sum (same
+    window sort), then one (user, storm) aggregate — the filter on
+    event_type pushes to the scan."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    fires = F.when(
+        gap.isNull() | (gap > _SUPPRESS_GAP_US), 1
+    ).otherwise(0)
+    storms = ev.select(
+        "user_id", "event_id", "ts", fires.alias("fires")
+    ).withColumn(
+        "storm_id",
+        F.sum("fires").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return storms.groupBy("user_id", "storm_id").agg(
+        F.min("event_id").alias("alert_event_id"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        (F.count(F.lit(1)) - 1).alias("n_suppressed"),
+    ).drop("storm_id")
+
+
+# ---------------------------------------------------------------------------
+# Flap detection: entities oscillating between error and healthy
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flap_detection_ratio",
+    oracle="""
+    WITH st AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS s,
+             lag(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions,
+           round(sum(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                          THEN 1 ELSE 0 END)
+                 / CAST(count(*) - 1 AS DOUBLE), 4) AS flap_ratio,
+           sum(CASE WHEN prev_s IS NOT NULL AND s <> prev_s THEN 1 ELSE 0 END)
+             * 10 >= (count(*) - 1) * 4 AS is_flapping
+    FROM st GROUP BY user_id HAVING count(*) >= 2
+    """,
+    tags=("BEHAV", "MONITOR"),
+)
+def flap_detection_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flap detection: an entity that OSCILLATES between error and
+    healthy states is a different (and worse) signal than one that is
+    simply down — monitoring systems damp such entities before they
+    melt the pager.  Computes per-entity state-transition count and
+    flap ratio (transitions / adjacent pairs); the >= 0.4 flag is the
+    integer cross-multiply 10*t >= 4*(n-1), so no float sits at the
+    decision boundary (same discipline as the dow-seasonal screen).
+
+    One user_id window for the lag, one aggregate on the same
+    partitioning — at 100 TB this is a single exchange of the event
+    stream, and the streaming twin is a trivial 2-value
+    applyInPandasWithState carry."""
+    ev = table(spark, sf_dir, "events")
+    s = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    st = ev.select("user_id", "ts", "event_id", s.alias("s")).withColumn(
+        "prev_s", F.lag("s").over(w)
+    )
+    trans = F.sum(
+        F.when(
+            F.col("prev_s").isNotNull() & (F.col("s") != F.col("prev_s")), 1
+        ).otherwise(0)
+    )
+    agg = st.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), trans.alias("n_transitions")
+    )
+    return agg.filter(F.col("n_events") >= 2).select(
+        "user_id",
+        "n_events",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / (F.col("n_events") - 1).cast("double"), 4
+        ).alias("flap_ratio"),
+        (
+            F.col("n_transitions") * 10 >= (F.col("n_events") - 1) * 4
+        ).alias("is_flapping"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Capacity forecast: days until cumulative usage crosses the threshold
+# ---------------------------------------------------------------------------
+
+_CAP_CENTS = 1_000_000  # capacity threshold: 10,000.00 in value units
+
+
+@register(
+    "forecast_days_to_capacity",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS q
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    cum AS (
+      SELECT user_id, day,
+             CAST(day - min(day) OVER (PARTITION BY user_id) AS BIGINT) AS x,
+             CAST(sum(q) OVER (PARTITION BY user_id ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      FROM daily
+    ),
+    fit AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_days,
+             round(regr_slope(c / 100.0, CAST(x AS DOUBLE)), 6)
+               AS slope_per_day,
+             max(c) AS last_cents
+      FROM cum GROUP BY user_id HAVING count(*) >= 3
+    )
+    SELECT user_id, n_days, slope_per_day,
+           round(last_cents / 100.0, 2) AS current_level,
+           round(({_CAP_CENTS} - last_cents) / 100.0 / slope_per_day, 2)
+             AS days_to_capacity
+    FROM fit WHERE slope_per_day > 0
+    """,
+    tags=("BEHAV", "MONITOR", "TS"),
+)
+def forecast_days_to_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity forecasting — the reference's core promise (its
+    monitored system is a database whose disks fill): fit each entity's
+    CUMULATIVE daily usage with OLS and extrapolate days until it
+    crosses the {_CAP_CENTS // 100}-unit threshold.  Daily totals and
+    running cumsum are exact centi-unit BIGINTs; only the final
+    regression runs in doubles (mergeable regr_* moments, rounded 6dp
+    — the repo's established trend discipline from
+    trend_user_value_slope).  Entities with non-increasing usage are
+    excluded (no crossing to forecast).
+
+    Scale shape: one (user, day) rollup, one per-user running-sum
+    window on the DAILY summary (30 rows/user, not events), one
+    moment aggregate — the fact table is touched once."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("q"))
+    wmin = Window.partitionBy("user_id")
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = daily.select(
+        "user_id",
+        F.datediff("day", F.min("day").over(wmin)).cast("long").alias("x"),
+        F.sum("q").over(wcum).alias("c"),
+    )
+    fit = (
+        cum.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr(
+                "round(regr_slope(c / 100.0, CAST(x AS DOUBLE)), 6)"
+            ).alias("slope_per_day"),
+            F.max("c").alias("last_cents"),
+        )
+        .filter(F.col("n_days") >= 3)
+    )
+    return fit.filter(F.col("slope_per_day") > 0).select(
+        "user_id",
+        "n_days",
+        "slope_per_day",
+        F.round(F.col("last_cents") / 100.0, 2).alias("current_level"),
+        F.round(
+            (_CAP_CENTS - F.col("last_cents")) / 100.0 / F.col("slope_per_day"),
+            2,
+        ).alias("days_to_capacity"),
+    )

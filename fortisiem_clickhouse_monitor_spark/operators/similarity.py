@@ -1479,3 +1479,172 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"m{s}.c").alias(f"code_{s}") for s in range(_PQ_M)],
         F.round(tot / F.lit(float(_PQ_GRID) ** 2), 6).alias("recon_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ asymmetric-distance search (ADC) with its recall audit
+# ---------------------------------------------------------------------------
+
+
+def _pq_adc_oracle() -> str:
+    def dist(s: int, a: str, b: str) -> str:
+        lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB + 1
+        return (
+            f"CAST(list_sum(list_transform(range({lo}, {hi}), "
+            f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))) AS BIGINT)"
+        )
+
+    dcols = ",\n         ".join(
+        f"{dist(s, 'e.qv', 'c.qc')} AS d{s}" for s in range(_PQ_M)
+    )
+    mcols = ",\n         ".join(
+        f"min(struct_pack(d := d{s}, c := cid)) AS m{s}" for s in range(_PQ_M)
+    )
+    lcols = ",\n         ".join(
+        f"{dist(s, 'q.qq', 'c.qc')} AS l{s}" for s in range(_PQ_M)
+    )
+    ljoins = "\n      ".join(
+        f"JOIN lut t{s} ON t{s}.cid = m.m{s}.c" for s in range(_PQ_M)
+    )
+    asum = " + ".join(f"t{s}.l{s}" for s in range(_PQ_M))
+    grid2 = float(_PQ_GRID) ** 2
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {_PQ_GRID}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, qv AS qc FROM e WHERE vec_id < {_PQ_K}),
+    q AS (SELECT qv AS qq FROM e WHERE vec_id = 0),
+    d AS (
+      SELECT e.vec_id, c.cid,
+         {dcols}
+      FROM e, c WHERE e.vec_id <> 0
+    ),
+    m AS (
+      SELECT vec_id,
+         {mcols}
+      FROM d GROUP BY vec_id
+    ),
+    lut AS (
+      SELECT c.cid,
+         {lcols}
+      FROM c, q
+    ),
+    adc AS (
+      SELECT m.vec_id, {asum} AS adist
+      FROM m
+      {ljoins}
+    ),
+    exact AS (
+      SELECT e.vec_id,
+             CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                  i -> (e.qv[i]-q.qq[i])*(e.qv[i]-q.qq[i]))) AS BIGINT)
+               AS edist
+      FROM e, q WHERE e.vec_id <> 0
+    ),
+    top AS (SELECT vec_id FROM exact ORDER BY edist, vec_id LIMIT 10)
+    SELECT a.vec_id,
+           round(a.adist / {grid2}, 6) AS adc_dist,
+           round(x.edist / {grid2}, 6) AS exact_dist,
+           t.vec_id IS NOT NULL AS in_exact_top10
+    FROM adc a
+    JOIN exact x ON x.vec_id = a.vec_id
+    LEFT JOIN top t ON t.vec_id = a.vec_id
+    ORDER BY a.adist, a.vec_id LIMIT 10
+    """
+
+
+@register(
+    "sim_pq_adc_recall_eval", oracle=_pq_adc_oracle(), tags=("ANN", "PQ", "eval")
+)
+def sim_pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-10 for the query vector
+    (vec_id 0) WITH its recall audit — completing the PQ story started
+    by sim_pq_codes: the query stays full-precision, each database
+    vector is its {_PQ_M}-byte code, and distance is looked up from a
+    {_PQ_K}x{_PQ_M} query-to-codebook table instead of touching the
+    vector — the scan that makes billion-vector search fit in RAM.
+    Each returned row carries its TRUE distance and whether it belongs
+    to the exact top-10, so the quantization's ranking damage is
+    measured in the result itself (ship-with-its-eval, as for
+    IVF/LSH/truncation).  All distances are exact integers on the
+    {_PQ_GRID} grid — argmin, LUT, and ranking are engine-exact.
+
+    Scale shape: codes come from the sim_pq_codes assignment
+    (broadcast codebook); the LUT is {_PQ_K} rows built from one
+    broadcast of the 1-row query; the ADC scan is {_PQ_M} broadcast
+    LUT probes per code — no vector arithmetic per candidate; the
+    exact side (for the audit only) is the one full GEMM pass."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _PQ_GRID).cast("long"),
+        ).alias("qv"),
+    )
+    cb = e.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("qc")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("qv").alias("qq"))
+
+    def sub_dist(a: str, b: str, s: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(a, s * _PQ_SUB + 1, _PQ_SUB),
+                F.slice(b, s * _PQ_SUB + 1, _PQ_SUB),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    d = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(cb))
+    scored = d.select(
+        "vec_id", "cid", *[sub_dist("qv", "qc", s).alias(f"d{s}") for s in range(_PQ_M)]
+    )
+    m = scored.groupBy("vec_id").agg(
+        *[
+            F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("cid").alias("c")))
+            .alias(f"m{s}")
+            for s in range(_PQ_M)
+        ]
+    )
+    lut = cb.crossJoin(F.broadcast(q)).select(
+        "cid", *[sub_dist("qq", "qc", s).alias(f"l{s}") for s in range(_PQ_M)]
+    )
+    adc = m
+    for s in range(_PQ_M):
+        ls = lut.select(F.col("cid").alias(f"c{s}"), f"l{s}")
+        adc = adc.join(F.broadcast(ls), F.col(f"m{s}.c") == F.col(f"c{s}"))
+    adist = sum(F.col(f"l{s}") for s in range(1, _PQ_M)) + F.col("l0")
+    adc = adc.select("vec_id", adist.alias("adist"))
+    exact = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("qv", "qq", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("edist"),
+        )
+    )
+    top = exact.orderBy("edist", "vec_id").limit(10).select(
+        F.col("vec_id").alias("tvid")
+    )
+    grid2 = float(_PQ_GRID) ** 2
+    return (
+        adc.join(exact, "vec_id")
+        .join(F.broadcast(top), adc["vec_id"] == F.col("tvid"), "left")
+        .orderBy("adist", "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            F.round(F.col("adist") / grid2, 6).alias("adc_dist"),
+            F.round(F.col("edist") / grid2, 6).alias("exact_dist"),
+            F.col("tvid").isNotNull().alias("in_exact_top10"),
+        )
+    )

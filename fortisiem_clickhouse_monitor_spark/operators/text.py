@@ -8,7 +8,7 @@ where a group-by is the point of the query).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import textfns
@@ -538,4 +538,75 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.avg("lp"), 4).alias("avg_logprob"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit: corpus-health power-law slope
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 1000
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOKENS}) AS w FROM documents
+    ),
+    freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY w
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r FROM freq
+    ),
+    top AS (SELECT * FROM ranked WHERE r <= {_ZIPF_TOP})
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM freq) AS n_vocab,
+           CAST(count(*) AS BIGINT) AS n_fit,
+           round(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+             AS zipf_slope,
+           round(regr_r2(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+             AS r2
+    FROM top
+    """,
+    tags=("TEXT", "DQ"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit: OLS slope of ln(freq) on ln(rank) over
+    the top-{_ZIPF_TOP} tokens — natural corpora sit near -1, and a
+    corpus that drifts far off (template spam flattens the head,
+    boilerplate dedup failures fatten it) fails the power-law sanity
+    check long before any model trains on it.  Frequencies are exact
+    BIGINTs and ranks are fully tie-broken (freq desc, token), so both
+    engines fit the SAME point set and the 6-dp-rounded moments match
+    — the repo's established regr_* discipline.
+
+    Scale shape: one token-count exchange (map-side combined), then a
+    top-{_ZIPF_TOP} rank over the VOCAB summary (not the token
+    stream) and a single-row moment aggregate; the global row_number
+    sorts |vocab| rows — at 100 TB replace with rank-over-top-K
+    pre-filter via approx thresholds, same fit."""
+    from ..functions import textfns
+
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(textfns.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    vocab_n = freq.agg(F.count(F.lit(1)).alias("n_vocab"))
+    ranked = freq.select(
+        "f", F.row_number().over(Window.orderBy(F.desc("f"), "w")).alias("r")
+    ).filter(F.col("r") <= _ZIPF_TOP)
+    # 1-row crossJoin broadcast: the vocab total rides along without a
+    # driver-side action (the repo's broadcast-totals pattern).
+    return ranked.crossJoin(F.broadcast(vocab_n)).agg(
+        F.first("n_vocab").alias("n_vocab"),
+        F.count(F.lit(1)).alias("n_fit"),
+        F.expr(
+            "round(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)"
+        ).alias("zipf_slope"),
+        F.expr(
+            "round(regr_r2(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)"
+        ).alias("r2"),
     )
