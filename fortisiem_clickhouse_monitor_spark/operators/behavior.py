@@ -1168,3 +1168,78 @@ def forecast_days_to_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("days_to_capacity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust daily-volume outliers: median absolute deviation screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "outlier_daily_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    med AS (
+      SELECT event_type, median(n) AS med FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS adev
+      FROM daily d JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n, d.med, m.mad,
+           round((d.n - d.med) / (1.4826 * m.mad), 3) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0 AND abs(d.n - d.med) > 3 * 1.4826 * m.mad
+    """,
+    tags=("BEHAV", "MONITOR", "TS"),
+)
+def outlier_daily_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust daily-volume anomaly screen: a day is flagged when its
+    event count deviates from the type's MEDIAN by more than 3
+    consistency-scaled MADs (1.4826*MAD estimates sigma under
+    normality) — unlike the mean/stddev z-score (outlier_events_zscore),
+    one catastrophic day cannot drag the baseline toward itself and
+    mask its own anomaly, the failure mode that matters most on
+    monitoring data.  Medians of integer counts are exact .0/.5 values
+    in both engines, so the screen's boundary arithmetic is
+    deterministic.
+
+    Scale shape: two summary-domain median aggregates over the
+    |types * days| DAILY rollup (never the fact table) joined back
+    broadcast-wise — the fact is scanned once for the rollup; exact
+    medians are fine on the summary (it is small by construction),
+    which is why this pattern beats windowed percentile_approx over
+    the raw facts at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(F.median("n").alias("med"))
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("n") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "med",
+            "mad",
+            F.round(
+                (F.col("n") - F.col("med")) / (1.4826 * F.col("mad")), 3
+            ).alias("robust_z"),
+        )
+    )

@@ -546,3 +546,62 @@ def curriculum_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "score",
         F.ntile(10).over(w).cast("long").alias("decile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-stitch detection: doc A's tail tokens == doc B's head tokens
+# ---------------------------------------------------------------------------
+
+_STITCH_K = 4  # overlap width in tokens (fixture-sized; production ~50)
+
+
+@register(
+    "text_chunk_stitch_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ),
+    hb AS (
+      SELECT doc_id,
+             array_to_string(toks[1:{_STITCH_K}], ' ') AS head,
+             array_to_string(toks[-{_STITCH_K}:], ' ') AS tail
+      FROM t WHERE len(toks) >= {_STITCH_K}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tail AS overlap
+    FROM hb a JOIN hb b ON a.tail = b.head AND a.doc_id <> b.doc_id
+    """,
+    tags=("TEXT", "DD"),
+)
+def text_chunk_stitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-stitch detection: ordered pairs where document A ENDS with
+    exactly the {_STITCH_K} tokens document B STARTS with — the
+    signature of one source document split into overlapping chunks by
+    an upstream extractor (sliding-window chunking, pagination splits),
+    which a dedup pass keyed on whole-doc or shingle similarity can
+    miss when the chunks are long and the overlap short.  Production
+    uses ~50-token overlaps; {_STITCH_K} is fixture-sized.
+
+    Scale shape: each doc reduces to one (head, tail) fingerprint row
+    — the join is an equi-join on the tail/head STRING (shuffle keyed
+    on a short fingerprint, never the text); at 100 TB hash the
+    overlap to a 64-bit key and verify the token slice on the matched
+    pairs (the candidate/verify discipline used by every LSH family
+    here)."""
+    toks = textfns.tokens("text")
+    hb = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= _STITCH_K)
+        .select(
+            "doc_id",
+            F.array_join(F.slice("toks", 1, _STITCH_K), " ").alias("head"),
+            F.array_join(F.slice("toks", -_STITCH_K, _STITCH_K), " ").alias(
+                "tail"
+            ),
+        )
+    )
+    a = hb.select(F.col("doc_id").alias("doc_a"), F.col("tail").alias("overlap"))
+    b = hb.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("head"))
+    return a.join(b, (F.col("overlap") == F.col("head"))).filter(
+        F.col("doc_a") != F.col("doc_b")
+    ).select("doc_a", "doc_b", "overlap")
