@@ -1648,3 +1648,209 @@ def sim_pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tvid").isNotNull().alias("in_exact_top10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composed: probe coarse cells, ADC-score only their members
+# ---------------------------------------------------------------------------
+
+
+def _ivf_pq_oracle() -> str:
+    def dist(s: int, a: str, b: str) -> str:
+        lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB + 1
+        return (
+            f"CAST(list_sum(list_transform(range({lo}, {hi}), "
+            f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))) AS BIGINT)"
+        )
+
+    dcols = ",\n         ".join(
+        f"{dist(s, 'e.qv', 'c.qc')} AS d{s}" for s in range(_PQ_M)
+    )
+    mcols = ",\n         ".join(
+        f"min(struct_pack(d := d{s}, c := cid)) AS m{s}" for s in range(_PQ_M)
+    )
+    lcols = ",\n         ".join(
+        f"{dist(s, 'q.qq', 'c.qc')} AS l{s}" for s in range(_PQ_M)
+    )
+    ljoins = "\n      ".join(
+        f"JOIN lut t{s} ON t{s}.cid = m.m{s}.c" for s in range(_PQ_M)
+    )
+    asum = " + ".join(f"t{s}.l{s}" for s in range(_PQ_M))
+    grid2 = float(_PQ_GRID) ** 2
+    return f"""
+    WITH flat AS (
+      SELECT vec_id, label, i AS dim, embedding[i]::DOUBLE AS x
+      FROM embeddings, range(1, {_DIM + 1}) t(i)
+    ),
+    centroids AS (
+      SELECT label, dim, avg(x) AS cx FROM flat GROUP BY label, dim
+    ),
+    qflat AS (SELECT dim, x AS qx FROM flat WHERE vec_id = 0),
+    cent_scores AS (
+      SELECT c.label,
+             sum(c.cx * q.qx)
+               / (sqrt(sum(c.cx * c.cx)) * sqrt(sum(q.qx * q.qx))) AS ccos
+      FROM centroids c JOIN qflat q USING (dim)
+      GROUP BY c.label
+    ),
+    probe AS (SELECT label FROM cent_scores ORDER BY ccos DESC, label ASC LIMIT 2),
+    eq AS (
+      SELECT vec_id, label,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {_PQ_GRID}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, qv AS qc FROM eq WHERE vec_id < {_PQ_K}),
+    q AS (SELECT qv AS qq FROM eq WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.label, e.qv FROM eq e
+      WHERE e.vec_id <> 0 AND e.label IN (SELECT label FROM probe)
+    ),
+    d AS (
+      SELECT e.vec_id, e.label, c.cid,
+         {dcols}
+      FROM cand e, c
+    ),
+    m AS (
+      SELECT vec_id, label,
+         {mcols}
+      FROM d GROUP BY vec_id, label
+    ),
+    lut AS (
+      SELECT c.cid,
+         {lcols}
+      FROM c, q
+    ),
+    adc AS (
+      SELECT m.vec_id, m.label, {asum} AS adist
+      FROM m
+      {ljoins}
+    ),
+    exact AS (
+      SELECT e.vec_id,
+             CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                  i -> (e.qv[i]-q.qq[i])*(e.qv[i]-q.qq[i]))) AS BIGINT)
+               AS edist
+      FROM cand e, q
+    )
+    SELECT a.vec_id, a.label,
+           round(a.adist / {grid2}, 6) AS adc_dist,
+           round(x.edist / {grid2}, 6) AS exact_dist
+    FROM adc a JOIN exact x ON x.vec_id = a.vec_id
+    ORDER BY a.adist, a.vec_id LIMIT 10
+    """
+
+
+@register("sim_ivf_pq_topk", oracle=_ivf_pq_oracle(), tags=("ANN", "IVF", "PQ"))
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end to end — the composed billion-vector search layout:
+    the coarse quantizer (per-label mean centroids, as sim_ivf_topk)
+    prunes the corpus to nprobe=2 cells, and candidates inside them
+    are ranked by {_PQ_M}-byte PQ codes against the query's
+    {_PQ_K}x{_PQ_M} ADC lookup table (as sim_pq_adc_recall_eval) —
+    memory touched per candidate is the code, not the vector.  Each
+    hit reports its true grid distance alongside the ADC estimate, so
+    the compounded approximation (cell pruning + quantization) stays
+    measured.  ADC/argmin arithmetic is exact integers on the
+    {_PQ_GRID} grid; only the probe's centroid scoring is float (the
+    established sim_ivf_topk discipline).
+
+    Scale shape: centroid scoring touches |cells| x dim rows; the
+    candidate scan is ~nprobe/|cells| of the corpus with {_PQ_M}
+    broadcast LUT probes per row; with the table bucketed by cell id,
+    probing is partition pruning.  The exact-distance audit column is
+    the only full-width vector read and exists for the eval."""
+    e = table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id", "label", (F.col("dim0") + 1).alias("dim"),
+        F.col("x").cast("double").alias("x"),
+    )
+    centroids = flat.groupBy("label", "dim").agg(F.avg("x").alias("cx"))
+    qflat = flat.filter(F.col("vec_id") == 0).select(
+        "dim", F.col("x").alias("qx")
+    )
+    cent_scores = (
+        centroids.join(F.broadcast(qflat), "dim")
+        .groupBy("label")
+        .agg(
+            (
+                F.sum(F.col("cx") * F.col("qx"))
+                / (
+                    F.sqrt(F.sum(F.col("cx") * F.col("cx")))
+                    * F.sqrt(F.sum(F.col("qx") * F.col("qx")))
+                )
+            ).alias("ccos")
+        )
+    )
+    probe = (
+        cent_scores.orderBy(F.desc("ccos"), F.asc("label"))
+        .limit(2)
+        .select("label")
+    )
+    eq = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _PQ_GRID).cast("long"),
+        ).alias("qv"),
+    )
+    cb = eq.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("qv").alias("qc")
+    )
+    q = eq.filter(F.col("vec_id") == 0).select(F.col("qv").alias("qq"))
+
+    def sub_dist(a: str, b: str, s: int):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(a, s * _PQ_SUB + 1, _PQ_SUB),
+                F.slice(b, s * _PQ_SUB + 1, _PQ_SUB),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cand = eq.filter(F.col("vec_id") != 0).join(F.broadcast(probe), "label")
+    scored = cand.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "label", "cid",
+        *[sub_dist("qv", "qc", s).alias(f"d{s}") for s in range(_PQ_M)],
+    )
+    m = scored.groupBy("vec_id", "label").agg(
+        *[
+            F.min(F.struct(F.col(f"d{s}").alias("d"), F.col("cid").alias("c")))
+            .alias(f"m{s}")
+            for s in range(_PQ_M)
+        ]
+    )
+    lut = cb.crossJoin(F.broadcast(q)).select(
+        "cid", *[sub_dist("qq", "qc", s).alias(f"l{s}") for s in range(_PQ_M)]
+    )
+    adc = m
+    for s in range(_PQ_M):
+        ls = lut.select(F.col("cid").alias(f"c{s}"), f"l{s}")
+        adc = adc.join(F.broadcast(ls), F.col(f"m{s}.c") == F.col(f"c{s}"))
+    adist = sum(F.col(f"l{s}") for s in range(1, _PQ_M)) + F.col("l0")
+    adc = adc.select("vec_id", "label", adist.alias("adist"))
+    exact = cand.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with("qv", "qq", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("edist"),
+    )
+    grid2 = float(_PQ_GRID) ** 2
+    return (
+        adc.join(exact, "vec_id")
+        .orderBy("adist", "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("adist") / grid2, 6).alias("adc_dist"),
+            F.round(F.col("edist") / grid2, 6).alias("exact_dist"),
+        )
+    )
