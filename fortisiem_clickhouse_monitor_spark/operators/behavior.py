@@ -986,8 +986,9 @@ def alert_suppression_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands pattern (boundary when the lag-gap exceeds the
     window), which restarts the clock on each error — the documented,
     SQL-expressible variant of fixed-window-from-first-page
-    throttling (that form needs recursive state; the streaming twin
-    below is where it belongs).
+    throttling (that form needs recursive state: see
+    streaming/stateful.py:throttle, its O(1)-state streaming twin,
+    differential-tested in tests/test_stateful.py).
 
     One user_id exchange shared by the lag and the running sum (same
     window sort), then one (user, storm) aggregate — the filter on

@@ -146,3 +146,85 @@ def ewma(stream: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-window alert throttle: the TRUE suppression semantics
+# ---------------------------------------------------------------------------
+
+THROTTLE_WINDOW_SECONDS = 600  # matches alert_suppression_window's gap
+
+THROTTLE_OUTPUT_SCHEMA = (
+    "user_id LONG, alert_event_id LONG, page_ts TIMESTAMP,"
+    " window_end TIMESTAMP, n_suppressed LONG"
+)
+#: (win_start_us, first_event_id, n_suppressed) per user.
+THROTTLE_STATE_SCHEMA = "start LONG, eid LONG, n LONG"
+
+
+def _page(user_id: int, start_us: int, eid: int, n: int) -> pd.DataFrame:
+    win_us = THROTTLE_WINDOW_SECONDS * 1_000_000
+    return pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "alert_event_id": [eid],
+            "page_ts": [pd.Timestamp(start_us, unit="us")],
+            "window_end": [pd.Timestamp(start_us + win_us, unit="us")],
+            "n_suppressed": [n],
+        }
+    )
+
+
+def throttle_fn(key, pdf_iter: "Iterator[pd.DataFrame]", state) -> "Iterator[pd.DataFrame]":
+    """Fixed-window-from-first-page alert throttle: the first error
+    opens a window anchored at ITS OWN timestamp; every error within
+    [start, start + W] is suppressed REGARDLESS of inter-event gaps,
+    and the first error after the window opens the next one.  This is
+    the semantics the batch operator (alert_suppression_window)
+    documents as requiring recursive state — a lag-gap island restarts
+    the clock on every error, this does not.  State is 3 ints per key;
+    a page row emits when its window is PROVEN over (a later error
+    falls past it, or the event-time timeout passes start + W)."""
+    win_us = THROTTLE_WINDOW_SECONDS * 1_000_000
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        start_us, eid, n = state.get
+        state.remove()
+        yield _page(user_id, start_us, eid, n)
+        return
+
+    cur = list(state.get) if state.exists else None
+    batch = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+    ts_us = batch["ts"].astype("datetime64[ns]").astype("int64") // 1_000
+    for t, eid in zip(ts_us, batch["event_id"]):
+        t, eid = int(t), int(eid)
+        if cur is None:
+            cur = [t, eid, 0]
+        elif t - cur[0] <= win_us:
+            cur[2] += 1
+        else:
+            yield _page(user_id, *cur)
+            cur = [t, eid, 0]
+    state.update(tuple(cur))
+    timeout_ms = (cur[0] + win_us) // 1_000
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(timeout_ms, wm_ms + 1))
+
+
+def throttle(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked alert throttle over an events-shaped stream (caller
+    filters to the alerting event type)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            throttle_fn,
+            THROTTLE_OUTPUT_SCHEMA,
+            THROTTLE_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -140,3 +140,104 @@ def test_stateful_ewma_matches_batch_fold(spark, ewma_dir):
         s = final[uid]
         assert s["n_events"] == b["n_events"], uid
         assert s["ewma_scaled"] == b["ewma_scaled"], uid
+
+
+def test_stateful_throttle_matches_python_reference(spark, sessions_dir):
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    stream = jobs.events_stream(spark, sessions_dir, max_files_per_trigger=1)
+    q = (
+        # keep the sentinel rows: they advance the watermark that closes
+        # each user's final open window (excluded from comparison below)
+        stateful.throttle(
+            stream.filter(F.col("event_type").isin("error", "sentinel"))
+        )
+        .writeStream.format("memory")
+        .queryName("t_throttle")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["alert_event_id"]): (
+            r["page_ts"],
+            r["window_end"],
+            r["n_suppressed"],
+        )
+        for r in spark.sql("SELECT * FROM t_throttle").collect()
+        if r["user_id"] >= 0
+    }
+
+    # Python reference: fixed-window-from-first-page per user.
+    import datetime as dtm
+
+    win = dtm.timedelta(seconds=stateful.THROTTLE_WINDOW_SECONDS)
+    rows = (
+        table(spark, SF_SMALL, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", "event_id", "ts")
+        .collect()
+    )
+    expected = {}
+    by_user: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, evs in by_user.items():
+        cur = None  # [start_ts, eid, n_suppressed]
+        for r in evs:
+            if cur is None or r["ts"] - cur[0] > win:
+                if cur is not None:
+                    expected[(uid, cur[1])] = (cur[0], cur[0] + win, cur[2])
+                cur = [r["ts"], r["event_id"], 0]
+            else:
+                cur[2] += 1
+        expected[(uid, cur[1])] = (cur[0], cur[0] + win, cur[2])
+
+    assert got == expected
+
+
+def test_stateful_throttle_planted_storm(spark, tmp_path):
+    """sf0.001 errors are too sparse to collide inside one window, so
+    the suppression branch is pinned with a planted storm: three
+    errors inside one 600 s window (two suppressed), a fourth past it
+    opening the next window — and the fixed-window-vs-lag-gap
+    distinction: the third error is 450 s after the SECOND but 550 s
+    after the window START, so a lag-gap island would still suppress a
+    750 s-offset event while this operator correctly re-pages."""
+    import datetime as dtm
+
+    t0 = dtm.datetime(2024, 1, 1, 0, 0, 0)
+    s = lambda n: t0 + dtm.timedelta(seconds=n)
+    rows = [
+        (1, s(0), 7, "error", 0.0, "{}"),
+        (2, s(100), 7, "error", 0.0, "{}"),
+        (3, s(550), 7, "error", 0.0, "{}"),   # 450s after prev, inside window
+        (4, s(750), 7, "error", 0.0, "{}"),   # past start+600 -> new page
+    ]
+    out = str(tmp_path / "storm")
+    spark.createDataFrame(rows, schema=jobs.EVENTS_SCHEMA).coalesce(
+        1
+    ).sortWithinPartitions("ts").write.mode("overwrite").parquet(out)
+    for i, days in enumerate((1, 2)):
+        spark.createDataFrame(
+            [(-1000 - i, t0 + dtm.timedelta(days=days), -1, "error", 0.0, "{}")],
+            schema=jobs.EVENTS_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(out)
+
+    stream = jobs.events_stream(spark, out, max_files_per_trigger=1)
+    q = (
+        stateful.throttle(stream)
+        .writeStream.format("memory")
+        .queryName("t_throttle_storm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["alert_event_id"]: r["n_suppressed"]
+        for r in spark.sql("SELECT * FROM t_throttle_storm").collect()
+        if r["user_id"] >= 0
+    }
+    assert got == {1: 2, 4: 0}
