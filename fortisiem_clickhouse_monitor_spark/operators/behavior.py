@@ -1244,3 +1244,48 @@ def outlier_daily_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("robust_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak per-minute event rate per type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rate_per_minute_peak",
+    oracle="""
+    WITH per_min AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('minute', ts)
+    ),
+    ranked AS (
+      SELECT event_type, minute, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, minute) AS rn
+      FROM per_min
+    )
+    SELECT event_type, CAST(minute AS TIMESTAMP) AS peak_minute, n AS peak_n
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("BEHAV", "MONITOR", "W"),
+)
+def window_rate_per_minute_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak ingest rate: for each event type, the minute bucket with the
+    most events (earliest minute on ties) — the number capacity
+    planning actually sizes for (p100 burst, not the mean), and the
+    one the reference's cadence budgeting implies.  One (type, minute)
+    rollup exchange, then a per-type argmax window over the SUMMARY
+    (|types * minutes| rows); at 100 TB the rollup partial-aggregates
+    map-side and the argmax never touches the fact."""
+    ev = table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), "minute")
+    return (
+        per_min.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("minute").alias("peak_minute"),
+                F.col("n").alias("peak_n"))
+    )

@@ -263,3 +263,73 @@ def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_b, 6).alias("mean_b"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time sanity battery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_event_time_sanity",
+    oracle="""
+    WITH inv AS (
+      SELECT CASE WHEN ts < lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY event_id)
+                  THEN 1 ELSE 0 END AS x
+      FROM events
+    )
+    SELECT 'null_ts' AS check_name,
+           (SELECT CAST(count(*) - count(ts) AS BIGINT) FROM events)
+             AS n_violations
+    UNION ALL
+    SELECT 'before_2000',
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE ts < TIMESTAMP '2000-01-01')
+    UNION ALL
+    SELECT 'after_2030',
+           (SELECT CAST(count(*) AS BIGINT) FROM events
+            WHERE ts >= TIMESTAMP '2030-01-01')
+    UNION ALL
+    SELECT 'id_time_inversions',
+           (SELECT CAST(coalesce(sum(x), 0) AS BIGINT) FROM inv)
+    """,
+    tags=("DQ", "TS"),
+)
+def quality_event_time_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp sanity battery for the event stream — the checks that
+    catch a sick PRODUCER (epoch-zero defaults, far-future clock skew,
+    NULL times, and event-id/event-time order inversions within a
+    user, which reveal backfills or id-allocation races).  Each check
+    reports a violation count; zero everywhere is the contract the
+    downstream watermark/windowing operators silently assume, which
+    is exactly why it deserves an explicit gate.
+
+    Scale shape: three scan-aggregates fuse into one pass (Catalyst
+    collapses the conditional counts), the inversion check is one lag
+    over the user_id exchange — nothing leaves the summary domain."""
+    ev = table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    inv = ev.select(
+        F.when(F.col("ts") < F.lag("ts").over(w), 1).otherwise(0).alias("x")
+    ).agg(F.coalesce(F.sum("x"), F.lit(0)).cast("long").alias("n"))
+    base = ev.agg(
+        (F.count(F.lit(1)) - F.count("ts")).alias("null_ts"),
+        F.sum(
+            (F.col("ts") < F.lit("2000-01-01").cast("timestamp")).cast("long")
+        ).alias("before_2000"),
+        F.sum(
+            (F.col("ts") >= F.lit("2030-01-01").cast("timestamp")).cast("long")
+        ).alias("after_2030"),
+    )
+    checks = base.unpivot(
+        [], ["null_ts", "before_2000", "after_2030"], "check_name", "n_violations"
+    )
+    return checks.unionByName(
+        inv.select(
+            F.lit("id_time_inversions").alias("check_name"),
+            F.col("n").alias("n_violations"),
+        )
+    )

@@ -187,3 +187,48 @@ def nest_two_level_shard_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("nodes_json")
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt: wide per-day metrics back to long form
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_daily_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(count(*) AS DOUBLE) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price,
+             CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    )
+    UNPIVOT wide ON n_orders, total_price, n_customers
+    INTO NAME metric VALUE value
+    """,
+    tags=("RESHAPE",),
+)
+def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of pivot_events_by_type and the
+    last reshape primitive the surface was missing: a wide per-day
+    metrics row (orders, revenue, distinct customers) melts into
+    (day, metric, value) long form, the shape dashboards and
+    metric-store ingestion want.  Metrics are cast to one DOUBLE
+    domain first (melt requires a common value type in both engines);
+    revenue is rounded before melting so the value column carries
+    already-deterministic numbers.
+
+    Scale shape: melt is a zero-shuffle per-row flatMap (each wide row
+    emits |metrics| narrow rows) on top of the one (day) rollup
+    exchange — column-to-row fanout happens AFTER aggregation, so the
+    exchange is |days| rows, never |days * metrics|."""
+    o = table(spark, sf_dir, "orders")
+    wide = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+    )
+    return wide.unpivot(
+        ["day"], ["n_orders", "total_price", "n_customers"], "metric", "value"
+    )

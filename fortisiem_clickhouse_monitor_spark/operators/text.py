@@ -610,3 +610,77 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round(regr_r2(ln(CAST(f AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)"
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty curve: how much of each doc is new to the corpus so far
+# ---------------------------------------------------------------------------
+
+_DUCK_SHINGLES3 = (
+    f"list_distinct(list_transform(range(1, len({_DUCK_TOKENS}) - 1), "
+    f"i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1] || ' ' "
+    f"|| {_DUCK_TOKENS}[i+2]))"
+)
+
+
+@register(
+    "text_ngram_novelty_curve",
+    oracle=f"""
+    WITH ds AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES3}) AS s
+      FROM documents WHERE len({_DUCK_TOKENS}) >= 3
+    ),
+    firsts AS (SELECT s, min(doc_id) AS first_doc FROM ds GROUP BY s)
+    SELECT ds.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN f.first_doc = ds.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN f.first_doc = ds.doc_id THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS novelty
+    FROM ds JOIN firsts f USING (s)
+    GROUP BY ds.doc_id
+    """,
+    tags=("TEXT", "DD", "EVAL"),
+)
+def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty in ingestion (doc_id) order: the
+    fraction of a doc's distinct 3-token shingles never seen in any
+    EARLIER doc — the curve dataset builders watch to decide when a
+    source is mined out (novelty decays toward zero as a crawl starts
+    refetching itself), and the per-doc score that ranks documents by
+    marginal information for curriculum or dedup triage.  'Seen
+    earlier' is min(doc_id) per shingle, so the definition is exact
+    and order-stable, not a sketch.
+
+    Scale shape: one (shingle -> min doc) aggregate and one join back
+    on the shingle key, both partial-aggregated map-side; the join
+    carries (doc, shingle) pairs exactly once.  At 100 TB shingles are
+    hashed to 64-bit keys first (textfns.hash60, as the LSH family
+    does) so the exchange moves fixed-width keys, not strings."""
+    toks = textfns.tokens("text")
+    ds = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(
+            F.array_distinct(textfns.shingles(toks, 3))
+        ).alias("s"))
+    )
+    firsts = ds.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        ds.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel") / F.col("n_shingles").cast("double"), 4
+            ).alias("novelty"),
+        )
+    )
