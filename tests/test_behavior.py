@@ -232,3 +232,52 @@ def test_rfm_quartiles_planted(spark, monkeypatch):
         assert (out[c]["r_score"], out[c]["f_score"], out[c]["m_score"]) == (q, q, q)
     assert out[1]["rfm_cell"] == 111 and out[8]["rfm_cell"] == 444
     assert out[1]["n_orders"] == 8 and out[1]["monetary_cents"] == 8 * 800000
+
+
+def test_mad_outlier_resists_masking(spark, monkeypatch):
+    import datetime as dt
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    # 12 quiet days of ~10 events + one 300-event day: the mean/std
+    # screen would be dragged by the spike; median/MAD flags it.
+    rows, eid = [], 0
+    for day in range(1, 13):
+        for _ in range(10 + (day % 2)):  # 10 or 11 events
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, day), 7, "view", 1.0, "{}"))
+    for _ in range(300):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 13), 7, "view", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    out = bh.outlier_daily_mad(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["day"].day == 13 and r["n"] == 300 and r["robust_z"] > 100
+
+
+def test_alert_suppression_islands_planted(spark, monkeypatch):
+    import datetime as dt
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    rows = [
+        (1, t(0), 7, "error", 0.0, "{}"),
+        (2, t(300), 7, "error", 0.0, "{}"),    # gap 300 <= 600: same storm
+        (3, t(800), 7, "error", 0.0, "{}"),    # gap 500: STILL same storm
+        (4, t(1500), 7, "error", 0.0, "{}"),   # gap 700 > 600: new storm
+        (5, t(100), 8, "view", 0.0, "{}"),     # non-error: ignored
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    out = {r["alert_event_id"]: r["n_suppressed"]
+           for r in bh.alert_suppression_window(spark, "x").collect()}
+    # lag-gap semantics: event 3 extends the storm (vs the streaming
+    # fixed-window twin, which would re-page it — see test_stateful)
+    assert out == {1: 2, 4: 0}

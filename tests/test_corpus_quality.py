@@ -224,3 +224,40 @@ def test_split_by_component_is_leak_free(spark):
     assert singletons
     for d in singletons:
         assert comp_split[d][1] == plain[d]
+
+
+def test_chunk_stitch_detects_planted_split(spark, monkeypatch):
+    import fortisiem_clickhouse_monitor_spark.operators.curation as cu
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d w x y z", "en", "s", 15),      # tail: w x y z
+            (2, "w x y z e f g h", "en", "s", 15),      # head: w x y z
+            (3, "p q r s t u v m", "en", "s", 15),      # unrelated
+            (4, "w x y z e f g h", "en", "s", 15),      # dup of 2
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(cu, "table", lambda s, d, n: docs)
+    got = {(r["doc_a"], r["doc_b"]) for r in
+           cu.text_chunk_stitch_pairs(spark, "x").collect()}
+    assert got == {(1, 2), (1, 4)}
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, monkeypatch):
+    import fortisiem_clickhouse_monitor_spark.operators.text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "en", "s", 9),    # 3 shingles, all novel
+            (2, "a b c d e", "en", "s", 9),    # exact dup: novelty 0
+            (3, "c d e f g", "en", "s", 9),    # 'c d e' seen; 2 of 3 novel
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(tx, "table", lambda s, d, n: docs)
+    out = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+           for r in tx.text_ngram_novelty_curve(spark, "x").collect()}
+    assert out[1] == (3, 3, 1.0)
+    assert out[2] == (3, 0, 0.0)
+    assert out[3] == (3, 2, round(2 / 3, 4))

@@ -96,3 +96,25 @@ def test_embedding_drift_flags_shifted_dimension(spark, monkeypatch):
     others = [abs(out[d]["z_score"]) for d in out if d != 6]
     assert max(others) < 5
     assert abs(out[6]["mean_b"] - out[6]["mean_a"] - 1.0) < 0.05
+
+
+def test_event_time_sanity_counts_planted_violations(spark, monkeypatch):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 7, "view", 1.0, "{}"),
+        (2, None, 7, "view", 1.0, "{}"),                      # null ts
+        (3, dt.datetime(1999, 12, 31), 7, "view", 1.0, "{}"), # before 2000
+        (4, dt.datetime(2031, 1, 1), 7, "view", 1.0, "{}"),   # after 2030
+        (5, dt.datetime(2024, 1, 2), 8, "view", 1.0, "{}"),
+        (6, dt.datetime(2024, 1, 1), 8, "view", 1.0, "{}"),   # id/time inversion
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string"
+    )
+    monkeypatch.setattr(prof, "table", lambda s, d, n: ev)
+    out = {r["check_name"]: r["n_violations"]
+           for r in prof.quality_event_time_sanity(spark, "x").collect()}
+    assert out == {"null_ts": 1, "before_2000": 1, "after_2030": 1,
+                   "id_time_inversions": 1}
