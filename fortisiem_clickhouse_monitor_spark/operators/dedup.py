@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import textfns, vectors
-from ..registry import register
+from ..registry import register, register_probe
 from ..sources.tables import bind, fanout, table
 
 _DUCK_TOKENS = (
@@ -1599,10 +1599,55 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     One vocabulary-domain df aggregate (broadcast back), one doc-keyed
     ordered-list build, the prefix-token equi-join, then exact verify
     on the two candidate doc-id hash joins."""
-    d = bind(
-        fanout(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"),
+    cand = prefix_filter_candidates(spark, sf_dir)
+    d = _pfx_docs(spark, sf_dir)
+    # Verify on xxhash64(token) LONG arrays, not strings: the verify
+    # stage is where this operator's time goes (measured @10x: 49 s of
+    # a ~40 s total as a separate stage; 61 M candidates of which 30 M
+    # verify — candidate generation is ~50% efficient, so verify work
+    # is output-bound and can only be made CHEAPER per pair, not
+    # smaller).  Hashing each doc's distinct tokens once and
+    # intersecting longs instead of strings cut the stage 49 -> 10 s
+    # with bit-identical output: a collision would need two distinct
+    # tokens of the SAME document pair to share an xxhash64 value
+    # (~25 tokens/doc over a 2^64 space, p < 1e-16 corpus-wide).
+    sets = d.select(
+        "doc_id", F.transform("toks", lambda w: F.xxhash64(w)).alias("hs")
+    )
+    da = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ta"))
+    db = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    uni = F.size("ta") + F.size("tb") - inter
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .filter(_PFX_DEN * inter >= _PFX_NUM * uni)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / uni, 4).alias("jaccard"),
+        )
+    )
+
+
+def _pfx_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenized documents frame shared by candidate-gen and verify."""
+    return bind(
+        fanout(
+            table(spark, sf_dir, "documents").select("doc_id", "text"),
+            "doc_id",
+        ),
         toks=F.array_distinct(textfns.tokens("text")),
     ).filter(F.size("toks") > 0)
+
+
+def prefix_filter_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct PPJoin candidate pairs (prefix + length + positional
+    filters, pre-verify) — the operator's dominant intermediate, split
+    out so the scaling sweep's work probe counts exactly the frame the
+    operator runs (VERDICT r4 #4: work-vs-wall in the sweep artifact).
+    """
+    d = _pfx_docs(spark, sf_dir)
     # NOTE (measured, sf0.1): materializing the tokenized frame here —
     # persist() or localCheckpoint() — does NOT help: the tokenize
     # subtree the self-join duplicates is not the bottleneck (persist
@@ -1666,33 +1711,21 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Verify on xxhash64(token) LONG arrays, not strings: the verify
-    # stage is where this operator's time goes (measured @10x: 49 s of
-    # a ~40 s total as a separate stage; 61 M candidates of which 30 M
-    # verify — candidate generation is ~50% efficient, so verify work
-    # is output-bound and can only be made CHEAPER per pair, not
-    # smaller).  Hashing each doc's distinct tokens once and
-    # intersecting longs instead of strings cut the stage 49 -> 10 s
-    # with bit-identical output: a collision would need two distinct
-    # tokens of the SAME document pair to share an xxhash64 value
-    # (~25 tokens/doc over a 2^64 space, p < 1e-16 corpus-wide).
-    sets = d.select(
-        "doc_id", F.transform("toks", lambda w: F.xxhash64(w)).alias("hs")
-    )
-    da = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ta"))
-    db = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("tb"))
-    inter = F.size(F.array_intersect("ta", "tb"))
-    uni = F.size("ta") + F.size("tb") - inter
-    return (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
-        .filter(_PFX_DEN * inter >= _PFX_NUM * uni)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(inter.cast("double") / uni, 4).alias("jaccard"),
-        )
-    )
+    return cand
+
+
+@register_probe("dedup_prefix_filter_pairs")
+def _probe_prefix_filter(spark: SparkSession, sf_dir: str) -> int:
+    """Work = distinct candidate pairs entering verify (the stage whose
+    wall time bends at 20x while this count stays linear)."""
+    return prefix_filter_candidates(spark, sf_dir).count()
+
+
+@register_probe("dedup_incremental_cc_labels")
+def _probe_incremental_cc(spark: SparkSession, sf_dir: str) -> int:
+    """Work = near-dup edge list size (the frame both CC branches and
+    the supernode contraction consume)."""
+    return dedup_ngram_jaccard_pairs(spark, sf_dir).count()
 
 
 @register(
@@ -2278,3 +2311,28 @@ def graph_component_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component", "n_members", "n_triangles",
         density.alias("triangle_density"),
     )
+
+
+@register_probe("graph_component_cohesion")
+def _probe_component_cohesion(spark: SparkSession, sf_dir: str) -> int:
+    """Work = the triangle-count stage's per-edge intersect cost,
+    sum(outdeg(src) + outdeg(dst)) over the degree-oriented edge list
+    (the CC subtree on the same edges is alpha~0.26 and never
+    dominates)."""
+    oriented = orient_by_degree(
+        dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ).select("src", "dst")
+    outdeg = oriented.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    du = outdeg.select(F.col("src").alias("u"), F.col("od").alias("du"))
+    dv = outdeg.select(F.col("src").alias("v"), F.col("od").alias("dv"))
+    per_edge = (
+        oriented.join(du, F.col("src") == F.col("u"), "left")
+        .join(dv, F.col("dst") == F.col("v"), "left")
+        .select(
+            (F.coalesce("du", F.lit(0)) + F.coalesce("dv", F.lit(0))).alias(
+                "cost"
+            )
+        )
+    )
+    row = per_edge.agg(F.sum("cost").alias("w")).collect()[0]
+    return int(row["w"] or 0)

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import register, register_probe
 from ..sources.tables import table
 
 _PR_ITERS = 6
@@ -714,9 +714,14 @@ def graph_adamic_adar_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, broadcast anti-join against the edge list, global top-20."""
     from .dedup import dedup_ngram_jaccard_pairs
 
+    # PLANS.md invariant #6: round-robin repartition BEFORE the
+    # checkpoint — AQE coalesces the byte-small pair list to ~1
+    # partition, and the wedge fan-out below then runs serial.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pairs = (
         dedup_ngram_jaccard_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
+        .repartition(2 * n_parts)
         .localCheckpoint()
     )
     sym = pairs.select(
@@ -756,3 +761,46 @@ def graph_adamic_adar_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nc").alias("common_neighbors"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Work probes (VERDICT r4 #4): the dominant-intermediate counts the
+# scaling sweep records next to wall time, so "work stays linear where
+# wall bends" is machine-checkable.  Wedge totals are computed EXACTLY
+# from the degree table (sum of C(d, 2) over eligible middles) — the
+# same quantity the wedge join materializes, without materializing it.
+# ---------------------------------------------------------------------------
+
+
+def _degree_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import dedup_ngram_jaccard_pairs
+
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    return sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+
+
+@register_probe("graph_common_neighbors_top20")
+def _probe_common_neighbors(spark: SparkSession, sf_dir: str) -> int:
+    """Work = uncapped wedge rows: sum over middles of C(d, 2)."""
+    deg = _degree_table(spark, sf_dir)
+    row = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w")
+    ).collect()[0]
+    return int(row["w"] or 0)
+
+
+@register_probe("graph_adamic_adar_top20")
+def _probe_adamic_adar(spark: SparkSession, sf_dir: str) -> int:
+    """Work = capped wedge rows (middles with 2 <= d <= cap)."""
+    deg = _degree_table(spark, sf_dir).filter(
+        (F.col("d") >= 2) & (F.col("d") <= _CN_DEG_CAP)
+    )
+    row = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w")
+    ).collect()[0]
+    return int(row["w"] or 0)

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import textfns
-from ..registry import register
+from ..registry import register, register_probe
 from ..sources.tables import bind, fanout, spread, table
 
 # DuckDB twin of textfns.tokens()
@@ -652,35 +652,65 @@ def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier' is min(doc_id) per shingle, so the definition is exact
     and order-stable, not a sketch.
 
-    Scale shape: one (shingle -> min doc) aggregate and one join back
-    on the shingle key, both partial-aggregated map-side; the join
-    carries (doc, shingle) pairs exactly once.  At 100 TB shingles are
-    hashed to 64-bit keys first (textfns.hash60, as the LSH family
-    does) so the exchange moves fixed-width keys, not strings."""
+    Scale shape (r5 rewrite): the output has no shingle text, so the
+    shingle-keyed join back — which carried every (doc, shingle) pair
+    through the exchange TWICE as raw 3-token strings — is gone
+    entirely.  ``n_shingles`` is computed pre-explode as
+    ``size(array_distinct(shingles))`` (zero shuffle); the only
+    pair-sized exchange is a map-side-combined ``min(doc_id)`` keyed on
+    ``xxhash64`` of the shingle, so the wire moves fixed-width longs,
+    not strings (the PPJoin verify proved this exact trade at
+    dedup.py:1669: 49→10 s @10×); ``n_novel`` is then a
+    shingle-cardinality count of ``first_doc`` longs, and the final
+    join is doc-cardinality.  A 64-bit collision merging two distinct
+    shingles is ~n²/2^65 per doc — negligible, and the DuckDB oracle
+    keeps plain strings so the check would catch any real drift."""
     toks = textfns.tokens("text")
-    ds = (
-        table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(
-            F.array_distinct(textfns.shingles(toks, 3))
-        ).alias("s"))
+    per_doc = (
+        bind(
+            fanout(table(spark, sf_dir, "documents")
+                   .select("doc_id", "text")),
+            sh=F.array_distinct(textfns.shingles(toks, 3)),
+        )
+        .select("doc_id", "sh")
+        .filter(F.size("sh") >= 1)
     )
-    firsts = ds.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    pairs = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.transform("sh", lambda s: F.xxhash64(s))
+        ).alias("h"),
+    )
+    firsts = pairs.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = firsts.groupBy("first_doc").agg(
+        F.count(F.lit(1)).alias("n_novel")
     )
     return (
-        ds.join(firsts, "s")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            novel.alias("n_novel"),
-        )
+        per_doc.select("doc_id", F.size("sh").alias("n_shingles"))
+        .join(novel, F.col("doc_id") == F.col("first_doc"), "left")
         .select(
             "doc_id",
-            "n_shingles",
-            "n_novel",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long")
+            .alias("n_novel"),
             F.round(
-                F.col("n_novel") / F.col("n_shingles").cast("double"), 4
+                F.coalesce(F.col("n_novel"), F.lit(0))
+                / F.col("n_shingles").cast("double"),
+                4,
             ).alias("novelty"),
         )
     )
+
+
+@register_probe("text_ngram_novelty_curve")
+def _probe_novelty_curve(spark: SparkSession, sf_dir: str) -> int:
+    """Work = (doc, shingle) rows entering the min-doc aggregate — the
+    only pair-sized exchange after the r5 hashed rewrite."""
+    toks = textfns.tokens("text")
+    row = (
+        table(spark, sf_dir, "documents")
+        .select(F.size(F.array_distinct(textfns.shingles(toks, 3))).alias("n"))
+        .agg(F.sum("n").alias("w"))
+        .collect()[0]
+    )
+    return int(row["w"] or 0)

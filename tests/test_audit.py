@@ -55,3 +55,32 @@ def test_plan_invariants(spark, name, fn):
     )
     assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+
+
+def test_heavy_queries_have_curves():
+    """The sweep is a RULE, not a list (VERDICT r4 #3): every registered
+    query over 2 s in the latest full bench artifact must have a scaling
+    curve with >= 3 scale points in some docs/scaling_curves_*.json.
+    tools/scaling_curves.py derives its default query set from the same
+    artifact, so closing a gap is one sweep run."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bench_path = os.path.join(repo, "docs", "bench_rlatest_full.json")
+    if not os.path.exists(bench_path):
+        pytest.skip("no bench artifact yet")
+    bench = json.load(open(bench_path))["queries"]
+    registered = set(entrymod.queries())
+    heavy = {k for k, v in bench.items() if v > 2.0 and k in registered}
+    covered = set()
+    for p in glob.glob(os.path.join(repo, "docs", "scaling_curves_*.json")):
+        for name, entry in json.load(open(p)).items():
+            if len(entry.get("times", {})) >= 3:
+                covered.add(name)
+    missing = sorted(heavy - covered)
+    assert not missing, (
+        f"heavy queries with no scaling curve (run tools/scaling_curves.py "
+        f"docs/scaling_curves_r<N>.json): {missing}"
+    )

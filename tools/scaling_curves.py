@@ -55,6 +55,26 @@ QUERIES = [
 
 SOFT_BUDGET_S = 150.0
 
+#: Every registered query whose latest full-bench time exceeds this gets
+#: a scaling curve — the sweep set is a RULE derived from the bench
+#: artifact (VERDICT r4 #3), not a hand-picked list.  The same rule is
+#: enforced by tests/test_audit.py::test_heavy_queries_have_curves.
+HEAVY_THRESHOLD_S = 2.0
+BENCH_ARTIFACT = "docs/bench_rlatest_full.json"
+
+
+def heavy_from_bench(
+    path: str = BENCH_ARTIFACT, threshold: float = HEAVY_THRESHOLD_S
+) -> list[str]:
+    """Names of registered queries over ``threshold`` seconds in the
+    latest full bench artifact (empty if the artifact is missing)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = path if os.path.isabs(path) else os.path.join(repo, path)
+    if not os.path.exists(p):
+        return []
+    bench = json.load(open(p))["queries"]
+    return sorted(k for k, v in bench.items() if v > threshold)
+
 
 def materialize(df) -> None:
     try:
@@ -79,13 +99,19 @@ def fit_alpha(points: list[tuple[int, float]]) -> float | None:
 
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaling_curves.json"
-    names = sys.argv[2:] or QUERIES  # optional explicit subset
+    # Explicit names win; default = family subset UNION every query the
+    # latest bench artifact says is heavy (>2 s at sf0.1).
+    names = sys.argv[2:] or sorted(set(QUERIES) | set(heavy_from_bench()))
     spark = get_spark("fcm-scaling")
     qs = entrymod.queries()
+    from fortisiem_clickhouse_monitor_spark.registry import work_probes
+
+    probes = work_probes()
     results: dict[str, dict] = {}
     for name in names:
         fn = qs[name]
         times: list[tuple[int, float]] = []
+        work: dict[str, int] = {}
         cut = None
         last = 0.0
         for sf_dir, k in SCALES:
@@ -109,12 +135,27 @@ def main() -> None:
                 break
             times.append((k, best))
             last = best
-            print(f"{name:40s} k={k:2d}  {best:7.2f}s", flush=True)
-        results[name] = {
+            # Work probe AFTER timing (never inside the timed window):
+            # records the dominant-intermediate count next to wall time
+            # so "work stays linear where wall bends" is checkable.
+            wnote = ""
+            if name in probes:
+                try:
+                    work[str(k)] = probes[name](spark, sf_dir)
+                    wnote = f"  work={work[str(k)]:,}"
+                except Exception as exc:  # noqa: BLE001
+                    wnote = f"  work-probe-error: {type(exc).__name__}"
+            print(f"{name:40s} k={k:2d}  {best:7.2f}s{wnote}", flush=True)
+        entry = {
             "times": {str(k): round(t, 3) for k, t in times},
             "alpha": (a := fit_alpha(times)) and round(a, 3),
             "note": cut,
         }
+        if work:
+            entry["work"] = work
+            wa = fit_alpha([(int(k), float(v)) for k, v in work.items()])
+            entry["work_alpha"] = wa and round(wa, 3)
+        results[name] = entry
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
