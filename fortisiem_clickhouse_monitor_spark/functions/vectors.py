@@ -122,7 +122,17 @@ def load_unit_index(path: str, id_col: str, vec_col: str) -> UnitIndex:
         # a 10 M x 64 index would materialize ~650 M Python floats).
         offsets = col.offsets.to_numpy()
         widths = offsets[1:] - offsets[:-1]
-        if col.null_count == 0 and len(widths) and (widths == widths[0]).all():
+        # offsets[0] == 0 guard: a SLICED ListArray shares the parent's
+        # value buffer but starts at a nonzero offset — the reshape
+        # below would silently misalign every row.  Unreachable from
+        # pq.read_table today, but cheap insurance against future
+        # callers handing in a slice (ADVICE r4).
+        if (
+            col.null_count == 0
+            and len(widths)
+            and offsets[0] == 0
+            and (widths == widths[0]).all()
+        ):
             raw = (
                 col.values.to_numpy(zero_copy_only=False)
                 .astype("float32", copy=False)

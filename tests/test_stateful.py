@@ -241,3 +241,56 @@ def test_stateful_throttle_planted_storm(spark, tmp_path):
         if r["user_id"] >= 0
     }
     assert got == {1: 2, 4: 0}
+
+
+def test_stateful_throttle_late_cross_batch(spark, tmp_path):
+    """Late-event contract (ADVICE r4): an out-of-order error arriving
+    in a LATER micro-batch with ts before the open window's start —
+    within the watermark — is attributed to the open window's
+    suppression count (negative gap <= W), never re-anchors it, and
+    never emits its own page.  Files are written one per micro-batch
+    (max_files_per_trigger=1) so the t=100 event genuinely arrives
+    after the t=500 event was processed."""
+    import datetime as dtm
+
+    t0 = dtm.datetime(2024, 1, 1, 0, 0, 0)
+    s = lambda n: t0 + dtm.timedelta(seconds=n)
+    out = str(tmp_path / "late")
+    batches = [
+        # batch 1: window anchored at t=200 (eid 1); eid 2 suppressed
+        [(1, s(200), 7, "error", 0.0, "{}"), (2, s(500), 7, "error", 0.0, "{}")],
+        # batch 2: LATE straggler, ts sorts before the window start
+        [(3, s(100), 7, "error", 0.0, "{}")],
+        # batch 3: past start+600 -> closes window 1, opens window 2
+        [(4, s(900), 7, "error", 0.0, "{}")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema=jobs.EVENTS_SCHEMA).coalesce(
+            1
+        ).sortWithinPartitions("ts").write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(out)
+    for i, days in enumerate((1, 2)):
+        spark.createDataFrame(
+            [(-1000 - i, t0 + dtm.timedelta(days=days), -1, "error", 0.0, "{}")],
+            schema=jobs.EVENTS_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(out)
+
+    stream = jobs.events_stream(spark, out, max_files_per_trigger=1)
+    q = (
+        stateful.throttle(stream)
+        .writeStream.format("memory")
+        .queryName("t_throttle_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["alert_event_id"]: r["n_suppressed"]
+        for r in spark.sql("SELECT * FROM t_throttle_late").collect()
+        if r["user_id"] >= 0
+    }
+    # eid 1's window absorbs BOTH the in-order eid 2 and the late eid 3;
+    # the straggler emits no page of its own and does not move page_ts.
+    assert got == {1: 2, 4: 0}

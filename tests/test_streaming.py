@@ -6,6 +6,7 @@ extended operators. Each query processes the events parquet as a
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
@@ -256,6 +257,7 @@ def test_upsert_sink_from_streaming_query(spark, events_dir, tmp_path_factory):
     assert got.count() > 0
 
 
+@pytest.mark.perf
 def test_concurrent_daemon_cadence_headroom(spark):
     """VERDICT r3 #6 / BASELINE streaming bar: all five reference-
     cadence jobs running CONCURRENTLY against sf0.1 must finish each
@@ -307,6 +309,9 @@ def test_concurrent_daemon_cadence_headroom(spark):
 
     budget = jobs.JOB_INTERVALS["data_health"]  # 180 s, the tightest
     assert all(len(v) >= 2 for v in tick_secs.values()), tick_secs
+    if os.environ.get("SPARK_GRAFT_SKIP_PERF"):
+        pytest.skip("SPARK_GRAFT_SKIP_PERF set: latency bound not asserted "
+                    "(functional frame checks above already ran)")
     worst = {m: max(v) for m, v in tick_secs.items()}
     print(f"concurrent per-tick latencies (s): "
           f"{ {m: [round(x, 2) for x in v] for m, v in tick_secs.items()} }")
