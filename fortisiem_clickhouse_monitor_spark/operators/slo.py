@@ -1,0 +1,317 @@
+"""SLO / alert-engineering analytics over the events stream — the
+monitoring-ops family's round-5 additions (reference purpose: chStats.py
+is a health/capacity monitor; these are the alert-hygiene queries an SRE
+runs on the same event feed).
+
+Every operator works on the |types x days| or |types x minutes| SUMMARY
+domain after one partial-aggregated rollup exchange of the fact table,
+so the shapes hold at 100 TB: the fact is scanned once, everything
+downstream is summary-sized.  All boundary arithmetic is exact integer
+(doubled counts for .5-exact medians, centi-scaled ratios) so every
+query is hash-checkable against its DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.tables import table
+
+#: SLO: 99% of events non-error => error budget is 1%.
+_SLO_BUDGET_PCT = 1
+#: Multiwindow pair (Google SRE workbook shape): short window catches
+#: fast burn, long window keeps the alert from flapping on blips.
+_BURN_SHORT_H = 1
+_BURN_LONG_H = 6
+
+
+@register(
+    "slo_burn_rate_multiwindow",
+    oracle=f"""
+    WITH bounds AS (SELECT max(ts) AS mx FROM events),
+    win AS (
+      SELECT CAST(sum(CASE WHEN e.ts > b.mx - INTERVAL {_BURN_SHORT_H} HOUR
+                            AND e.event_type = 'error'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS short_errors,
+             CAST(sum(CASE WHEN e.ts > b.mx - INTERVAL {_BURN_SHORT_H} HOUR
+                           THEN 1 ELSE 0 END) AS BIGINT) AS short_total,
+             CAST(sum(CASE WHEN e.ts > b.mx - INTERVAL {_BURN_LONG_H} HOUR
+                            AND e.event_type = 'error'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS long_errors,
+             CAST(sum(CASE WHEN e.ts > b.mx - INTERVAL {_BURN_LONG_H} HOUR
+                           THEN 1 ELSE 0 END) AS BIGINT) AS long_total
+      FROM events e CROSS JOIN bounds b
+    )
+    SELECT short_errors, short_total, long_errors, long_total,
+           round(short_errors * 100.0 / short_total / {_SLO_BUDGET_PCT}, 4)
+             AS short_burn,
+           round(long_errors * 100.0 / long_total / {_SLO_BUDGET_PCT}, 4)
+             AS long_burn,
+           (short_errors * 100 > short_total * {_SLO_BUDGET_PCT}
+            AND long_errors * 100 > long_total * {_SLO_BUDGET_PCT}) AS page
+    FROM win
+    """,
+    tags=("MONITOR", "SLO"),
+)
+def slo_burn_rate_multiwindow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow error-budget burn rate (the Google SRE workbook
+    alert shape): error fraction over a short ({_BURN_SHORT_H} h) and a
+    long ({_BURN_LONG_H} h) window both ending at the stream's max ts,
+    expressed as multiples of the {_SLO_BUDGET_PCT}% budget; ``page``
+    is true only when BOTH windows burn faster than budget — the short
+    window gives detection speed, the long one suppresses blip flapping.
+
+    Scale shape: one scalar max(ts) (collapses to a single partial-agg
+    exchange), then ONE conditional-aggregate pass over the fact —
+    four sums in the same scan, no per-window re-reads.  The page
+    decision is an integer cross-multiply (errors*100 > total*budget),
+    so the boundary is exact; the displayed burn is one division of
+    exact integers."""
+    ev = table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    e = ev.crossJoin(F.broadcast(mx))
+    in_short = F.col("ts") > F.col("mx") - F.expr(
+        f"INTERVAL {_BURN_SHORT_H} HOUR"
+    )
+    in_long = F.col("ts") > F.col("mx") - F.expr(
+        f"INTERVAL {_BURN_LONG_H} HOUR"
+    )
+    is_err = F.col("event_type") == "error"
+    win = e.agg(
+        F.sum(F.when(in_short & is_err, 1).otherwise(0))
+        .cast("long")
+        .alias("short_errors"),
+        F.sum(F.when(in_short, 1).otherwise(0)).cast("long").alias(
+            "short_total"
+        ),
+        F.sum(F.when(in_long & is_err, 1).otherwise(0))
+        .cast("long")
+        .alias("long_errors"),
+        F.sum(F.when(in_long, 1).otherwise(0)).cast("long").alias(
+            "long_total"
+        ),
+    )
+    return win.select(
+        "short_errors",
+        "short_total",
+        "long_errors",
+        "long_total",
+        F.round(
+            F.col("short_errors")
+            * 100.0
+            / F.col("short_total")
+            / _SLO_BUDGET_PCT,
+            4,
+        ).alias("short_burn"),
+        F.round(
+            F.col("long_errors")
+            * 100.0
+            / F.col("long_total")
+            / _SLO_BUDGET_PCT,
+            4,
+        ).alias("long_burn"),
+        (
+            (F.col("short_errors") * 100 > F.col("short_total") * _SLO_BUDGET_PCT)
+            & (F.col("long_errors") * 100 > F.col("long_total") * _SLO_BUDGET_PCT)
+        ).alias("page"),
+    )
+
+
+@register(
+    "changepoint_cusum_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(2 * median(n) AS BIGINT) AS med2
+      FROM daily GROUP BY event_type
+    ),
+    pre AS (
+      SELECT d.event_type, d.day, d.n, m.med2,
+             sum(2 * d.n - m.med2) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS p2
+      FROM daily d JOIN med m USING (event_type)
+    )
+    SELECT event_type, day, n,
+           CAST(p2 - least(min(p2) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0) AS BIGINT) AS cusum2,
+           (p2 - least(min(p2) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0)) >= 2 * med2 AS is_shift
+    FROM pre
+    """,
+    tags=("MONITOR", "TS", "W"),
+)
+def changepoint_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM level-shift detector on daily volumes per event
+    type — flags a SUSTAINED upward drift the single-day screens
+    (MAD, z-score) are blind to, because each day's small excess
+    accumulates instead of being judged alone.
+
+    The recursion S_i = max(0, S_{i-1} + x_i - target) has the exact
+    prefix-sum closed form S_i = P_i - min(0, min_{j<=i} P_j) with
+    P_i = sum_{t<=i} (x_t - target) — so the 'iterative' detector is
+    TWO stock window functions (running sum, running min) over the
+    |types x days| summary, no recursion, no UDF, no extra exchange
+    beyond the daily rollup; both engines compute it bit-identically
+    in doubled-count integers (target = per-type median, a .0/.5
+    value, kept exact as med2 = 2*median).  A shift is flagged when
+    the accumulated excess reaches two median-days' worth of events
+    (cusum2 >= 2*med2: h = 1 median-day in doubled units x 2)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        (2 * F.median("n")).cast("long").alias("med2")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = daily.join(F.broadcast(med), "event_type").withColumn(
+        "p2", F.sum(2 * F.col("n") - F.col("med2")).over(w)
+    )
+    cusum2 = F.col("p2") - F.least(F.min("p2").over(w), F.lit(0))
+    return pre.select(
+        "event_type",
+        "day",
+        "n",
+        cusum2.cast("long").alias("cusum2"),
+        (cusum2 >= 2 * F.col("med2")).alias("is_shift"),
+    )
+
+
+@register(
+    "seasonal_dow_residuals",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    base AS (
+      SELECT event_type, dayofweek(day) + 1 AS dow,
+             CAST(2 * median(n) AS BIGINT) AS med2
+      FROM daily GROUP BY event_type, dayofweek(day) + 1
+    )
+    SELECT d.event_type, d.day, d.n,
+           CAST(b.med2 AS BIGINT) AS baseline2,
+           CAST(2 * d.n - b.med2 AS BIGINT) AS residual2,
+           abs(2 * d.n - b.med2) * 2 > b.med2 AS is_anomaly
+    FROM daily d
+    JOIN base b
+      ON b.event_type = d.event_type AND b.dow = dayofweek(d.day) + 1
+    """,
+    tags=("MONITOR", "TS"),
+)
+def seasonal_dow_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive residual screen: each (type, day) volume is
+    compared against the median for that type's DAY-OF-WEEK — the
+    baseline that stops weekly rhythm (quiet Sundays, busy Mondays)
+    from masquerading as anomalies in flat-baseline screens, the
+    first seasonality every ops volume exhibits.  A day is anomalous
+    when |n - baseline| exceeds half the baseline (integer
+    cross-multiply in doubled units: |2n - med2| * 2 > med2).
+
+    Scale shape: the daily rollup exchange, a |types x 7| exact-median
+    baseline broadcast back, one map-side join — nothing beyond the
+    summary domain ever shuffles.  Spark's dayofweek() is 1=Sunday..7;
+    DuckDB's is 0=Sunday..6, so the oracle shifts by +1."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = daily.groupBy(
+        "event_type", F.dayofweek("day").alias("dow")
+    ).agg((2 * F.median("n")).cast("long").alias("med2"))
+    resid2 = 2 * F.col("n") - F.col("med2")
+    return (
+        daily.withColumn("dow", F.dayofweek("day"))
+        .join(F.broadcast(base), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.col("med2").cast("long").alias("baseline2"),
+            resid2.cast("long").alias("residual2"),
+            (F.abs(resid2) * 2 > F.col("med2")).alias("is_anomaly"),
+        )
+    )
+
+
+@register(
+    "availability_active_minutes",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('minute', min(ts)) AS mn,
+             date_trunc('minute', max(ts)) AS mx
+      FROM events
+    ),
+    span AS (
+      SELECT CAST(date_diff('minute', mn, mx) + 1 AS BIGINT) AS span_minutes
+      FROM bounds
+    ),
+    act AS (
+      SELECT event_type,
+             CAST(count(DISTINCT date_trunc('minute', ts)) AS BIGINT)
+               AS active_minutes
+      FROM events GROUP BY event_type
+    )
+    SELECT a.event_type, a.active_minutes, s.span_minutes,
+           round(a.active_minutes * 100.0 / s.span_minutes, 4)
+             AS active_pct
+    FROM act a CROSS JOIN span s
+    """,
+    tags=("MONITOR", "SLO"),
+)
+def availability_active_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat availability: per event type, the share of minute
+    buckets (over the feed's global [min, max] minute span) that saw at
+    least one event — the 'was the pipeline alive' uptime number a
+    silent-source alert thresholds on, complementary to volume screens
+    (a source can keep volume while going silent for long stretches).
+
+    Scale shape: count(DISTINCT minute) per type partial-aggregates
+    into |types x minutes| summary cells map-side; the global span is
+    a broadcast scalar; the final division is one exact-integer ratio.
+    """
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("mn"),
+        F.date_trunc("minute", F.max("ts")).alias("mx"),
+    )
+    span = bounds.select(
+        (
+            (
+                F.unix_timestamp("mx") - F.unix_timestamp("mn")
+            )
+            / 60
+            + 1
+        )
+        .cast("long")
+        .alias("span_minutes")
+    )
+    act = ev.groupBy("event_type").agg(
+        F.countDistinct(F.date_trunc("minute", "ts")).alias("active_minutes")
+    )
+    return act.crossJoin(F.broadcast(span)).select(
+        "event_type",
+        "active_minutes",
+        "span_minutes",
+        F.round(
+            F.col("active_minutes") * 100.0 / F.col("span_minutes"), 4
+        ).alias("active_pct"),
+    )

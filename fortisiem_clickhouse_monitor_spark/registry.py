@@ -115,6 +115,7 @@ def _load_all() -> None:
         relational,
         reshape,
         similarity,
+        slo,
         text,
         tpch,
         windows,
