@@ -2336,3 +2336,69 @@ def _probe_component_cohesion(spark: SparkSession, sf_dir: str) -> int:
     )
     row = per_edge.agg(F.sum("cost").alias("w")).collect()[0]
     return int(row["w"] or 0)
+
+
+def _oriented_outdeg(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(oriented edges, (src, outdeg)) over the degree-oriented
+    near-dup edge list — shared base for the triangle-family probes."""
+    oriented = orient_by_degree(
+        dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    ).select("src", "dst")
+    return oriented, oriented.groupBy("src").agg(
+        F.count(F.lit(1)).alias("od")
+    )
+
+
+@register_probe("graph_triangle_counts")
+def _probe_triangle_counts(spark: SparkSession, sf_dir: str) -> int:
+    """Work = per-edge adjacency-intersect cost sum(d+(u) + d+(v)) —
+    the count form's dominant term (same frame as the cohesion probe)."""
+    oriented, outdeg = _oriented_outdeg(spark, sf_dir)
+    du = outdeg.select(F.col("src").alias("u"), F.col("od").alias("du"))
+    dv = outdeg.select(F.col("src").alias("v"), F.col("od").alias("dv"))
+    row = (
+        oriented.join(du, F.col("src") == F.col("u"), "left")
+        .join(dv, F.col("dst") == F.col("v"), "left")
+        .agg(
+            F.sum(
+                F.coalesce("du", F.lit(0)) + F.coalesce("dv", F.lit(0))
+            ).alias("w")
+        )
+        .collect()[0]
+    )
+    return int(row["w"] or 0)
+
+
+@register_probe("dedup_graph_triangles")
+def _probe_triangle_enumeration(spark: SparkSession, sf_dir: str) -> int:
+    """Work = oriented wedges sum over u of C(d+(u), 2) — the rows the
+    enumeration's wedge join materializes before the closing-edge probe."""
+    _, outdeg = _oriented_outdeg(spark, sf_dir)
+    row = outdeg.agg(
+        F.sum(F.col("od") * (F.col("od") - 1) / 2).alias("w")
+    ).collect()[0]
+    return int(row["w"] or 0)
+
+
+@register_probe("dedup_edit_distance_pairs")
+def _probe_edit_distance(spark: SparkSession, sf_dir: str) -> int:
+    """Work = distinct LSH band-join candidates entering the
+    Levenshtein verify (each costs at most one O(len^2) DP)."""
+    bands = minhash_bands(_minhash_docs(spark, sf_dir))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .count()
+    )

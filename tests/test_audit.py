@@ -84,3 +84,13 @@ def test_heavy_queries_have_curves():
         f"heavy queries with no scaling curve (run tools/scaling_curves.py "
         f"docs/scaling_curves_r<N>.json): {missing}"
     )
+
+
+def test_work_probes_reference_registered_queries():
+    """Every work probe must target a registered query (a renamed or
+    deleted query must not leave a dangling probe silently unexercised
+    by the sweep)."""
+    from fortisiem_clickhouse_monitor_spark.registry import work_probes
+
+    unknown = sorted(set(work_probes()) - set(entrymod.queries()))
+    assert not unknown, f"probes without a registered query: {unknown}"
