@@ -103,6 +103,81 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_counts(table(spark, sf_dir, "events"))
 
 
+#: matches operators/slo.py's _SLO_BUDGET_PCT (1% error budget); kept
+#: literal here so the streaming module has no operator-package import.
+_BURN_BUDGET_PCT = 1
+
+
+def burn_rate_windows(ev: DataFrame) -> DataFrame:
+    """Sliding error-budget burn (1 h window, 10 min slide): the
+    streaming twin of slo_burn_rate_multiwindow's SHORT window — each
+    emitted window carries its error fraction as a multiple of the
+    {_BURN_BUDGET_PCT}% budget and an exact integer-cross-multiplied
+    ``burning`` flag.  On a stream this is the continuously-evaluated
+    form of the batch alert: one state row per open window, watermark-
+    bounded."""
+    w = F.window("ts", "1 hour", "10 minutes")
+    errors = F.sum(
+        F.when(F.col("event_type") == "error", 1).otherwise(0)
+    ).cast("long")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            errors.alias("errors"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "errors",
+            "total",
+            F.round(
+                F.col("errors") * 100.0 / F.col("total") / _BURN_BUDGET_PCT,
+                4,
+            ).alias("burn"),
+            (F.col("errors") * 100 > F.col("total") * _BURN_BUDGET_PCT).alias(
+                "burning"
+            ),
+        )
+    )
+
+
+@register(
+    "stream_burn_rate_windows",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '10 minutes', {_DUCK_TS})
+               - t.k * INTERVAL '10 minutes' AS window_start
+      FROM events, range(0, 6) t(k)
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS errors,
+           CAST(count(*) AS BIGINT) AS total,
+           round(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 * 100.0 / count(*) / {_BURN_BUDGET_PCT}, 4) AS burn,
+           sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100
+             > count(*) * {_BURN_BUDGET_PCT} AS burning
+    FROM assigned GROUP BY 1, 2
+    """,
+    tags=("T", "W", "SLO"),
+)
+def stream_burn_rate_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the sliding burn-rate monitor (1 h / 10 min slide:
+    every event lands in exactly six windows — the oracle materializes
+    that assignment with a range(0,6) bucket shift, the same trick as
+    stream_sliding_counts)."""
+    return burn_rate_windows(table(spark, sf_dir, "events"))
+
+
+def streaming_burn_query(
+    stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    return burn_rate_windows(stream.withWatermark("ts", watermark))
+
+
 def session_windows(ev: DataFrame, gap: str = "30 minutes") -> DataFrame:
     w = F.session_window("ts", gap)
     return (

@@ -320,3 +320,29 @@ def test_concurrent_daemon_cadence_headroom(spark):
             f"{mode}: worst tick {w:.2f}s exceeds 10% of the {budget}s "
             f"reference cadence while running concurrently"
         )
+
+
+def test_streaming_burn_rate_matches_batch(spark, events_stream, events_dir):
+    """Complete-mode replay of the sliding burn-rate monitor equals the
+    batch twin exactly; append-mode emissions are final window values
+    (subset, never partial)."""
+    got = _run_stream_to_memory(
+        spark,
+        windowed.streaming_burn_query(events_stream),
+        "t_burn_complete",
+        mode="complete",
+    )
+    batch = windowed.burn_rate_windows(table(spark, SF_SMALL, "events"))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+    got_append = _run_stream_to_memory(
+        spark,
+        windowed.streaming_burn_query(jobs.events_stream(spark, events_dir)),
+        "t_burn_append",
+        mode="append",
+    )
+    append_rows = set(map(tuple, got_append.collect()))
+    assert append_rows
+    assert append_rows <= set(map(tuple, batch.collect()))
