@@ -616,9 +616,20 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 decimals each update, making the whole iterative algorithm
     hash-checkable against an unrolled DuckDB CTE chain — float
     summation order only ever differs below the rounding grain."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
+    # fanout: the scaled-replica embeddings files are one row group, so
+    # without it every per-row k*dim distance evaluation and the
+    # posexplode update serialize on one core (measured: the 20x sweep
+    # point was 18.8 s starved vs ~7 s spread); structural no-op when
+    # the scan already has >= defaultParallelism partitions.
+    # persist: Lloyd re-reads the matrix once per round (3 update
+    # collects + the final assignment) — caching the fanned-out frame
+    # pays the scan+exchange once instead of five times (n x dim
+    # doubles, bounded and spillable).
+    e = fanout(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+        )
+    ).persist()
     centroids = [
         r["emb"]
         for r in e.filter(F.col("vec_id") < _KMEANS_K)
