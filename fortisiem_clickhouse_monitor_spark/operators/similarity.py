@@ -1449,13 +1449,20 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     is trained offline (k-means per subspace — sim_kmeans_clusters is
     the building block); assignment, the hot path, is exactly this
     broadcast-GEMM-argmin shape."""
-    e = table(spark, sf_dir, "embeddings").select(
+    # fanout keyed on vec_id: the per-row work here is the K-way x M
+    # subspace distance battery, which a single-row-group scan would
+    # serialize on one core (the k-means starved-scan lesson); keying
+    # lets the vec_id argmin groupBy reuse the same exchange.
+    e = fanout(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * _PQ_GRID).cast("long"),
+            ).alias("qv"),
+        ),
         "vec_id",
-        "label",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * _PQ_GRID).cast("long"),
-        ).alias("qv"),
     )
     cb = F.broadcast(
         e.filter(F.col("vec_id") < _PQ_K).select(
