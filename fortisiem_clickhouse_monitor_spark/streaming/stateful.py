@@ -239,3 +239,109 @@ def throttle(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM: daily level-shift detection with O(1) per-key state
+# ---------------------------------------------------------------------------
+
+CUSUM_OUTPUT_SCHEMA = (
+    "event_type STRING, day DATE, n LONG, cusum2 LONG, is_shift BOOLEAN"
+)
+#: (open epoch day, count so far, prefix sum p2 over CLOSED days,
+#:  running min of p2 over closed days; _CUSUM_NO_MIN = none yet).
+CUSUM_STATE_SCHEMA = "day LONG, n LONG, p2 LONG, minp2 LONG"
+
+_CUSUM_NO_MIN = 2**62
+
+
+def make_cusum_fn(targets: dict):
+    """Build the per-event-type CUSUM fold for applyInPandasWithState.
+
+    ``targets`` maps event_type -> med2 (DOUBLED daily target, exact
+    .5-safe integers) — in production the target comes from the
+    previous batch window's median (the same prior-state discipline as
+    incremental CC label maintenance); the batch twin
+    (changepoint_cusum_daily) derives it from the full data, so a
+    differential test feeds the batch medians in here and the outputs
+    must match row-for-row.
+
+    State is FOUR ints per key regardless of stream length: the open
+    day, its count, the prefix sum P over closed days, and min_j P_j.
+    A day emits when PROVEN over — a later-day event arrives, or the
+    event-time timeout passes end-of-day (so state never outlives the
+    watermark horizon).  Within-watermark stragglers whose ts sorts
+    into an already-closed day are counted toward the OPEN day (same
+    documented contract as throttle_fn; closed days are final in
+    append mode)."""
+    win_us_day = 86_400 * 1_000_000
+
+    def _close(etype, cur, med2):
+        day, n, p2, minp2 = cur
+        p2 = p2 + 2 * n - med2
+        minp2 = p2 if minp2 == _CUSUM_NO_MIN else min(minp2, p2)
+        cusum2 = p2 - min(minp2, 0)
+        row = pd.DataFrame(
+            {
+                "event_type": [etype],
+                "day": [pd.Timestamp(day * win_us_day, unit="us").date()],
+                "n": [n],
+                "cusum2": [cusum2],
+                "is_shift": [cusum2 >= 2 * med2],
+            }
+        )
+        return row, p2, minp2
+
+    def cusum_fn(key, pdf_iter, state):
+        (etype,) = key
+        med2 = int(targets.get(etype, 0))
+
+        if state.hasTimedOut:
+            row, _, _ = _close(etype, list(state.get), med2)
+            state.remove()
+            yield row
+            return
+
+        cur = list(state.get) if state.exists else None
+        batch = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        days = (
+            batch["ts"].astype("datetime64[ns]").astype("int64")
+            // (86_400 * 1_000_000_000)
+        )
+        for d in days:
+            d = int(d)
+            if cur is None:
+                cur = [d, 0, 0, _CUSUM_NO_MIN]
+            elif d > cur[0]:
+                row, p2, minp2 = _close(etype, cur, med2)
+                yield row
+                cur = [d, 0, p2, minp2]
+            cur[1] += 1
+        state.update(tuple(cur))
+        timeout_ms = (cur[0] + 1) * 86_400 * 1_000
+        state.setTimeoutTimestamp(
+            max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+        )
+
+    return cusum_fn
+
+
+def cusum(
+    stream: DataFrame, targets: dict, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked streaming CUSUM over an events-shaped stream: the
+    continuously-evaluated form of changepoint_cusum_daily with the
+    per-type target supplied as prior-window state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            make_cusum_fn(targets),
+            CUSUM_OUTPUT_SCHEMA,
+            CUSUM_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -294,3 +294,71 @@ def test_stateful_throttle_late_cross_batch(spark, tmp_path):
     # eid 1's window absorbs BOTH the in-order eid 2 and the late eid 3;
     # the straggler emits no page of its own and does not move page_ts.
     assert got == {1: 2, 4: 0}
+
+
+def test_stateful_cusum_matches_batch(spark, tmp_path):
+    """Streaming CUSUM differential: with the per-type med2 targets
+    taken from the batch medians (the prior-window-state production
+    shape), replaying sf0.001 events through the stateful fold must
+    reproduce changepoint_cusum_daily row-for-row — closed days emitted
+    on day-roll, the final open day flushed by event-time timeout once
+    the sentinel advances the watermark."""
+    import datetime as dtm
+
+    from pyspark.sql import functions as F
+    import fortisiem_clickhouse_monitor_spark.operators.slo as slo
+
+    batch = {
+        (r["event_type"], r["day"]): (r["n"], r["cusum2"], r["is_shift"])
+        for r in slo.changepoint_cusum_daily(spark, SF_SMALL).collect()
+    }
+    # per-type med2 exactly as the batch query derives it
+    ev = table(spark, SF_SMALL, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    targets = {
+        r["event_type"]: int(r["med2"])
+        for r in daily.groupBy("event_type")
+        .agg((2 * F.median("n")).cast("long").alias("med2"))
+        .collect()
+    }
+
+    # ts-ordered replay + far-future sentinels to flush open days
+    out = str(tmp_path / "cusum_events")
+    ev.orderBy("ts", "event_id").coalesce(1).write.mode("overwrite").parquet(
+        out
+    )
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    for i, days in enumerate((2, 4)):
+        spark.createDataFrame(
+            [
+                (
+                    -9000 - i,
+                    mx + dtm.timedelta(days=days),
+                    -1,
+                    "sentinel",
+                    0.0,
+                    "{}",
+                )
+            ],
+            schema=jobs.EVENTS_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(out)
+
+    stream = jobs.events_stream(spark, out, max_files_per_trigger=1)
+    q = (
+        stateful.cusum(stream, targets)
+        .writeStream.format("memory")
+        .queryName("t_cusum")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination(180)
+    got = {
+        (r["event_type"], r["day"]): (r["n"], r["cusum2"], r["is_shift"])
+        for r in spark.sql("SELECT * FROM t_cusum").collect()
+        if r["event_type"] != "sentinel"
+    }
+    assert got == batch
