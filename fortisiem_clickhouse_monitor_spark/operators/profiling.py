@@ -16,7 +16,7 @@ tooling; these extend the engine per the brief's platform mandate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -332,4 +332,233 @@ def quality_event_time_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("id_time_inversions").alias("check_name"),
             F.col("n").alias("n_violations"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift screens: exact KS and chi-square between stream halves
+# ---------------------------------------------------------------------------
+
+#: Exact integer epoch seconds (both engines; ts is post-1970 so the
+#: truncation semantics of unix_timestamp and epoch_us // 1e6 agree).
+_DUCK_T = "epoch_us(CAST(ts AS TIMESTAMP)) // 1000000"
+
+#: The split point: mn + (mx - mn) div 2, exact integer midpoint of the
+#: stream's time range.  "early" is t <= mid.
+_DUCK_MID = f"""
+  SELECT min({_DUCK_T}) + (max({_DUCK_T}) - min({_DUCK_T})) // 2 AS mid
+  FROM events
+"""
+
+
+def _halved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + broadcast scalar mid → (event_type, value, early)."""
+    ev = table(spark, sf_dir, "events")
+    t = F.unix_timestamp("ts")
+    mid = ev.agg(
+        (
+            F.min(t) + F.expr("(max(unix_timestamp(ts)) - min(unix_timestamp(ts))) div 2")
+        ).alias("mid")
+    )
+    return ev.crossJoin(F.broadcast(mid)).select(
+        "event_type", "value", (t <= F.col("mid")).alias("early")
+    )
+
+
+@register(
+    "drift_ks_event_values",
+    oracle=f"""
+    WITH mid AS ({_DUCK_MID}),
+    halved AS (
+      SELECT event_type, value, {_DUCK_T} <= m.mid AS early
+      FROM events CROSS JOIN mid m
+    ),
+    cnt AS (
+      SELECT event_type, value,
+             CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS c_e,
+             CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS c_l
+      FROM halved GROUP BY event_type, value
+    ),
+    cum AS (
+      SELECT event_type,
+             CAST(sum(c_e) OVER (PARTITION BY event_type ORDER BY value
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k_e,
+             CAST(sum(c_l) OVER (PARTITION BY event_type ORDER BY value
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k_l,
+             CAST(sum(c_e) OVER (PARTITION BY event_type) AS BIGINT) AS n_e,
+             CAST(sum(c_l) OVER (PARTITION BY event_type) AS BIGINT) AS n_l
+      FROM cnt
+    )
+    SELECT event_type,
+           CAST(max(n_e) AS BIGINT) AS n_early,
+           CAST(max(n_l) AS BIGINT) AS n_late,
+           round(max(abs(k_e / CAST(n_e AS DOUBLE)
+                         - k_l / CAST(n_l AS DOUBLE))), 6) AS ks
+    FROM cum GROUP BY event_type
+    """,
+    tags=("DQ", "DRIFT"),
+)
+def drift_ks_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the `value`
+    distribution of the stream's first and second half (split at the
+    exact integer midpoint of the time range), per event_type — the
+    nonparametric "did this metric's distribution move" screen that
+    needs no binning choices, run before retraining or after a
+    producer deploy.
+
+    D = max over pooled values of |ECDF_early − ECDF_late|, computed
+    exactly: per-(type, value, half) counts, cumulated over the pooled
+    sorted values.  The only non-integer steps are two divisions and a
+    subtraction of exact integers — IEEE-exact and identical in both
+    engines; max is order-insensitive, so the 6dp round is stable.
+
+    Scale shape: ONE map-side-combined exchange to (type, value)
+    counts (the cumulative window then runs on the distinct-value
+    domain, not the fact), plus a scalar min/max broadcast.  At 100 TB
+    the distinct domain per type is what matters; for a truly
+    continuous column, quantize values first (same screen, bounded
+    domain)."""
+    cnt = (
+        _halved(spark, sf_dir)
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("c_e"),
+            F.sum(F.when(F.col("early"), 0).otherwise(1)).alias("c_l"),
+        )
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = cnt.select(
+        "event_type",
+        F.sum("c_e").over(w_cum).alias("k_e"),
+        F.sum("c_l").over(w_cum).alias("k_l"),
+        F.sum("c_e").over(w_all).alias("n_e"),
+        F.sum("c_l").over(w_all).alias("n_l"),
+    )
+    d = F.abs(
+        F.col("k_e") / F.col("n_e").cast("double")
+        - F.col("k_l") / F.col("n_l").cast("double")
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n_e").alias("n_early"),
+        F.max("n_l").alias("n_late"),
+        F.round(F.max(d), 6).alias("ks"),
+    )
+
+
+@register(
+    "drift_chi2_type_mix",
+    oracle=f"""
+    WITH mid AS ({_DUCK_MID}),
+    o AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN {_DUCK_T} <= m.mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS o_early,
+             CAST(sum(CASE WHEN {_DUCK_T} <= m.mid THEN 0 ELSE 1 END)
+                  AS BIGINT) AS o_late
+      FROM events CROSS JOIN mid m GROUP BY event_type
+    ),
+    t AS (
+      SELECT event_type, o_early, o_late,
+             CAST(sum(o_early) OVER () AS BIGINT) AS n_e,
+             CAST(sum(o_late) OVER () AS BIGINT) AS n_l
+      FROM o
+    ),
+    e AS (
+      SELECT event_type, o_early, o_late,
+             CAST(o_early + o_late AS DOUBLE) * n_e / (n_e + n_l) AS e_early,
+             CAST(o_early + o_late AS DOUBLE) * n_l / (n_e + n_l) AS e_late
+      FROM t
+    ),
+    c AS (
+      SELECT event_type, o_early, o_late, e_early,
+             CAST(floor(((o_early - e_early) * (o_early - e_early) / e_early
+                         + (o_late - e_late) * (o_late - e_late) / e_late)
+                        * 1000000) AS BIGINT) AS contrib_micro
+      FROM e
+    )
+    SELECT event_type, o_early, o_late,
+           round(e_early, 4) AS exp_early,
+           contrib_micro,
+           CAST(sum(contrib_micro) OVER () AS BIGINT) AS chi2_micro
+    FROM c
+    """,
+    tags=("DQ", "DRIFT"),
+)
+def drift_chi2_type_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square homogeneity test of the event-type MIX
+    between the stream's first and second half: did the composition of
+    traffic shift, not just its volume?  Output is one row per type
+    with observed counts, the expected early count under homogeneity,
+    the type's chi-square contribution, and the total statistic
+    repeated on every row (window sum — the k-1 dof threshold lookup
+    is the caller's).
+
+    Determinism discipline: expected counts and per-cell terms are
+    computed in ONE fixed expression shape over exact integers — only
+    exactly-rounded IEEE ops (× ÷ − per cell), no transcendentals —
+    then floor-scaled to BIGINT micro-units per ROW before the
+    cross-row sum, so the total is an exact integer sum and the hash
+    never wobbles on accumulation order.
+
+    Scale shape: one conditional-aggregate pass over the fact (same
+    scan computes both halves), everything after is |types| rows."""
+    ev = table(spark, sf_dir, "events")
+    t = F.unix_timestamp("ts")
+    mid = ev.agg(
+        (
+            F.min(t) + F.expr("(max(unix_timestamp(ts)) - min(unix_timestamp(ts))) div 2")
+        ).alias("mid")
+    )
+    o = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(t <= F.col("mid"), 1).otherwise(0)).alias("o_early"),
+            F.sum(F.when(t <= F.col("mid"), 0).otherwise(1)).alias("o_late"),
+        )
+    )
+    w_all = Window.partitionBy()
+    tt = o.select(
+        "*",
+        F.sum("o_early").over(w_all).alias("n_e"),
+        F.sum("o_late").over(w_all).alias("n_l"),
+    )
+    n = F.col("n_e") + F.col("n_l")
+    e_early = (F.col("o_early") + F.col("o_late")).cast("double") * F.col(
+        "n_e"
+    ) / n
+    e_late = (F.col("o_early") + F.col("o_late")).cast("double") * F.col(
+        "n_l"
+    ) / n
+    ee = tt.select(
+        "event_type",
+        "o_early",
+        "o_late",
+        e_early.alias("e_early"),
+        e_late.alias("e_late"),
+    )
+    term = (F.col("o_early") - F.col("e_early")) * (
+        F.col("o_early") - F.col("e_early")
+    ) / F.col("e_early") + (F.col("o_late") - F.col("e_late")) * (
+        F.col("o_late") - F.col("e_late")
+    ) / F.col("e_late")
+    c = ee.select(
+        "event_type",
+        "o_early",
+        "o_late",
+        "e_early",
+        F.floor(term * 1000000).cast("long").alias("contrib_micro"),
+    )
+    return c.select(
+        "event_type",
+        "o_early",
+        "o_late",
+        F.round("e_early", 4).alias("exp_early"),
+        "contrib_micro",
+        F.sum("contrib_micro").over(w_all).alias("chi2_micro"),
     )

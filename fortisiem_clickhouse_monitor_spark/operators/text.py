@@ -714,3 +714,111 @@ def _probe_novelty_curve(spark: SparkSession, sf_dir: str) -> int:
         .collect()[0]
     )
     return int(row["w"] or 0)
+
+
+# ---------------------------------------------------------------------------
+# Source-overlap matrix: pairwise shingle containment between sources
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_source_overlap_matrix",
+    oracle=f"""
+    WITH ds AS (
+      SELECT DISTINCT source, s FROM (
+        SELECT source, unnest({_DUCK_SHINGLES3}) AS s
+        FROM documents WHERE len({_DUCK_TOKENS}) >= 3
+      )
+    ),
+    tot AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM ds GROUP BY source
+    ),
+    pair AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM ds a JOIN ds b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, ta.n AS n_a, tb.n AS n_b, n_common,
+           round(n_common / CAST(ta.n + tb.n - n_common AS DOUBLE), 6)
+             AS jaccard,
+           round(n_common / CAST(ta.n AS DOUBLE), 6) AS containment_a
+    FROM pair
+    JOIN tot ta ON ta.source = pair.src_a
+    JOIN tot tb ON tb.source = pair.src_b
+    """,
+    tags=("TEXT", "DD", "CORPUS"),
+)
+def corpus_source_overlap_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pairwise 3-shingle overlap between corpus SOURCES: for every
+    source pair sharing at least one shingle, the exact distinct-shingle
+    Jaccard and the containment of the smaller-keyed side — the
+    corpus-level "which crawls are refetching each other" matrix that
+    decides source-level dedup order before any per-document pass (a
+    mirror pair shows up here long before per-doc near-dup joins are
+    affordable).
+
+    Scale shape: the per-source shingle SETS are built in one
+    map-side-combined distinct keyed on (source, xxhash64(shingle)) —
+    fixed-width longs on the wire, never shingle strings (the novelty
+    curve and PPJoin verify proved that trade).  The pair join is on the
+    shingle-hash key, and its fan-out per shingle is bounded by the
+    number of SOURCES holding it — a dimension-sized constant (≤20
+    here), not a data-sized one — so candidate rows stay O(shingles ×
+    sources), and everything after is a |sources|² aggregate.  The
+    DuckDB twin keeps raw strings, so a real hash-collision drift would
+    fail the gate."""
+    toks = textfns.tokens("text")
+    sh = (
+        bind(
+            fanout(table(spark, sf_dir, "documents")
+                   .select("source", "text")),
+            sh=F.array_distinct(textfns.shingles(toks, 3)),
+        )
+        .select(
+            "source",
+            F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("h"),
+        )
+        .distinct()
+    )
+    tot = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.withColumnRenamed("source", "src_a")
+    b = sh.withColumnRenamed("source", "src_b").withColumnRenamed("h", "h_b")
+    pair = (
+        a.join(
+            b,
+            (F.col("h") == F.col("h_b"))
+            & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ta = tot.select(
+        F.col("source").alias("src_a"), F.col("n").alias("n_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("src_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pair.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common") / F.col("n_a").cast("double"), 6
+            ).alias("containment_a"),
+        )
+    )

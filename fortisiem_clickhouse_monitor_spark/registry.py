@@ -108,6 +108,7 @@ def _load_all() -> None:
         curation,
         dedup,
         graph,
+        intervals,
         joins,
         multimodal,
         pipeline,
