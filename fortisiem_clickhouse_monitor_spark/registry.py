@@ -110,6 +110,7 @@ def _load_all() -> None:
         graph,
         intervals,
         joins,
+        linkage,
         multimodal,
         pipeline,
         profiling,
