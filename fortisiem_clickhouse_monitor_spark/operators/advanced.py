@@ -1171,3 +1171,98 @@ def sketch_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("est_users_7d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation of the daily activity series (lags 1..7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_autocorrelation",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+    pairs AS (
+      SELECT l.lag, p.cnt AS x, c.cnt AS y
+      FROM daily c
+      JOIN lags l ON TRUE
+      JOIN daily p ON p.day_num = c.day_num - l.lag
+    ),
+    mom AS (
+      SELECT lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n AS n_pairs,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL
+                ELSE round(
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS acf
+    FROM mom
+    """,
+    tags=("TS",),
+)
+def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily event-count series at lags
+    1..7 — the seasonality detector (a strong lag-7 spike = weekly
+    rhythm) a capacity monitor runs before fitting any forecast
+    (forecast_days_to_capacity assumes trend; this query is how you
+    check for the seasonal term first).
+
+    Pairs are (day, day-lag) via a self-equi-join on the integer epoch
+    day — only days PRESENT on both sides pair up (documented; the
+    oracle states the same).  The correlation is computed from exact
+    BIGINT moment sums (counts are integers, so every moment is exact),
+    with ONE double division at the end — both engines see identical
+    integer radicands, so the result is bit-identical, not
+    approximately equal.
+
+    Scale shape: the daily series is an aggregate (map-side combined),
+    7x self-join on a tiny frame, broadcast lag dimension — all
+    post-aggregate work is proportional to #days, not #events."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.unix_timestamp("ts") / 86400).cast("long").alias("day_num")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    cur = daily.select(F.col("day_num").alias("d"), F.col("cnt").alias("y"))
+    prev = daily.select(F.col("day_num").alias("p"), F.col("cnt").alias("x"))
+    pairs = (
+        cur.crossJoin(F.broadcast(lags))
+        .join(prev, F.col("p") == F.col("d") - F.col("lag"))
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return mom.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.when((vx == 0) | (vy == 0), F.lit(None)).otherwise(
+            F.round(
+                cov.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            )
+        ).alias("acf"),
+    )

@@ -1291,3 +1291,118 @@ def window_rate_per_minute_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("minute").alias("peak_minute"),
                 F.col("n").alias("peak_n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: month-over-month per-customer derived-state CDC
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_snapshot_diff_monthly",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS custkey,
+             date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    m0 AS (SELECT min(month) AS m FROM o),
+    snap_a AS (
+      SELECT custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM o WHERE month = (SELECT m FROM m0) GROUP BY custkey
+    ),
+    snap_b AS (
+      SELECT custkey, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM o WHERE month = (SELECT m + INTERVAL 1 MONTH FROM m0)
+      GROUP BY custkey
+    ),
+    diff AS (
+      SELECT coalesce(a.custkey, b.custkey) AS custkey,
+             CASE WHEN a.custkey IS NULL THEN 'added'
+                  WHEN b.custkey IS NULL THEN 'removed'
+                  WHEN a.n_orders <> b.n_orders OR a.cents <> b.cents
+                       THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             coalesce(a.n_orders, 0) AS orders_a,
+             coalesce(b.n_orders, 0) AS orders_b,
+             coalesce(b.cents, 0) - coalesce(a.cents, 0) AS delta_cents
+      FROM snap_a a FULL OUTER JOIN snap_b b ON a.custkey = b.custkey
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(orders_a) AS BIGINT) AS orders_a,
+           CAST(sum(orders_b) AS BIGINT) AS orders_b,
+           CAST(sum(delta_cents) AS BIGINT) AS revenue_delta_cents
+    FROM diff GROUP BY status
+    """,
+    tags=("CDC",),
+)
+def cdc_snapshot_diff_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff of derived per-customer state between the first
+    order month and the next: which customers were ADDED, REMOVED,
+    CHANGED (order count or exact centi-unit revenue differs), or
+    UNCHANGED — the reconciliation report every incremental pipeline
+    runs to validate a rebuild against the previous materialization
+    (the reference re-materializes its monitoring tables each cadence,
+    chStats.py:413-483; diffing consecutive runs is how such a monitor
+    proves a quiet deploy changed nothing).
+
+    Scale shape: both snapshots aggregate map-side-combinable counts /
+    sums keyed by custkey, then ONE full outer sort-merge join on the
+    same key — at 100 TB both sides arrive hash-partitioned by custkey
+    from their aggregates, so the join co-locates without a new
+    exchange.  The month boundary is a scalar from a 1-row aggregate
+    cross-joined in (broadcast, no collect).  Output is the per-status
+    rollup, so the result stays 4 rows at any scale."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m0 = o.agg(F.min("month").alias("m"))
+
+    def snap(shift: int) -> DataFrame:
+        bound = m0.select(F.add_months("m", shift).alias("bound"))
+        return (
+            o.join(F.broadcast(bound), o["month"] == bound["bound"])
+            .groupBy("custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("cents"),
+            )
+        )
+
+    a = snap(0).select(
+        F.col("custkey").alias("ck_a"),
+        F.col("n_orders").alias("na"),
+        F.col("cents").alias("ca"),
+    )
+    b = snap(1).select(
+        F.col("custkey").alias("ck_b"),
+        F.col("n_orders").alias("nb"),
+        F.col("cents").alias("cb"),
+    )
+    diff = a.join(b, a["ck_a"] == b["ck_b"], "full_outer").select(
+        F.when(F.col("ck_a").isNull(), F.lit("added"))
+        .when(F.col("ck_b").isNull(), F.lit("removed"))
+        .when(
+            (F.col("na") != F.col("nb")) | (F.col("ca") != F.col("cb")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+        F.coalesce("na", F.lit(0)).alias("orders_a"),
+        F.coalesce("nb", F.lit(0)).alias("orders_b"),
+        (F.coalesce("cb", F.lit(0)) - F.coalesce("ca", F.lit(0))).alias(
+            "delta_cents"
+        ),
+    )
+    return diff.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("orders_a").alias("orders_a"),
+        F.sum("orders_b").alias("orders_b"),
+        F.sum("delta_cents").alias("revenue_delta_cents"),
+    )

@@ -260,3 +260,76 @@ def interval_union_coverage_daily(
         F.sum("n_spans").alias("n_events"),
         F.sum("len_s").alias("covered_s"),
     )
+
+
+@register(
+    "interval_overlap_error_purchase",
+    oracle=f"""
+    WITH iv AS ({_DUCK_IV} WHERE event_type IN ('error', 'purchase')),
+    a AS (SELECT t0, t1 FROM iv WHERE event_type = 'error'),
+    b AS (SELECT t0, t1 FROM iv WHERE event_type = 'purchase'),
+    hits AS (
+      SELECT greatest(a.t0, b.t0) // 86400 AS day_num,
+             least(a.t1, b.t1) - greatest(a.t0, b.t0) AS ov_s
+      FROM a JOIN b ON a.t0 < b.t1 AND b.t0 < a.t1
+    )
+    SELECT day_num,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(ov_s) AS BIGINT) AS overlap_s
+    FROM hits GROUP BY day_num
+    """,
+    tags=("MONITOR", "INTERVAL"),
+)
+def interval_overlap_error_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incident correlation: for every (error, purchase) span pair that
+    OVERLAPS in time, the per-day pair count and total overlap seconds
+    — "how much purchase activity was in flight while errors were
+    live", the question that turns an error-rate monitor (reference
+    purpose) into a blast-radius estimate.
+
+    Scale shape — BUCKETED RANGE JOIN, the standard way to make an
+    interval-overlap join an equi-join: each span is exploded to the
+    day buckets it touches (spans are minutes long, so 1-2 rows each),
+    the join runs on bucket equality + the overlap predicate, and the
+    tie-break ``bucket == floor(overlap_start/86400)`` keeps exactly
+    ONE copy of each pair (the overlap start lies inside both spans,
+    so its bucket is always among the shared buckets — no distinct
+    needed).  Candidate pairs are bounded per bucket instead of
+    |errors| x |purchases| globally; the oracle states the same
+    semantics as the naive theta-join."""
+    iv = _spans(spark, sf_dir).filter(
+        F.col("event_type").isin("error", "purchase")
+    )
+    iv = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("t0") / 86400).cast("long"),
+                # t1 is exclusive: a span ending exactly on a bucket
+                # edge does not touch the next bucket.
+                ((F.col("t1") - 1) / 86400).cast("long"),
+            )
+        ),
+    )
+    a = iv.filter(F.col("event_type") == "error").select(
+        F.col("t0").alias("a0"), F.col("t1").alias("a1"), "bucket"
+    )
+    b = iv.filter(F.col("event_type") == "purchase").select(
+        F.col("t0").alias("b0"), F.col("t1").alias("b1"), "bucket"
+    )
+    start = F.greatest("a0", "b0")
+    hits = (
+        a.join(b, "bucket")
+        .filter((F.col("a0") < F.col("b1")) & (F.col("b0") < F.col("a1")))
+        .filter(F.col("bucket") == (start / 86400).cast("long"))
+        .select(
+            (start / 86400).cast("long").alias("day_num"),
+            (F.least("a1", "b1") - start).alias("ov_s"),
+        )
+    )
+    return hits.groupBy("day_num").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("ov_s").alias("overlap_s"),
+    )

@@ -562,3 +562,108 @@ def drift_chi2_type_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contrib_micro",
         F.sum("contrib_micro").over(w_all).alias("chi2_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Layout advisor: per-column NDV profile -> partition/bucket advice
+# ---------------------------------------------------------------------------
+
+_ADV_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+#: NDV at or below this -> viable directory-partitioning key (the
+#: classic small-file bound: one directory per value).
+_ADV_PART_MAX_NDV = 64
+
+#: NDV/rows at or above this -> key is id-like: bucket/sort on it for
+#: co-located joins, never directory-partition.
+_ADV_ID_FRAC = 0.95
+
+
+def _advice_case_sql(ndv: str, frac: str) -> str:
+    return f"""CASE WHEN {ndv} <= 1 THEN 'constant_drop'
+         WHEN {ndv} <= {_ADV_PART_MAX_NDV} THEN 'partition_by'
+         WHEN {frac} >= {_ADV_ID_FRAC} THEN 'bucket_by_id'
+         ELSE 'sort_or_zorder' END"""
+
+
+@register(
+    "profile_partition_advisor",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+               round(count(DISTINCT {c})
+                     / CAST(count(*) AS DOUBLE), 6) AS ndv_frac,
+               {_advice_case_sql(f'count(DISTINCT {c})',
+                                 f'count(DISTINCT {c}) / CAST(count(*) AS DOUBLE)')}
+                 AS advice
+        FROM orders"""
+        for c in _ADV_COLS
+    ),
+    tags=("DQ",),
+)
+def profile_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout advisor for the orders table: per-column exact
+    NDV and null counts folded into a layout recommendation —
+    ``partition_by`` for low-cardinality columns (bounded directory
+    count), ``bucket_by_id`` for id-like columns (NDV ~ row count:
+    bucket/sort for co-located joins; directory-partitioning them is
+    the classic small-files catastrophe), ``sort_or_zorder`` for the
+    middle, ``constant_drop`` for constants.  This is the query an
+    engine runs to pick ITS OWN table layout — the decision this repo's
+    scale notes otherwise make by hand.
+
+    Plan: identical single-pass shape to profile_documents_columns
+    (profiling.py:64) — one aggregate over one scan (every statistic
+    partial-aggregatable), literal-array explode to one row per column.
+    At 100 TB the exact countDistinct becomes approx_count_distinct
+    (sketch_* family) — thresholds this coarse don't need exactness;
+    exact here for the oracle contract."""
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _ADV_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+        ]
+    one = o.agg(*aggs)
+
+    def advice(ndv, frac):
+        return (
+            F.when(ndv <= 1, F.lit("constant_drop"))
+            .when(ndv <= _ADV_PART_MAX_NDV, F.lit("partition_by"))
+            .when(frac >= _ADV_ID_FRAC, F.lit("bucket_by_id"))
+            .otherwise(F.lit("sort_or_zorder"))
+        )
+
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__ndv").alias("ndv"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.round(
+                    F.col(f"{c}__ndv")
+                    / F.col(f"{c}__rows").cast("double"),
+                    6,
+                ).alias("ndv_frac"),
+                advice(
+                    F.col(f"{c}__ndv"),
+                    F.col(f"{c}__ndv") / F.col(f"{c}__rows").cast("double"),
+                ).alias("advice"),
+            )
+            for c in _ADV_COLS
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select("p.*")

@@ -193,3 +193,28 @@ def test_source_overlap_planted(spark, monkeypatch):
     assert (r["n_a"], r["n_b"], r["n_common"]) == (2, 2, 1)
     assert r["jaccard"] == round(1 / 3, 6)
     assert r["containment_a"] == 0.5
+
+
+def test_overlap_join_counts_cross_bucket_pair_once(spark, monkeypatch):
+    """An error span and a purchase span that BOTH cross midnight share
+    two day-buckets; the bucketed join must count the pair exactly
+    once, assigned to the overlap-start day.  A non-overlapping pair
+    (touching ends) must not appear."""
+    midnight = dt.datetime(2024, 3, 2, 0, 0, 0)
+    off0 = int((midnight - _T0).total_seconds())
+    rows = [
+        # error [m-100, m+60): value 100 -> dur 160
+        (1, off0 - 100, "error", 100.0),
+        # purchase [m-50, m+110): overlaps error in [m-50, m+60) = 110s
+        (2, off0 - 50, "purchase", 100.0),
+        # purchase [m+60, m+220): touches error's end exactly -> no pair
+        (3, off0 + 60, "purchase", 100.0),
+    ]
+    monkeypatch.setattr(iv, "table", lambda s, d, n: _ev(spark, rows))
+    out = iv.interval_overlap_error_purchase(spark, "x").collect()
+    assert len(out) == 1
+    base = int(_T0.replace(tzinfo=dt.timezone.utc).timestamp())
+    start = base + off0 - 50
+    assert out[0]["day_num"] == start // 86400
+    assert out[0]["n_pairs"] == 1
+    assert out[0]["overlap_s"] == 110
