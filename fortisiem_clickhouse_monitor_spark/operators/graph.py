@@ -804,3 +804,123 @@ def _probe_adamic_adar(spark: SparkSession, sf_dir: str) -> int:
         F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("w")
     ).collect()[0]
     return int(row["w"] or 0)
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the label-propagation communities (exact integers)
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey AS u, l_suppkey + {_SUPP_OFF} AS v
+      FROM lineitem
+    ),
+    labels AS (SELECT * FROM ({_lpa_oracle()})),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e0 UNION ALL SELECT v AS node FROM e0
+      ) GROUP BY node
+    ),
+    comm AS (
+      SELECT l.community,
+             CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d.d) AS BIGINT) AS degree_sum
+      FROM labels l JOIN deg d ON d.node = l.node
+      GROUP BY l.community
+    ),
+    inside AS (
+      SELECT la.community, CAST(count(*) AS BIGINT) AS e_inside
+      FROM e0
+      JOIN labels la ON la.node = e0.u
+      JOIN labels lb ON lb.node = e0.v
+      WHERE la.community = lb.community
+      GROUP BY la.community
+    )
+    SELECT c.community, c.n_nodes, c.degree_sum,
+           coalesce(i.e_inside, 0) AS e_inside,
+           CAST(4 * m.m * coalesce(i.e_inside, 0)
+                - c.degree_sum * c.degree_sum AS BIGINT) AS contrib_4m2,
+           round(CAST(4 * m.m * coalesce(i.e_inside, 0)
+                      - c.degree_sum * c.degree_sum AS DOUBLE)
+                 / CAST(4 * m.m * m.m AS DOUBLE), 6) AS modularity_contrib
+    FROM comm c LEFT JOIN inside i ON i.community = c.community
+    CROSS JOIN m
+    """
+
+
+@register(
+    "graph_modularity_lpa", oracle=_modularity_oracle(), tags=("GRAPH",)
+)
+def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition, per
+    community and in EXACT integers: the community-quality score that
+    tells you whether LPA found real structure or noise (sum of
+    ``modularity_contrib`` ~ 0 means the partition is no better than a
+    random degree-preserving graph).
+
+    Per community c: Q_c = e_c/m - (d_c/2m)^2 with e_c = edges inside,
+    d_c = degree sum, m = |edges|.  Everything is carried as the
+    integer numerator ``4*m*e_c - d_c^2`` over the common denominator
+    4m^2 (both fit comfortably in int64 at any realistic m), so the
+    cross-engine hash compares integers; the rounded double is derived
+    from those exact integers by one division, identically on both
+    sides — same discipline as pagerank_int's scaled ranks.
+
+    Scale shape: degrees and community sizes are map-side-combinable
+    aggregates; e_inside is the edge list joined to the (node ->
+    community) table on each endpoint — two equi-joins on node id, the
+    standard vertex-cut shape; m is a 1-row broadcast.  Nothing here
+    exceeds the cost of one LPA round."""
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").alias("u"),
+        (F.col("l_suppkey") + _SUPP_OFF).alias("v"),
+    ).distinct().localCheckpoint()
+    labels = graph_label_propagation(spark, sf_dir)
+    m = e0.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    comm = (
+        labels.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").alias("degree_sum"),
+        )
+    )
+    la = labels.select(F.col("node").alias("u"), F.col("community").alias("ca"))
+    lb = labels.select(F.col("node").alias("v"), F.col("community").alias("cb"))
+    inside = (
+        e0.join(la, "u")
+        .join(lb, "v")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_inside"))
+    )
+    num = 4 * F.col("m") * F.col("e_inside") - F.col("degree_sum") * F.col(
+        "degree_sum"
+    )
+    return (
+        comm.join(inside, "community", "left")
+        .withColumn("e_inside", F.coalesce("e_inside", F.lit(0)))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            "degree_sum",
+            "e_inside",
+            num.cast("long").alias("contrib_4m2"),
+            F.round(
+                num.cast("double")
+                / (4 * F.col("m") * F.col("m")).cast("double"),
+                6,
+            ).alias("modularity_contrib"),
+        )
+    )

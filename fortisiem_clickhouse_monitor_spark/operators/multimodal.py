@@ -748,3 +748,124 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("thumb_mean", 6).alias("thumb_mean"),
         "thumb_min", "thumb_max",
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-video shared-frame detection (dHash over sampled frames)
+# ---------------------------------------------------------------------------
+
+#: Per-FRAME dHash halves in closed form: the asset-level CTE chain
+#: (_DHASH_CTES) extended with the frame-sampling unnest and the
+#: per-frame gradient base (a*7 + 13*f^2) % 256 from encode_ppm_frame.
+_FRAME_DHASH_CTES = """a AS (
+      SELECT asset_id, f AS frame_idx,
+             (asset_id % 4) * 16 + 16 AS w,
+             (asset_id % 3) * 8 + 8 AS h,
+             (asset_id * 7 + 13 * f * f) % 256 AS b
+      FROM (
+        SELECT doc_id AS asset_id,
+               CAST(doc_id % 3 + 2 AS INTEGER) AS n_frames
+        FROM documents
+      ), unnest(range(0, n_frames * 10, 10)) u(f)
+    ),
+    grid AS (
+      SELECT asset_id, frame_idx, b, r.r AS r, c.c AS c,
+             (r.r * (h // 8)) * w + (c.c * w) // 9 AS p1,
+             (r.r * (h // 8)) * w + ((c.c + 1) * w) // 9 AS p2
+      FROM a, range(8) r(r), range(8) c(c)
+    ),
+    bits AS (
+      SELECT asset_id, frame_idx, r * 8 + c AS k,
+             CASE WHEN ((b + 3*p1) % 256 + (b + 3*p1 + 1) % 256
+                        + (b + 3*p1 + 2) % 256) // 3
+                     > ((b + 3*p2) % 256 + (b + 3*p2 + 1) % 256
+                        + (b + 3*p2 + 2) % 256) // 3
+             THEN 1 ELSE 0 END AS bit
+      FROM grid
+    ),
+    hashes AS (
+      SELECT asset_id, frame_idx,
+             CAST(sum(CASE WHEN k >= 32
+                      THEN bit * (1::BIGINT << (k - 32)) ELSE 0 END)
+                  AS BIGINT) AS dhash_hi,
+             CAST(sum(CASE WHEN k < 32
+                      THEN bit * (1::BIGINT << k) ELSE 0 END)
+                  AS BIGINT) AS dhash_lo
+      FROM bits GROUP BY asset_id, frame_idx
+    )"""
+
+
+@register(
+    "mm_video_shared_frames",
+    oracle=f"""
+    WITH {_FRAME_DHASH_CTES}
+    SELECT dhash_hi, dhash_lo,
+           CAST(count(DISTINCT asset_id) AS BIGINT) AS n_assets,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(min(asset_id) AS BIGINT) AS first_asset
+    FROM hashes
+    GROUP BY dhash_hi, dhash_lo
+    HAVING count(DISTINCT asset_id) >= 2
+    """,
+    tags=("MM", "DD"),
+)
+def mm_video_shared_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-video shared-frame detection: dHash every SAMPLED frame of
+    every video-shaped asset and report hashes that appear in two or
+    more distinct videos — how a training-data pipeline finds shared
+    intros/outros/stock footage before per-video dedup can see it
+    (frame-level duplication is invisible to whole-asset hashing).
+
+    The decode -> dHash step is the same Arrow-batched mapInPandas
+    kernel as the image path (_dhash_frame), applied to the frame
+    sampling of mm_frame_sample (every 10th frame) — sampling bounds
+    the decode cost to ~1/10th of frames regardless of video length.
+    The duplicate screen itself is a plain hash groupBy: mergeable,
+    map-side combined, scale-safe.  The oracle computes each frame's
+    dHash in closed form from the synthetic gradient (no pixels), per
+    the module's oracle discipline."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    n_frames = (F.pmod(F.col("doc_id"), F.lit(3)) + 2).cast("int")
+    frames = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.explode(
+            F.sequence(F.lit(0), (n_frames * 10) - 10, F.lit(10))
+        ).alias("frame_idx"),
+        (F.pmod("doc_id", F.lit(4)) * 16 + 16).alias("w"),
+        (F.pmod("doc_id", F.lit(3)) * 8 + 8).alias("h"),
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            his, los = [], []
+            for aid, f, w, h in zip(
+                pdf["asset_id"], pdf["frame_idx"], pdf["w"], pdf["h"]
+            ):
+                img = decode_image(
+                    encode_ppm_frame(int(aid), int(f), int(w), int(h))
+                )
+                hi, lo = dhash64(img)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "dhash_hi": his,
+                    "dhash_lo": los,
+                }
+            )
+
+    hashed = frames.mapInPandas(
+        hash_batch, schema="asset_id LONG, dhash_hi LONG, dhash_lo LONG"
+    )
+    return (
+        hashed.groupBy("dhash_hi", "dhash_lo")
+        .agg(
+            F.countDistinct("asset_id").alias("n_assets"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min("asset_id").alias("first_asset"),
+        )
+        .filter(F.col("n_assets") >= 2)
+    )

@@ -1,0 +1,200 @@
+"""Planted-fixture tests for the round-5 additions: snapshot-diff CDC,
+daily autocorrelation, partition advisor, LPA modularity, and the
+cross-video shared-frame detector (differential vs a pure-numpy
+recompute).  The sf0.01 oracle gate covers cross-engine hashing."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import fortisiem_clickhouse_monitor_spark.operators.advanced as adv
+import fortisiem_clickhouse_monitor_spark.operators.behavior as beh
+import fortisiem_clickhouse_monitor_spark.operators.graph as gr
+import fortisiem_clickhouse_monitor_spark.operators.multimodal as mm
+import fortisiem_clickhouse_monitor_spark.operators.profiling as prof
+
+_O_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+)
+
+
+def _orders(spark, rows):
+    """rows: (orderkey, custkey, totalprice, yyyy_mm_dd)."""
+    return spark.createDataFrame(
+        [
+            (ok, ck, "O", tp, dt.datetime.fromisoformat(d), "1-URGENT")
+            for ok, ck, tp, d in rows
+        ],
+        _O_SCHEMA,
+    )
+
+
+def test_snapshot_diff_statuses(spark, monkeypatch):
+    """One unchanged, one changed (revenue moved), one removed, one
+    added customer between month 1 and month 2 -> all four statuses
+    with exact centi-unit deltas."""
+    rows = [
+        # cust 1: identical both months -> unchanged
+        (1, 1, 10.00, "1995-01-05"),
+        (2, 1, 10.00, "1995-02-05"),
+        # cust 2: revenue 10.00 -> 12.50 -> changed, delta +250 cents
+        (3, 2, 10.00, "1995-01-07"),
+        (4, 2, 12.50, "1995-02-07"),
+        # cust 3: only month 1 -> removed
+        (5, 3, 99.99, "1995-01-09"),
+        # cust 4: only month 2 -> added
+        (6, 4, 5.25, "1995-02-09"),
+        # noise in month 3: must not affect the diff
+        (7, 9, 1000.0, "1995-03-01"),
+    ]
+    monkeypatch.setattr(beh, "table", lambda s, d, n: _orders(spark, rows))
+    out = {
+        r["status"]: r
+        for r in beh.cdc_snapshot_diff_monthly(spark, "x").collect()
+    }
+    assert set(out) == {"unchanged", "changed", "removed", "added"}
+    assert out["changed"]["n_customers"] == 1
+    assert out["changed"]["revenue_delta_cents"] == 250
+    assert out["removed"]["revenue_delta_cents"] == -9999
+    assert out["added"]["revenue_delta_cents"] == 525
+    assert out["unchanged"]["orders_a"] == 1
+    assert out["unchanged"]["orders_b"] == 1
+
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def test_autocorrelation_alternating_series(spark, monkeypatch):
+    """Daily counts 1,2,1,2,... over 10 consecutive days: perfect
+    anti-correlation at lag 1 (acf = -1) and perfect correlation at
+    lag 2 (acf = +1), with n_pairs = 10 - lag."""
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    rows, eid = [], 0
+    for day in range(10):
+        for _ in range(1 if day % 2 == 0 else 2):
+            eid += 1
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day), 1, "click", 1.0, "{}")
+            )
+    monkeypatch.setattr(
+        adv,
+        "table",
+        lambda s, d, n: spark.createDataFrame(rows, _EV_SCHEMA),
+    )
+    out = {
+        r["lag"]: r for r in adv.timeseries_autocorrelation(spark, "x").collect()
+    }
+    assert out[1]["acf"] == -1.0
+    assert out[2]["acf"] == 1.0
+    assert out[1]["n_pairs"] == 9
+    assert out[2]["n_pairs"] == 8
+    assert set(out) == set(range(1, 8))
+
+
+def test_partition_advisor_thresholds(spark, monkeypatch):
+    """Constant column -> constant_drop; unique key -> bucket_by_id;
+    low-cardinality -> partition_by; middle ground -> sort_or_zorder."""
+    n = 200
+    rows = [
+        (
+            i,                      # o_orderkey: unique -> bucket_by_id
+            i // 2,                 # o_custkey: ndv/n = 0.5 -> sort_or_zorder
+            "O",                    # o_orderstatus: constant -> constant_drop
+            float(i),               # o_totalprice: unique -> bucket_by_id
+            dt.datetime(1995, 1, 1 + (i % 3)),  # 3 values -> partition_by
+            f"p{i % 5}",            # 5 values -> partition_by
+        )
+        for i in range(n)
+    ]
+    monkeypatch.setattr(
+        prof,
+        "table",
+        lambda s, d, nm: spark.createDataFrame(rows, _O_SCHEMA),
+    )
+    out = {
+        r["col_name"]: r["advice"]
+        for r in prof.profile_partition_advisor(spark, "x").collect()
+    }
+    assert out == {
+        "o_orderkey": "bucket_by_id",
+        "o_custkey": "sort_or_zorder",
+        "o_orderstatus": "constant_drop",
+        "o_totalprice": "bucket_by_id",
+        "o_orderdate": "partition_by",
+        "o_orderpriority": "partition_by",
+    }
+
+
+_LI_SCHEMA = "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp, l_commitdate timestamp, l_receiptdate timestamp"
+
+
+def test_modularity_disjoint_pairs_exact_integers(spark, monkeypatch):
+    """Two disjoint part-supplier edges.  Synchronous LPA over an odd
+    round count leaves each bipartite side in its own community (the
+    documented oscillation), so every community is one node with
+    degree 1 and zero internal edges: contrib_4m2 = 0 - 1^2 = -1 for
+    all four, modularity_contrib = -1/16 = -0.0625 exactly."""
+    t = dt.datetime(1995, 1, 1)
+    rows = [
+        (1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t, t, t),
+        (2, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", t, t, t),
+    ]
+    monkeypatch.setattr(
+        gr,
+        "table",
+        lambda s, d, n: spark.createDataFrame(rows, _LI_SCHEMA),
+    )
+    out = gr.graph_modularity_lpa(spark, "x").collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["n_nodes"] == 1
+        assert r["degree_sum"] == 1
+        assert r["e_inside"] == 0
+        assert r["contrib_4m2"] == -1
+        assert r["modularity_contrib"] == -0.0625
+
+
+def test_shared_frames_differential_numpy(spark):
+    """Differential: recompute every sampled frame's dHash with the
+    pure-python kernels (encode_ppm_frame -> decode_image -> dhash64)
+    over the real sf0.001 documents and aggregate in plain dicts; the
+    operator must return exactly the >=2-distinct-asset hash groups."""
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    groups: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for (doc_id,) in docs:
+        n_frames = doc_id % 3 + 2
+        w, h = (doc_id % 4) * 16 + 16, (doc_id % 3) * 8 + 8
+        for f in range(0, n_frames * 10, 10):
+            img = mm.decode_image(mm.encode_ppm_frame(doc_id, f, w, h))
+            key = mm.dhash64(img)
+            groups.setdefault(key, []).append((doc_id, f))
+    expect = {
+        key: (
+            len({a for a, _ in members}),
+            len(members),
+            min(a for a, _ in members),
+        )
+        for key, members in groups.items()
+        if len({a for a, _ in members}) >= 2
+    }
+    got = {
+        (r["dhash_hi"], r["dhash_lo"]): (
+            r["n_assets"],
+            r["n_frames"],
+            r["first_asset"],
+        )
+        for r in mm.mm_video_shared_frames(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert expect  # non-vacuous: collisions must exist at sf0.001
+    assert got == expect
