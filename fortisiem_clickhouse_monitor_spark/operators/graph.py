@@ -924,3 +924,13 @@ def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("modularity_contrib"),
         )
     )
+
+
+@register_probe("graph_modularity_lpa")
+def _probe_modularity(spark: SparkSession, sf_dir: str) -> int:
+    """Dominant intermediate: the distinct part-supplier edge list —
+    the frame each LPA round joins and the e_inside join scans twice."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_partkey", "l_suppkey").distinct().count()
+    )

@@ -202,3 +202,15 @@ def linkage_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("acctbal_cents"),
         )
     )
+
+
+from ..registry import register_probe  # noqa: E402
+
+
+@register_probe("linkage_entity_clusters")
+def _probe_linkage_clusters(spark: SparkSession, sf_dir: str) -> int:
+    """Dominant intermediate: matched pairs (the CC input edge list).
+    The sorted-neighborhood comparison count is exactly _W * n by
+    construction; the matched subset is what the iterative stage
+    actually chews on."""
+    return sorted_neighborhood_pairs(spark, sf_dir).count()
