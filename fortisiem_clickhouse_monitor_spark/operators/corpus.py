@@ -1089,3 +1089,131 @@ def corpus_split_by_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling: per-customer parts they never ordered
+# ---------------------------------------------------------------------------
+
+_NEG_K = 5       # negatives kept per customer
+_NEG_DRAWS = 10  # deterministic candidate draws per customer
+
+
+@register(
+    "corpus_negative_samples",
+    oracle=f"""
+    WITH pos AS (
+      SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    users AS (SELECT DISTINCT custkey FROM pos),
+    draws AS (
+      SELECT u.custkey, t.i AS draw_i,
+             ('0x' || substr(md5(CAST(u.custkey AS VARCHAR) || ':'
+                                 || CAST(t.i AS VARCHAR)), 1, 8))::BIGINT
+               % (SELECT count(*) FROM part) AS cand
+      FROM users u, range({_NEG_DRAWS}) t(i)
+    ),
+    negs AS (
+      SELECT d.custkey, d.cand, CAST(min(d.draw_i) AS BIGINT) AS draw_i
+      FROM draws d
+      ANTI JOIN pos p ON p.custkey = d.custkey AND p.partkey = d.cand
+      GROUP BY d.custkey, d.cand
+    ),
+    ranked AS (
+      SELECT custkey, cand AS neg_partkey, draw_i,
+             CAST(row_number() OVER (PARTITION BY custkey
+                                     ORDER BY draw_i, cand) AS BIGINT)
+               AS rank
+      FROM negs
+    )
+    SELECT custkey, neg_partkey, draw_i, rank
+    FROM ranked WHERE rank <= {_NEG_K}
+    """,
+    tags=("SAMPLE", "ML"),
+)
+def corpus_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for recommendation-style
+    training data: for every customer, {_NEG_K} parts they have NEVER
+    ordered, drawn by hashing (custkey, draw index) into the part key
+    space and anti-joining the positives — the (user, item~) pairs a
+    two-tower / matrix-factorization trainer consumes alongside the
+    positive interactions.
+
+    Scale shape — this is the candidate-generation form that survives
+    100 TB: the naive "all parts a user didn't order" is |users| x
+    |parts| (a cartesian), while this generates exactly {_NEG_DRAWS}
+    hash-derived candidates per user (O(|users|) rows), anti-joins the
+    positive set once on (custkey, partkey), dedups, and keeps the
+    first {_NEG_K} by draw order.  Sampling is a pure function of
+    (custkey, i) — same md5-bucket determinism as
+    corpus_train_val_test_split, so the sample is stable across runs,
+    engines, and repartitions, and the DuckDB twin is hash-exact.  A
+    production variant raises draws adaptively for power users whose
+    positives swallow candidates; the fixed-draw form keeps the plan
+    one anti-join + one window."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_custkey").alias("custkey"),
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("partkey")
+    )
+    pos = o.join(li, "l_orderkey").select("custkey", "partkey").distinct()
+    n_parts = table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    users = pos.select("custkey").distinct()
+    draws = (
+        users.crossJoin(F.broadcast(n_parts))
+        .select(
+            "custkey",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(_NEG_DRAWS - 1))
+            ).alias("draw_i"),
+            "n_parts",
+        )
+        .select(
+            "custkey",
+            "draw_i",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.col("custkey").cast("string"),
+                                F.col("draw_i").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_parts")
+            ).alias("cand"),
+        )
+    )
+    negs = (
+        draws.join(
+            pos,
+            (draws["custkey"] == pos["custkey"])
+            & (draws["cand"] == pos["partkey"]),
+            "left_anti",
+        )
+        .groupBy("custkey", "cand")
+        .agg(F.min("draw_i").cast("long").alias("draw_i"))
+    )
+    w = Window.partitionBy("custkey").orderBy("draw_i", "cand")
+    return (
+        negs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _NEG_K)
+        .select(
+            "custkey",
+            F.col("cand").alias("neg_partkey"),
+            "draw_i",
+            "rank",
+        )
+    )

@@ -667,3 +667,103 @@ def profile_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profiler: the other half of layout advice
+# ---------------------------------------------------------------------------
+
+#: (report label, table, key column) triples profiled for skew.
+_SKEW_KEYS = (
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+)
+
+#: A key value is "hot" when its row count exceeds this multiple of the
+#: mean rows-per-key (the classic straggler threshold).
+_SKEW_HOT_X = 10
+
+
+@register(
+    "profile_join_key_skew",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{label}' AS key_name, n_rows, n_keys, max_cnt,
+               round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS avg_cnt,
+               round(CAST(max_cnt * n_keys AS DOUBLE) / n_rows, 6)
+                 AS skew_ratio,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM (SELECT count(*) AS cnt FROM {tbl} GROUP BY {col}) h
+                WHERE h.cnt * s.n_keys > {_SKEW_HOT_X} * s.n_rows)
+                 AS n_hot_keys
+        FROM (
+          SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                 CAST(count(*) AS BIGINT) AS n_keys,
+                 CAST(max(cnt) AS BIGINT) AS max_cnt
+          FROM (SELECT count(*) AS cnt FROM {tbl} GROUP BY {col})
+        ) s"""
+        for label, tbl, col in _SKEW_KEYS
+    ),
+    tags=("DQ",),
+)
+def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew report for the three heaviest join keys: rows,
+    distinct keys, the heaviest key's row count, the mean, the skew
+    ratio (max/mean — 1.0 = perfectly uniform), and how many keys run
+    hotter than {_SKEW_HOT_X}x the mean.  This is the diagnostic that
+    decides between a plain shuffle join, AQE skew-join splitting, and
+    explicit salting (skew_salted_user_events is the cure; this query
+    is the diagnosis) — the partition advisor's NDV view says what to
+    partition BY, this says what will straggle.
+
+    Exactness: the hot-key predicate is the integer cross-multiplication
+    ``cnt * n_keys > {_SKEW_HOT_X} * n_rows`` (no float threshold), and
+    the two ratios are single divisions of exact BIGINTs rounded to
+    6 dp — hash-identical across engines.
+
+    Scale shape: per key, one map-side-combined count aggregate (the
+    same shuffle a join on that key would do, which is the point), one
+    1-row rollup, one broadcast-back to count hot keys.  Nothing
+    retains per-key rows beyond the aggregate."""
+    outs = []
+    for label, tbl, col in _SKEW_KEYS:
+        counts = (
+            table(spark, sf_dir, tbl)
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        stats = counts.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        hot = (
+            counts.crossJoin(F.broadcast(stats))
+            .filter(
+                F.col("cnt") * F.col("n_keys")
+                > _SKEW_HOT_X * F.col("n_rows")
+            )
+            .agg(F.count(F.lit(1)).alias("n_hot_keys"))
+        )
+        outs.append(
+            stats.crossJoin(F.broadcast(hot)).select(
+                F.lit(label).alias("key_name"),
+                "n_rows",
+                "n_keys",
+                "max_cnt",
+                F.round(
+                    F.col("n_rows").cast("double") / F.col("n_keys"), 6
+                ).alias("avg_cnt"),
+                F.round(
+                    (F.col("max_cnt") * F.col("n_keys")).cast("double")
+                    / F.col("n_rows"),
+                    6,
+                ).alias("skew_ratio"),
+                "n_hot_keys",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -198,3 +198,61 @@ def test_shared_frames_differential_numpy(spark):
     }
     assert expect  # non-vacuous: collisions must exist at sf0.001
     assert got == expect
+
+
+import fortisiem_clickhouse_monitor_spark.operators.corpus as corp
+
+
+def test_negative_samples_exclude_positives(spark):
+    """Against real sf0.001 data: every (custkey, neg_partkey) must be
+    absent from the positive interactions, ranks are 1..K dense per
+    customer, and every customer with positives gets samples."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    pos = set(
+        con.execute(
+            f"""SELECT DISTINCT o_custkey, l_partkey
+                FROM '{sf}/orders.parquet' o
+                JOIN '{sf}/lineitem.parquet' l
+                  ON l.l_orderkey = o.o_orderkey"""
+        ).fetchall()
+    )
+    rows = corp.corpus_negative_samples(spark, sf).collect()
+    by_cust: dict[int, list[int]] = {}
+    for r in rows:
+        assert (r["custkey"], r["neg_partkey"]) not in pos
+        by_cust.setdefault(r["custkey"], []).append(r["rank"])
+    assert set(by_cust) == {c for c, _ in pos}
+    for ranks in by_cust.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= corp._NEG_K
+
+
+def test_join_key_skew_planted_hot_key(spark, monkeypatch):
+    """999 rows on one key + 1 row on each of 111 others: max=999,
+    mean ~ 9.9, skew_ratio ~ 100x, exactly one hot key."""
+    rows = [(i, 0, "O", 1.0, dt.datetime(1995, 1, 1), "x") for i in range(999)]
+    rows += [
+        (1000 + j, 1 + j, "O", 1.0, dt.datetime(1995, 1, 1), "x")
+        for j in range(111)
+    ]
+    df = spark.createDataFrame(rows, _O_SCHEMA)
+    t = dt.datetime(1995, 1, 1)
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t, t, t)], _LI_SCHEMA
+    )
+    monkeypatch.setattr(
+        prof, "table", lambda s, d, n: df if n == "orders" else li
+    )
+    out = {
+        r["key_name"]: r
+        for r in prof.profile_join_key_skew(spark, "x").collect()
+    }
+    r = out["orders.o_custkey"]
+    assert r["n_rows"] == 1110
+    assert r["n_keys"] == 112
+    assert r["max_cnt"] == 999
+    assert r["n_hot_keys"] == 1  # 999 * 112 > 10 * 1110; 1 * 112 is not
+    assert abs(r["skew_ratio"] - 999 * 112 / 1110) < 1e-6
