@@ -1217,3 +1217,96 @@ def corpus_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal holdout: time-based train/test split summary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_temporal_holdout_summary",
+    oracle="""
+    WITH ep AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ep
+      FROM events
+    ),
+    cut AS (
+      SELECT min(ep) + (max(ep) - min(ep)) * 8 // 10 AS cutoff FROM ep
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(count(*) FILTER (ep < (SELECT cutoff FROM cut))
+                  AS BIGINT) AS n_before,
+             CAST(count(*) FILTER (ep >= (SELECT cutoff FROM cut))
+                  AS BIGINT) AS n_after
+      FROM ep GROUP BY user_id
+    )
+    SELECT (SELECT CAST(cutoff AS BIGINT) FROM cut) AS cutoff_epoch,
+           CAST(sum(n_before) AS BIGINT) AS n_train_events,
+           CAST(sum(n_after) AS BIGINT) AS n_test_events,
+           CAST(count(*) FILTER (n_before > 0) AS BIGINT) AS n_train_users,
+           CAST(count(*) FILTER (n_after > 0) AS BIGINT) AS n_test_users,
+           CAST(count(*) FILTER (n_before > 0 AND n_after > 0) AS BIGINT)
+             AS n_shared_users
+    FROM per_user
+    """,
+    tags=("SAMPLE", "SPLIT", "ML"),
+)
+def corpus_temporal_holdout_summary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temporal holdout split report: events before the 80%-of-timespan
+    cutoff are train, at-or-after are test — the split an
+    event-prediction model needs (hash splits leak the future into
+    training; this is the time-correct alternative to
+    corpus_train_val_test_split), summarized as event/user counts per
+    side plus the shared-user count (users active on both sides are the
+    only ones a sequential model can be evaluated on).
+
+    The cutoff is exact integer epoch arithmetic (min + 8*(max-min)
+    div 10), so membership is deterministic and the DuckDB twin is
+    hash-exact.  Plan: one min/max aggregate for the cutoff (1-row
+    broadcast), ONE per-user conditional aggregate, one 1-row rollup —
+    at 100 TB that is a single user_id exchange, the same shape as the
+    funnel family."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("ep")
+    )
+    cut = ev.agg(
+        (
+            F.min("ep")
+            + F.expr("(max(ep) - min(ep)) * 8 div 10")
+        ).alias("cutoff")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ep") < F.col("cutoff"), 1).otherwise(0)
+            ).alias("n_before"),
+            F.sum(
+                F.when(F.col("ep") >= F.col("cutoff"), 1).otherwise(0)
+            ).alias("n_after"),
+            F.first("cutoff").alias("cutoff"),
+        )
+    )
+    return per_user.agg(
+        F.first("cutoff").cast("long").alias("cutoff_epoch"),
+        F.sum("n_before").alias("n_train_events"),
+        F.sum("n_after").alias("n_test_events"),
+        F.sum(F.when(F.col("n_before") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_train_users"),
+        F.sum(F.when(F.col("n_after") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_test_users"),
+        F.sum(
+            F.when((F.col("n_before") > 0) & (F.col("n_after") > 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_shared_users"),
+    )

@@ -767,3 +767,69 @@ def profile_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Partition content checksums: reconciliation fingerprints
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_partition_checksums",
+    oracle="""
+    SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(('0x' || substr(md5(concat_ws('|',
+                  CAST(o_orderkey AS VARCHAR),
+                  CAST(o_custkey AS VARCHAR),
+                  o_orderstatus,
+                  CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                  CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+                       AS VARCHAR),
+                  o_orderpriority)), 1, 8))::BIGINT) AS BIGINT)
+             AS content_sum
+    FROM orders GROUP BY 1
+    """,
+    tags=("DQ", "CDC"),
+)
+def quality_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content checksum per month partition of the
+    orders table: row count + the SUM of a 32-bit md5-derived
+    fingerprint of each row's canonical rendering.  Two builds of the
+    same partition match iff these agree — the cheap reconciliation
+    primitive behind cdc_snapshot_diff_monthly (checksums say WHICH
+    partitions diverged; the diff says how), and what an incremental
+    rebuild checks before skipping a partition.
+
+    Canonical rendering discipline: every numeric feeds the hash as an
+    exact integer (centi-units for money, epoch days for dates) joined
+    with '|' — float formatting never touches the hash, so Spark and
+    DuckDB fingerprint identically.  SUM of 32-bit values is
+    order-insensitive but duplicate-sensitive (unlike XOR, where two
+    identical rows cancel); int64 holds ~2^31 rows per partition before
+    overflow, beyond which production widens to two lanes.
+
+    Plan: pure map + one map-side-combined aggregate keyed by month —
+    the cheapest possible full-table pass, embarrassingly scalable."""
+    o = table(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        (F.unix_timestamp("o_orderdate") / 86400)
+        .cast("long")
+        .cast("string"),
+        F.col("o_orderpriority"),
+    )
+    fp = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+    return (
+        o.groupBy(
+            F.trunc(F.to_date("o_orderdate"), "month").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(fp).alias("content_sum"),
+        )
+    )

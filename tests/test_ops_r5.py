@@ -256,3 +256,56 @@ def test_join_key_skew_planted_hot_key(spark, monkeypatch):
     assert r["max_cnt"] == 999
     assert r["n_hot_keys"] == 1  # 999 * 112 > 10 * 1110; 1 * 112 is not
     assert abs(r["skew_ratio"] - 999 * 112 / 1110) < 1e-6
+
+
+def test_ktruss_clique_survives_triangle_peeled(spark, monkeypatch):
+    """K5 clique: every edge has support 3 >= 2 -> survives all rounds
+    with support 3.  A separate plain triangle: support 1 < 2 -> peeled
+    in round 1.  A pendant chain: support 0 -> gone.  (4-truss, i.e.
+    threshold = 2.)"""
+    import itertools
+
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+
+    clique = list(itertools.combinations(range(1, 6), 2))
+    triangle = [(10, 11), (10, 12), (11, 12)]
+    chain = [(20, 21), (21, 22)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in clique + triangle + chain],
+        "doc_a long, doc_b long",
+    )
+    monkeypatch.setattr(
+        gr, "dedup_ngram_jaccard_pairs", lambda s, d: pairs, raising=False
+    )
+    # graph_ktruss_edges imports the pairs fn inside the function body,
+    # so patch the source module attribute it resolves.
+    monkeypatch.setattr(dd, "dedup_ngram_jaccard_pairs", lambda s, d: pairs)
+    out = {
+        (r["doc_a"], r["doc_b"]): r["support"]
+        for r in gr.graph_ktruss_edges(spark, "x").collect()
+    }
+    assert out == {(a, b): 3 for a, b in clique}
+
+
+def test_temporal_holdout_planted(spark, monkeypatch):
+    """User A: 10 daily events, span 9 days -> cutoff = t0 + 7.2 days,
+    so days 0..7 train (8 events), days 8..9 test (2).  User B: one
+    event on day 9 -> test-only.  Shared users = {A}."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "click", 1.0, "{}")
+        for i in range(10)
+    ] + [(99, t0 + dt.timedelta(days=9), 2, "click", 1.0, "{}")]
+    monkeypatch.setattr(
+        corp,
+        "table",
+        lambda s, d, n: spark.createDataFrame(rows, _EV_SCHEMA),
+    )
+    r = corp.corpus_temporal_holdout_summary(spark, "x").collect()[0]
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert r["cutoff_epoch"] == base + (9 * 86400 * 8) // 10
+    assert r["n_train_events"] == 8
+    assert r["n_test_events"] == 3
+    assert r["n_train_users"] == 1
+    assert r["n_test_users"] == 2
+    assert r["n_shared_users"] == 1
