@@ -1059,3 +1059,21 @@ def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("doc_b"),
         F.col("c").cast("long").alias("support"),
     )
+
+
+@register_probe("graph_ktruss_edges")
+def _probe_ktruss(spark: SparkSession, sf_dir: str) -> int:
+    """Dominant work: the round-1 intersect cost, sum over edges of
+    d(a)+d(b) = sum_v d(v)^2 on the near-dup graph (later rounds only
+    shrink it)."""
+    from .dedup import dedup_ngram_jaccard_pairs
+
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("doc_a").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    row = deg.agg(F.sum(F.col("d") * F.col("d")).alias("w")).collect()[0]
+    return int(row["w"] or 0)
