@@ -822,3 +822,108 @@ def corpus_source_overlap_matrix(
             ).alias("containment_a"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps' law: vocabulary growth along the corpus
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_heaps_law_curve",
+    oracle=f"""
+    WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+    per_doc AS (
+      SELECT doc_id,
+             (doc_id * 10) // ((SELECT mx FROM mx) + 1) AS bucket,
+             len({_DUCK_TOKENS}) AS n_tokens
+      FROM documents
+    ),
+    docs_agg AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM per_doc GROUP BY bucket
+    ),
+    firsts AS (
+      SELECT t, min(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest(list_distinct({_DUCK_TOKENS})) AS t
+        FROM documents
+      ) GROUP BY t
+    ),
+    vocab_new AS (
+      SELECT (first_doc * 10) // ((SELECT mx FROM mx) + 1) AS bucket,
+             CAST(count(*) AS BIGINT) AS vocab_new
+      FROM firsts GROUP BY 1
+    )
+    SELECT d.bucket AS decile, d.n_docs, d.n_tokens,
+           coalesce(v.vocab_new, 0) AS vocab_new,
+           CAST(sum(d.n_tokens) OVER (ORDER BY d.bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_cum,
+           CAST(sum(coalesce(v.vocab_new, 0)) OVER (ORDER BY d.bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_cum
+    FROM docs_agg d LEFT JOIN vocab_new v ON v.bucket = d.bucket
+    """,
+    tags=("TEXT", "CORPUS"),
+)
+def text_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law growth curve: cumulative distinct vocabulary vs
+    cumulative token count along the corpus in doc_id order, bucketed
+    into id-range deciles — the saturation diagnostic a corpus builder
+    reads before deciding whether more of the same source still buys
+    new vocabulary (flat vocab_cum growth = the source is mined out;
+    compare text_ngram_novelty_curve, which asks the same question of
+    3-gram novelty).
+
+    Each token's contribution is charged to the decile of its FIRST
+    containing doc (min doc_id) — one token-keyed min aggregate, the
+    novelty-curve shape; per-decile token totals are a doc-keyed
+    aggregate; the cumulative sums run over the 10-row decile frame
+    (aggregate-sized, safely single-partition).  At 100 TB the token
+    exchange keys become xxhash64 longs first (the exact fix measured
+    on the novelty curve); tokens here are single whitespace words, so
+    the key is already narrow."""
+    from ..functions.textfns import tokens
+
+    d = table(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    per_doc = d.crossJoin(F.broadcast(mx)).select(
+        "doc_id",
+        F.expr("(doc_id * 10) div (mx + 1)").alias("bucket"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    docs_agg = per_doc.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    firsts = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("t"),
+        )
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    vocab_new = (
+        firsts.crossJoin(F.broadcast(mx))
+        .groupBy(F.expr("(first_doc * 10) div (mx + 1)").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("vocab_new"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs_agg.withColumnRenamed("bucket", "decile")
+        .join(
+            vocab_new.withColumnRenamed("bucket", "decile"), "decile", "left"
+        )
+        .withColumn("vocab_new", F.coalesce("vocab_new", F.lit(0)))
+        .select(
+            "decile",
+            "n_docs",
+            "n_tokens",
+            "vocab_new",
+            F.sum("n_tokens").over(w).cast("long").alias("tokens_cum"),
+            F.sum("vocab_new").over(w).cast("long").alias("vocab_cum"),
+        )
+    )

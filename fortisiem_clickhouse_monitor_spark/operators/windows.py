@@ -171,3 +171,75 @@ def window_minmax_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").over(w).alias("first_seen"),
         F.max("ts").over(w).alias("last_seen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users (growth accounting without running distinct)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_cumulative_distinct_users",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+      FROM events GROUP BY 1
+    ),
+    firsts AS (
+      SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS day
+      FROM events GROUP BY user_id
+    ),
+    news AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_new_users
+      FROM firsts GROUP BY day
+    )
+    SELECT d.day, d.n_events, d.n_active_users,
+           coalesce(n.n_new_users, 0) AS n_new_users,
+           CAST(sum(coalesce(n.n_new_users, 0)) OVER (ORDER BY d.day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily d LEFT JOIN news n ON n.day = d.day
+    """,
+    tags=("W", "MONITOR"),
+)
+def window_cumulative_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily growth accounting: events, active users, NEW users (first
+    ever seen that day), and the cumulative distinct-user count — the
+    growth chart every monitoring consumer draws.
+
+    The key move for scale: cumulative COUNT(DISTINCT) is NOT computed
+    as a running distinct over an ever-growing window (state linear in
+    history); it's the running SUM of per-day first-seen counts, since
+    a user increments the cumulative curve exactly once — at their min
+    day.  That reduces the query to two user/day-keyed aggregates plus
+    a running sum over the #days-sized daily frame (aggregate-sized,
+    safely single-partition) — same decomposition as
+    sketch_monthly_users_from_daily's exact twin."""
+    ev = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_active_users"),
+    )
+    news = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(news, "day", "left")
+        .withColumn("n_new_users", F.coalesce("n_new_users", F.lit(0)))
+        .select(
+            "day",
+            "n_events",
+            "n_active_users",
+            "n_new_users",
+            F.sum("n_new_users").over(w).cast("long").alias("cum_users"),
+        )
+    )

@@ -345,3 +345,90 @@ def cusum(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous heavy hitters: sharded Misra-Gries over the user stream
+# ---------------------------------------------------------------------------
+
+MG_K = 8        # counters retained per shard
+MG_SHARDS = 8   # user_id % MG_SHARDS keys the state
+
+MG_OUTPUT_SCHEMA = (
+    "shard LONG, processed LONG, user_id LONG, est_count LONG"
+)
+MG_STATE_SCHEMA = "items ARRAY<LONG>, counts ARRAY<LONG>, processed LONG"
+
+
+def _mg_merge(state: dict, batch: dict, k: int) -> dict:
+    """Misra-Gries MERGE (Agarwal et al., "Mergeable Summaries"):
+    add the two counter maps, subtract the (k+1)-th largest count from
+    every entry, drop non-positives — the summary keeps the MG error
+    bound sum_decrements <= n/(k+1) under arbitrary merging, which is
+    what makes per-shard sketches recombinable at read time."""
+    combined = dict(state)
+    for it, c in batch.items():
+        combined[it] = combined.get(it, 0) + c
+    if len(combined) > k:
+        cut = sorted(combined.values(), reverse=True)[k]
+        combined = {
+            it: c - cut for it, c in combined.items() if c - cut > 0
+        }
+    return combined
+
+
+def mg_fn(key, pdf_iter: "Iterator[pd.DataFrame]", state) -> Iterator[pd.DataFrame]:
+    """Per-shard fold: merge each micro-batch's exact (user -> count)
+    into the O(k) counter state, then emit the CURRENT sketch snapshot
+    (one row per retained counter, tagged with rows processed so far —
+    a monitor keeps the latest snapshot per shard).  State is O(k)
+    longs regardless of stream length; no per-event state ever
+    exists."""
+    (shard,) = key
+    if state.exists:
+        items, counts, processed = state.get
+        cur = dict(zip(items, counts))
+    else:
+        cur, processed = {}, 0
+    for pdf in pdf_iter:
+        vc = pdf["user_id"].value_counts()
+        processed += int(vc.sum())
+        cur = _mg_merge(cur, {int(u): int(c) for u, c in vc.items()}, MG_K)
+    state.update((list(cur), [cur[i] for i in cur], processed))
+    snap = sorted(cur.items(), key=lambda kv: (-kv[1], kv[0]))
+    yield pd.DataFrame(
+        {
+            "shard": [shard] * len(snap),
+            "processed": [processed] * len(snap),
+            "user_id": [u for u, _ in snap],
+            "est_count": [c for _, c in snap],
+        }
+    )
+
+
+def heavy_hitters(stream: DataFrame) -> DataFrame:
+    """Continuous top-talker monitor: sharded Misra-Gries counters over
+    the event stream's user ids — the streaming twin of
+    sketch_heavy_hitter_tokens.  Sharding by ``user_id % {MG_SHARDS}``
+    keeps state distributed (one O(k) summary per shard, no global
+    single-key bottleneck); the per-shard summaries are MERGEABLE, so
+    the reader recombines them with the same _mg_merge to a global
+    top-k whose error bound n/(k+1) survives the merge — the textbook
+    reason Misra-Gries (and not a plain hash count) is the 100 TB
+    shape.  Emits a snapshot per shard per micro-batch; a monitoring
+    sink keeps the latest (max processed) per shard."""
+    from pyspark.sql import functions as F
+
+    return (
+        stream.select(
+            (F.col("user_id") % MG_SHARDS).alias("shard"), "user_id"
+        )
+        .groupBy("shard")
+        .applyInPandasWithState(
+            mg_fn,
+            outputStructType=MG_OUTPUT_SCHEMA,
+            stateStructType=MG_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf="NoTimeout",
+        )
+    )

@@ -362,3 +362,58 @@ def test_stateful_cusum_matches_batch(spark, tmp_path):
         if r["event_type"] != "sentinel"
     }
     assert got == batch
+
+
+def test_stateful_heavy_hitters_guarantees(spark, tmp_path):
+    """Streaming Misra-Gries differential: replay sf0.001 events in
+    multiple micro-batches, take each shard's FINAL snapshot, merge the
+    shard sketches with the same mergeable-summaries rule, and check
+    the MG guarantees against exact per-user counts: (1) every estimate
+    undercounts, (2) the total undercount per shard is <= n_shard/(k+1),
+    (3) every user with true count above its shard's error bound is
+    retained."""
+    ev = table(spark, SF_SMALL, "events")
+    truth = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out = str(tmp_path / "hh_events")
+    ev.orderBy("ts", "event_id").coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    stream = jobs.events_stream(spark, out, max_files_per_trigger=1)
+    q = (
+        stateful.heavy_hitters(stream)
+        .writeStream.format("memory")
+        .queryName("t_hh")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM t_hh").collect()
+    latest: dict[int, tuple[int, dict[int, int]]] = {}
+    for r in rows:
+        proc, sketch = latest.get(r["shard"], (-1, {}))
+        if r["processed"] > proc:
+            latest[r["shard"]] = (r["processed"], {})
+    for r in rows:
+        proc, sketch = latest[r["shard"]]
+        if r["processed"] == proc:
+            sketch[r["user_id"]] = r["est_count"]
+    assert latest  # non-vacuous
+    for shard, (proc, sketch) in latest.items():
+        n_shard = sum(
+            c for u, c in truth.items() if u % stateful.MG_SHARDS == shard
+        )
+        assert proc == n_shard  # every event of the shard was folded
+        bound = n_shard / (stateful.MG_K + 1)
+        for u, est in sketch.items():
+            assert est <= truth[u]          # MG never overcounts
+            assert truth[u] - est <= bound  # per-item undercount bound
+        for u, c in truth.items():
+            if u % stateful.MG_SHARDS == shard and c > bound:
+                assert u in sketch          # frequent items retained
