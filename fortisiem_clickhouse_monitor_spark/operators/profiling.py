@@ -833,3 +833,88 @@ def quality_partition_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(fp).alias("content_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustering keys: the layout the advisor recommends
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8  # bits per dimension -> 16-bit morton key
+
+
+def _duck_morton(x: str, y: str) -> str:
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return " + ".join(terms)
+
+
+def _spark_morton(x, y):
+    out = F.lit(0)
+    for i in range(_Z_BITS):
+        out = out + F.shiftleft(
+            F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+        out = out + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i
+        )
+    return out
+
+
+@register(
+    "layout_zorder_locality",
+    oracle=f"""
+    WITH k AS (
+      SELECT CAST(o_custkey % 256 AS BIGINT) AS xb,
+             CAST((epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+                  % 256 AS BIGINT) AS yb
+      FROM orders
+    ),
+    m AS (
+      SELECT xb, yb, CAST({_duck_morton('xb', 'yb')} AS BIGINT) AS morton
+      FROM k
+    )
+    SELECT morton // 256 AS z_block,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT xb) AS BIGINT) AS n_custkey_buckets,
+           CAST(count(DISTINCT yb) AS BIGINT) AS n_day_buckets
+    FROM m GROUP BY 1
+    """,
+    tags=("DQ", "LAYOUT"),
+)
+def layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys for the orders table and the locality
+    they buy: interleave the bits of the (custkey mod 256, epoch-day
+    mod 256) buckets into a 16-bit Morton key, then report — per
+    256-key Z-block, i.e. per would-be file after a sort-by-morton
+    write — how many distinct custkey and day buckets the block spans.
+    By the Z-curve's construction every 256-key block covers AT MOST a
+    16x16 bucket rectangle (the planted test pins this), which is why
+    min/max zone maps prune Z-sorted files on EITHER column — the
+    mechanics behind the partition advisor's ``sort_or_zorder`` advice
+    (profile_partition_advisor), demonstrated rather than asserted.
+
+    Pure bit arithmetic in whole-stage codegen (an unrolled
+    shift/mask/add per bit — no UDF), one aggregate keyed by the
+    256-value block id: map-side combined, embarrassingly scalable;
+    writing the layout is then just ``sort_or_zorder`` =
+    ``df.repartitionByRange(morton).sortWithinPartitions(morton)``."""
+    o = table(spark, sf_dir, "orders")
+    k = o.select(
+        (F.col("o_custkey") % 256).alias("xb"),
+        ((F.unix_timestamp("o_orderdate") / 86400).cast("long") % 256).alias(
+            "yb"
+        ),
+    )
+    m = k.select(
+        "xb", "yb", _spark_morton(F.col("xb"), F.col("yb")).alias("morton")
+    )
+    return (
+        m.groupBy(F.expr("morton div 256").alias("z_block"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("xb").alias("n_custkey_buckets"),
+            F.countDistinct("yb").alias("n_day_buckets"),
+        )
+    )

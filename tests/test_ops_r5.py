@@ -309,3 +309,38 @@ def test_temporal_holdout_planted(spark, monkeypatch):
     assert r["n_train_users"] == 1
     assert r["n_test_users"] == 2
     assert r["n_shared_users"] == 1
+
+
+def test_zorder_block_locality_bound(spark):
+    """The Z-curve guarantee the query demonstrates: every 256-key
+    Z-block spans at most a 16x16 (custkey-bucket x day-bucket)
+    rectangle, and the block id is consistent with re-deriving the
+    Morton code from any contained bucket pair."""
+    rows = prof.layout_zorder_locality(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_custkey_buckets"] <= 16
+        assert 1 <= r["n_day_buckets"] <= 16
+
+
+def test_morton_roundtrip_exhaustive():
+    """Pure-python check of the unrolled bit interleave against the
+    definitional encoding for the full 8-bit x 8-bit domain."""
+    def ref(x, y):
+        out = 0
+        for i in range(8):
+            out |= ((x >> i) & 1) << (2 * i + 1)
+            out |= ((y >> i) & 1) << (2 * i)
+        return out
+
+    import duckdb
+
+    con = duckdb.connect()
+    expr = prof._duck_morton("x", "y")
+    got = con.execute(
+        f"SELECT x, y, {expr} AS m FROM range(256) a(x), range(256) b(y)"
+    ).fetchall()
+    for x, y, m in got:
+        assert m == ref(x, y)
