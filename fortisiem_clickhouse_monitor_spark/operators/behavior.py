@@ -1406,3 +1406,92 @@ def cdc_snapshot_diff_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("orders_b").alias("orders_b"),
         F.sum("delta_cents").alias("revenue_delta_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion latency: how fast converters convert
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_conversion_latency",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS ts1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    lat AS (
+      SELECT epoch_us(CAST(min(e.ts) AS TIMESTAMP)) // 1000000
+               - epoch_us(CAST(t1.ts1 AS TIMESTAMP)) // 1000000 AS lat_s
+      FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t1.ts1
+      GROUP BY e.user_id, t1.ts1
+    ),
+    ranked AS (
+      SELECT lat_s,
+             CAST(row_number() OVER (ORDER BY lat_s) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM lat
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converters,
+           CAST(min(lat_s) AS BIGINT) AS min_s,
+           CAST(median(lat_s) * 2 AS BIGINT) AS median_2x_s,
+           CAST(min(CASE WHEN rn * 10 >= 9 * n THEN lat_s END) AS BIGINT)
+             AS p90_disc_s,
+           CAST(max(lat_s) AS BIGINT) AS max_s
+    FROM ranked
+    """,
+    tags=("BEHAVIOR",),
+)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup -> first-subsequent-purchase latency distribution: count
+    of converters plus min / median / discrete p90 / max seconds — the
+    "how long does conversion take" companion to the funnel's "how
+    many convert" (funnel_signup_click_purchase).
+
+    Exactness discipline: latencies are integer epoch-second deltas;
+    the median is carried DOUBLED (two-element midpoints stay integral
+    — the changepoint_cusum_daily trick) and p90 is defined by integer
+    rank arithmetic (smallest latency whose rank satisfies
+    rn*10 >= 9*n — an observed value, stated identically in both
+    engines), so every output is an exact BIGINT — no float percentile
+    interpolation in the hash.
+
+    Scale shape: two per-user min-aggregates clustered on one user_id
+    exchange (the funnel family's single-exchange discipline); the
+    rank window runs on the CONVERTERS frame — user-cardinality, not
+    event-cardinality — and at 100 TB becomes percentile_approx /
+    the mergeable histogram sketch (documented trade)."""
+    ev = table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    lat = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id", "ts1")
+        .agg(F.min("ts").alias("ts3"))
+        .select(
+            (F.unix_timestamp("ts3") - F.unix_timestamp("ts1")).alias("lat_s")
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = lat.select(
+        "lat_s",
+        F.row_number().over(Window.orderBy("lat_s")).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_converters"),
+        F.min("lat_s").alias("min_s"),
+        (F.median("lat_s") * 2).cast("long").alias("median_2x_s"),
+        F.min(
+            F.when(F.col("rn") * 10 >= 9 * F.col("n"), F.col("lat_s"))
+        ).alias("p90_disc_s"),
+        F.max("lat_s").alias("max_s"),
+    )

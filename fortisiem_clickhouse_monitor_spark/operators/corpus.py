@@ -1310,3 +1310,121 @@ def corpus_temporal_holdout_summary(
         .cast("long")
         .alias("n_shared_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Water-filling mixture allocator: fair token budget across sources
+# ---------------------------------------------------------------------------
+
+#: Token budget as a fraction of the corpus: budget = total * 19 div 20.
+_WF_NUM, _WF_DEN = 19, 20
+
+
+@register(
+    "corpus_mixture_waterfill",
+    oracle=f"""
+    WITH src AS (
+      SELECT source,
+             CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS avail
+      FROM documents GROUP BY source
+    ),
+    b AS (
+      SELECT CAST(sum(avail) * {_WF_NUM} // {_WF_DEN} AS BIGINT) AS budget,
+             CAST(count(*) AS BIGINT) AS n
+      FROM src
+    ),
+    ranked AS (
+      SELECT source, avail,
+             CAST(row_number() OVER w AS BIGINT) AS i,
+             CAST(coalesce(sum(avail) OVER (
+               ORDER BY avail, source ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS p_before
+      FROM src WINDOW w AS (ORDER BY avail, source)
+    ),
+    flagged AS (
+      SELECT r.*, b.budget, b.n,
+             r.avail * (b.n - r.i + 1) + r.p_before <= b.budget AS sat
+      FROM ranked r CROSS JOIN b
+    ),
+    kk AS (
+      SELECT coalesce(max(CASE WHEN sat THEN i END), 0) AS k,
+             coalesce(max(CASE WHEN sat THEN p_before + avail END), 0)
+               AS p_k
+      FROM flagged
+    )
+    SELECT f.source, f.avail AS available_tokens,
+           CASE WHEN f.sat THEN f.avail
+                ELSE (f.budget - kk.p_k) // (f.n - kk.k) END
+             AS allocated_tokens,
+           f.sat AS fully_satisfied
+    FROM flagged f CROSS JOIN kk
+    """,
+    tags=("CORPUS", "ML"),
+)
+def corpus_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token allocation across sources: given a corpus
+    budget ({_WF_NUM}/{_WF_DEN} of total tokens), small sources keep
+    everything and the budget left over is split EVENLY among the
+    large ones (the max-min-fair allocation) — the principled answer
+    to "how much of each source goes into the mixture" when capping
+    dominant sources is the goal (corpus_cap_per_source caps by doc
+    count; this solves the global token version).
+
+    Closed form instead of iteration: sort sources by availability;
+    source i is fully satisfied iff avail_i * (n - i + 1) +
+    prefix_before_i <= budget (it fits even if every later source got
+    the same), the water level is (budget - P_k) div (n - k) over the
+    k satisfied sources' complement.  All integer arithmetic — the cap
+    under-allocates at most n-1 remainder tokens (documented).
+
+    Scale shape: the per-source frame IS the aggregate (one doc-keyed
+    pass), so every window here runs on a #sources-sized frame —
+    single-partition by design, like the Heaps decile frame; the
+    budget is a 1-row broadcast."""
+    from ..functions.textfns import tokens as _tok
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(_tok(F.col("text")))).cast("long").alias("avail")
+    )
+    b = src.agg(
+        F.expr(f"CAST(sum(avail) * {_WF_NUM} div {_WF_DEN} AS BIGINT)").alias(
+            "budget"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("avail", "source")
+    ranked = src.select(
+        "source",
+        "avail",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.coalesce(
+            F.sum("avail").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("long").alias("p_before"),
+    )
+    flagged = ranked.crossJoin(F.broadcast(b)).withColumn(
+        "sat",
+        F.col("avail") * (F.col("n") - F.col("i") + 1) + F.col("p_before")
+        <= F.col("budget"),
+    )
+    kk = flagged.agg(
+        F.coalesce(
+            F.max(F.when(F.col("sat"), F.col("i"))), F.lit(0)
+        ).alias("k"),
+        F.coalesce(
+            F.max(F.when(F.col("sat"), F.col("p_before") + F.col("avail"))),
+            F.lit(0),
+        ).alias("p_k"),
+    )
+    return flagged.crossJoin(F.broadcast(kk)).select(
+        "source",
+        F.col("avail").alias("available_tokens"),
+        F.when(F.col("sat"), F.col("avail"))
+        .otherwise(
+            F.expr("CAST((budget - p_k) div (n - k) AS BIGINT)")
+        )
+        .alias("allocated_tokens"),
+        F.col("sat").alias("fully_satisfied"),
+    )

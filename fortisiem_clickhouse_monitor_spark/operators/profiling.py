@@ -918,3 +918,83 @@ def layout_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("yb").alias("n_day_buckets"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford's-law screen on monetary leading digits
+# ---------------------------------------------------------------------------
+
+#: floor(log10(1 + 1/d) * 1e6) precomputed in Python and inlined as
+#: INTEGER LITERALS in both engines — neither engine's libm is in the
+#: hash path.
+_BENFORD_MICRO = {
+    d: int(__import__("math").log10(1 + 1 / d) * 1_000_000)
+    for d in range(1, 10)
+}
+
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {m}" for d, m in _BENFORD_MICRO.items())
+    + " END"
+)
+
+
+@register(
+    "quality_benford_screen",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+    SELECT c.digit, c.n,
+           CAST(c.n * 1000000 // t.total AS BIGINT) AS obs_micro,
+           CAST({_BENFORD_CASE} AS BIGINT) AS exp_micro,
+           CAST(c.n * 1000000 // t.total - ({_BENFORD_CASE}) AS BIGINT)
+             AS dev_micro
+    FROM counts c CROSS JOIN tot t
+    """,
+    tags=("DQ", "MONITOR"),
+)
+def quality_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen on order amounts: observed vs
+    expected leading-digit frequency (parts-per-million) and the
+    deviation — the classic fraud / synthetic-data / unit-mixup tripwire
+    for monetary columns (organic amounts follow log10(1+1/d); uniform
+    or fabricated ones don't — the synthetic fixture's uniform prices
+    show exactly that signature, which is the point of the screen).
+
+    Exactness: digits come from the CENTS BIGINT's decimal rendering
+    (never float formatting); expected values are Python-precomputed
+    integer ppm literals inlined into both engines, so no libm call is
+    in the hash path; observed ppm is one integer division.
+
+    Scale shape: a 9-row count aggregate off one scan plus a 1-row
+    total — nothing else."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice") * 100).cast("long").cast("string"),
+            1,
+            1,
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    exp = F.lit(None).cast("long")
+    for d, m in _BENFORD_MICRO.items():
+        exp = F.when(F.col("digit") == d, F.lit(m)).otherwise(exp)
+    obs = F.expr("CAST(n * 1000000 div total AS BIGINT)")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        obs.alias("obs_micro"),
+        exp.alias("exp_micro"),
+        (obs - exp).cast("long").alias("dev_micro"),
+    )

@@ -344,3 +344,79 @@ def test_morton_roundtrip_exhaustive():
     ).fetchall()
     for x, y, m in got:
         assert m == ref(x, y)
+
+
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def test_waterfill_mixed_satisfied_and_capped(spark, monkeypatch):
+    """Sources with 2/4/100/100 one-token docs and budget 19/20 of 206
+    = 195: the two small sources keep everything (2, 4), the two big
+    ones split the rest evenly: (195 - 6) div 2 = 94 each."""
+    rows, did = [], 0
+    for src, n in (("a", 2), ("b", 4), ("c", 100), ("d", 100)):
+        for _ in range(n):
+            rows.append((did, "tok", "en", src, 3))
+            did += 1
+    monkeypatch.setattr(
+        corp,
+        "table",
+        lambda s, d, nm: spark.createDataFrame(rows, _DOC_SCHEMA),
+    )
+    out = {
+        r["source"]: (r["allocated_tokens"], r["fully_satisfied"])
+        for r in corp.corpus_mixture_waterfill(spark, "x").collect()
+    }
+    assert out == {
+        "a": (2, True),
+        "b": (4, True),
+        "c": (94, False),
+        "d": (94, False),
+    }
+
+
+def test_funnel_latency_planted(spark, monkeypatch):
+    """Three converters with latencies 10, 20, 100 s (one purchase
+    BEFORE signup must not count; one signup-only user must not
+    count): median_2x = 40, p90 = smallest rank with rn*10 >= 27
+    -> rank 3 -> 100."""
+    t0 = dt.datetime(2024, 6, 1)
+
+    def ev(eid, sec, uid, et):
+        return (eid, t0 + dt.timedelta(seconds=sec), uid, et, 1.0, "{}")
+
+    rows = [
+        ev(1, 0, 1, "signup"), ev(2, 10, 1, "purchase"),
+        ev(3, 0, 2, "signup"), ev(4, 20, 2, "purchase"),
+        ev(5, 0, 3, "signup"), ev(6, 100, 3, "purchase"),
+        ev(7, 50, 4, "purchase"), ev(8, 60, 4, "signup"),  # wrong order
+        ev(9, 0, 5, "signup"),                              # never buys
+    ]
+    monkeypatch.setattr(
+        beh,
+        "table",
+        lambda s, d, n: spark.createDataFrame(rows, _EV_SCHEMA),
+    )
+    r = beh.funnel_conversion_latency(spark, "x").collect()[0]
+    assert r["n_converters"] == 3
+    assert r["min_s"] == 10
+    assert r["median_2x_s"] == 40
+    assert r["p90_disc_s"] == 100
+    assert r["max_s"] == 100
+
+
+def test_benford_uniform_prices_deviate(spark):
+    """On the real (uniform-price) fixture the screen must flag the
+    Benford signature violation: digit-1 ppm far below 301030, and the
+    observed ppm column must sum to ~1e6 (integer floor loss < 9)."""
+    out = prof.quality_benford_screen(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    ppm = {r["digit"]: r["obs_micro"] for r in out}
+    assert sum(ppm.values()) > 1_000_000 - 9
+    for r in out:
+        assert r["dev_micro"] == r["obs_micro"] - r["exp_micro"]
+    # uniform prices: digit 1 well below Benford's 301030 ppm, digit 4
+    # (inflated by the uniform range) well above its 96910 ppm
+    assert ppm[1] < 280_000
+    assert ppm[4] > 150_000
