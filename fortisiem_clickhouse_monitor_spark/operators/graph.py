@@ -1077,3 +1077,114 @@ def _probe_ktruss(spark: SparkSession, sf_dir: str) -> int:
     )
     row = deg.agg(F.sum(F.col("d") * F.col("d")).alias("w")).collect()[0]
     return int(row["w"] or 0)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank: teleport to a seed set (recommendation primitive)
+# ---------------------------------------------------------------------------
+
+_PPR_SEEDS = (0, 1, 2, 3, 4)  # part keys seeding the walk
+_PPR_ITERS = 6
+
+
+def _ppr_oracle() -> str:
+    seeds = ", ".join(str(s) for s in _PPR_SEEDS)
+    rounds = []
+    prev = "r0"
+    for k in range(1, _PPR_ITERS + 1):
+        rounds.append(
+            f"""r{k} AS (
+      SELECT n.node,
+             CAST(CASE WHEN n.node IN ({seeds}) THEN 150000 ELSE 0 END
+                  + (85 * CAST(coalesce(sum(p.pr // d.d), 0) AS BIGINT))
+                    // 100 AS BIGINT) AS pr
+      FROM nodes n
+      LEFT JOIN edges e ON e.v = n.node
+      LEFT JOIN deg d ON e.u = d.u
+      LEFT JOIN {prev} p ON p.node = e.u
+      GROUP BY n.node)"""
+        )
+        prev = f"r{k}"
+    joined = ",\n    ".join(rounds)
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey AS u, l_suppkey + {_SUPP_OFF} AS v
+      FROM lineitem
+    ),
+    edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+    r0 AS (
+      SELECT node,
+             CAST(CASE WHEN node IN ({seeds})
+                  THEN {_PR_SCALE} ELSE 0 END AS BIGINT) AS pr
+      FROM nodes
+    ),
+    {joined}
+    SELECT node, pr FROM {prev} WHERE pr > 0
+    ORDER BY pr DESC, node LIMIT 20
+    """
+
+
+@register("graph_ppr_seeded_top20", oracle=_ppr_oracle(), tags=("GRAPH", "ITER"))
+def graph_ppr_seeded_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set: random walks restart at
+    the seed PARTS (keys {_PPR_SEEDS}) instead of uniformly, so rank
+    measures proximity TO THE SEEDS — the classic related-items /
+    recommendation primitive ("suppliers and parts most associated
+    with this product family"), where global PageRank measures only
+    popularity.
+
+    Same fixed-point integer discipline as pagerank_int (graph.py:59):
+    BIGINT ranks scaled 1e6, integer div contributions, the 15%
+    teleport mass credited ONLY to seeds ({_PPR_ITERS} unrolled
+    rounds, CTE oracle hash-exact).  Nodes unreachable from the seeds
+    stay at 0 and are filtered — at 100 TB the rank vector is SPARSE
+    (nonzero only within the seeds' reach), which is exactly why PPR
+    scales where dense global ranks need the full vector everywhere.
+
+    Plan per round: the same one-shuffle broadcast-rank join as
+    pagerank_int; the rank frame here is smaller (reach-bounded)."""
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").alias("u"),
+        (F.col("l_suppkey") + F.lit(_SUPP_OFF)).alias("v"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ed = edges.join(F.broadcast(deg), "u").localCheckpoint(eager=True)
+    nodes = ed.select(F.col("u").alias("node")).distinct()
+    seed = F.col("node").isin(*_PPR_SEEDS)
+    ranks = nodes.select(
+        "node",
+        F.when(seed, F.lit(_PR_SCALE)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("pr"),
+    )
+    for _ in range(_PPR_ITERS):
+        contrib = ed.join(
+            F.broadcast(ranks), ed["u"] == ranks["node"]
+        ).select(F.col("v"), F.expr("pr DIV d").alias("c"))
+        ranks = (
+            nodes.join(
+                contrib.groupBy("v").agg(F.sum("c").alias("s")),
+                nodes["node"] == F.col("v"),
+                "left",
+            )
+            .select(
+                "node",
+                (
+                    F.when(seed, F.lit(150000)).otherwise(F.lit(0))
+                    + F.expr("(85 * coalesce(s, 0)) DIV 100")
+                )
+                .cast("long")
+                .alias("pr"),
+            )
+        )
+    return (
+        ranks.filter(F.col("pr") > 0)
+        .orderBy(F.desc("pr"), "node")
+        .limit(20)
+    )

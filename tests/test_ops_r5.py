@@ -420,3 +420,25 @@ def test_benford_uniform_prices_deviate(spark):
     # (inflated by the uniform range) well above its 96910 ppm
     assert ppm[1] < 280_000
     assert ppm[4] > 150_000
+
+
+def test_ppr_mass_stays_near_seeds(spark, monkeypatch):
+    """Two disjoint 2-node components, seeds {0..4} touch only the
+    first: the second component must receive ZERO rank (filtered out),
+    and the seed's direct neighbor must outrank nothing in the other
+    component.  Exact round-0/1 arithmetic: seed starts at 1e6; after a
+    round its neighbor holds (85 * 1e6) div 100 = 850000."""
+    t = dt.datetime(1995, 1, 1)
+    rows = [
+        # component A: part 0 (seed) -- supplier 7
+        (1, 0, 7, 1.0, 1.0, 0.0, 0.0, "N", "O", t, t, t),
+        # component B: part 100 -- supplier 8 (no seed)
+        (2, 100, 8, 1.0, 1.0, 0.0, 0.0, "N", "O", t, t, t),
+    ]
+    monkeypatch.setattr(
+        gr, "table", lambda s, d, n: spark.createDataFrame(rows, _LI_SCHEMA)
+    )
+    out = {r["node"]: r["pr"] for r in gr.graph_ppr_seeded_top20(spark, "x").collect()}
+    supp = gr._SUPP_OFF
+    assert set(out) == {0, supp + 7}  # component B filtered at 0
+    assert out[0] > out[supp + 7] > 0
