@@ -1188,3 +1188,13 @@ def graph_ppr_seeded_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr"), "node")
         .limit(20)
     )
+
+
+@register_probe("graph_ppr_seeded_top20")
+def _probe_ppr(spark: SparkSession, sf_dir: str) -> int:
+    """Dominant work: the symmetrized distinct edge list each PPR round
+    joins (x _PPR_ITERS rounds)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_partkey", "l_suppkey").distinct().count() * 2
+    )
