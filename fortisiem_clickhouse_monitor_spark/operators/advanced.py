@@ -1266,3 +1266,91 @@ def timeseries_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day OLS slope per event type (acceleration monitor)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trend_rolling_7d_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT event_type, day_num, y,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(day_num) OVER w AS BIGINT) AS sx,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(day_num * y) OVER w AS BIGINT) AS sxy,
+             CAST(sum(day_num * day_num) OVER w AS BIGINT) AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_num
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day_num, y, n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(floor(1000000.0 * (n * sxy - sx * sy)
+                                / (n * sxx - sx * sx)) AS BIGINT)
+           END AS slope_micro
+    FROM win WHERE n >= 3
+    """,
+    tags=("TS", "MONITOR", "W"),
+)
+def trend_rolling_7d_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-observation OLS slope of each event type's daily
+    volume (micro-units/day): the ACCELERATION monitor — a capacity
+    forecaster (forecast_days_to_capacity) fits one global trend; this
+    asks, every day, "is the error rate bending upward RIGHT NOW", the
+    question that pages before the global fit moves.  Rows with fewer
+    than 3 observations in window are suppressed (slope of 1-2 points
+    is noise).
+
+    Exactness: the OLS slope is computed from exact BIGINT window sums
+    (n, sx, sy, sxy, sxx) with ONE float division floored to integer
+    micro-units — identical in both engines; the trend_user_value_slope
+    discipline applied to a moving frame.
+
+    Scale shape: the daily frame is an aggregate (types x days); the
+    window partitions by event_type over that SUMMARY frame — at
+    100 TB the fact-sized work is the one map-side-combined daily
+    aggregate, and windows never touch event-cardinality rows (same
+    two-level discipline as interval_peak_concurrency)."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp("ts") / 86400).cast("long").alias("day_num"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_num")
+        .rowsBetween(-6, 0)
+    )
+    win = daily.select(
+        "event_type",
+        "day_num",
+        "y",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("day_num").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("day_num") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("day_num") * F.col("day_num")).over(w).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return win.filter(F.col("n") >= 3).select(
+        "event_type",
+        "day_num",
+        "y",
+        "n",
+        F.when(den == 0, F.lit(None))
+        .otherwise(
+            F.floor(F.lit(1000000.0) * num / den).cast("long")
+        )
+        .alias("slope_micro"),
+    )

@@ -442,3 +442,24 @@ def test_ppr_mass_stays_near_seeds(spark, monkeypatch):
     supp = gr._SUPP_OFF
     assert set(out) == {0, supp + 7}  # component B filtered at 0
     assert out[0] > out[supp + 7] > 0
+
+
+def test_rolling_slope_exact_linear(spark, monkeypatch):
+    """Daily counts growing exactly +2/day: every window with n >= 3
+    reports slope_micro == 2_000_000 exactly; the first two days are
+    suppressed (n < 3)."""
+    t0 = dt.datetime(2024, 7, 1)
+    rows, eid = [], 0
+    for day in range(10):
+        for _ in range(3 + 2 * day):
+            eid += 1
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day), 1, "click", 1.0, "{}")
+            )
+    monkeypatch.setattr(
+        adv, "table", lambda s, d, n: spark.createDataFrame(rows, _EV_SCHEMA)
+    )
+    out = adv.trend_rolling_7d_slope(spark, "x").collect()
+    assert len(out) == 8  # days 2..9
+    for r in out:
+        assert r["slope_micro"] == 2_000_000
