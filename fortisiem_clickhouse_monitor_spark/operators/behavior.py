@@ -1495,3 +1495,89 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p90_disc_s"),
         F.max("lat_s").alias("max_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / trailing-30d MAU stickiness
+# ---------------------------------------------------------------------------
+
+_MAU_WINDOW_D = 30
+
+
+@register(
+    "behavior_dau_mau_stickiness",
+    oracle=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day_num FROM act),
+    cover AS (
+      SELECT DISTINCT a.user_id, d.day_num
+      FROM act a JOIN days d
+        ON d.day_num BETWEEN a.day_num AND a.day_num + {_MAU_WINDOW_D - 1}
+    ),
+    dau AS (
+      SELECT day_num, CAST(count(*) AS BIGINT) AS dau FROM act GROUP BY 1
+    ),
+    mau AS (
+      SELECT day_num, CAST(count(*) AS BIGINT) AS mau FROM cover GROUP BY 1
+    )
+    SELECT d.day_num, d.dau, m.mau,
+           CAST(d.dau * 1000000 // m.mau AS BIGINT) AS stickiness_micro
+    FROM dau d JOIN mau m ON m.day_num = d.day_num
+    """,
+    tags=("BEHAVIOR", "MONITOR"),
+)
+def behavior_dau_mau_stickiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAU / trailing-{_MAU_WINDOW_D}-day-MAU stickiness per active day
+    (parts-per-million) — the engagement-quality ratio every product
+    monitor tracks (DAU alone says volume; DAU/MAU says habit).
+
+    Exact sliding-window distinct WITHOUT a running distinct: each
+    (user, active-day) pair — already deduplicated — is joined to the
+    ACTIVE days it covers (its own day through day+{_MAU_WINDOW_D - 1}),
+    and trailing MAU is a plain count per covered day: the blow-up is a
+    bounded x{_MAU_WINDOW_D} on the (user, day) AGGREGATE (not the
+    event stream), and both sides of the range join are
+    day-granularity frames.  Note the deliberate contrast:
+    sketch_rolling_7d_users solves the same problem with mergeable
+    registers when exactness is negotiable; this is the exact form and
+    its honest cost.  Only days with at least one active user appear
+    (stickiness of a dead day is undefined, not zero)."""
+    ev = table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts") / 86400).cast("long").alias("day_num"),
+    ).distinct()
+    days = act.select("day_num").distinct()
+    # Explode each (user, active-day) to its covered days, then an
+    # EQUI semi-join restricts to days that actually occur — never a
+    # nested-loop range join (which would scan all #days per row
+    # instead of the bounded x30 explode).
+    cover = (
+        act.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day_num"),
+                    F.col("day_num") + (_MAU_WINDOW_D - 1),
+                )
+            ).alias("day_num"),
+        )
+        .join(F.broadcast(days), "day_num", "semi")
+        .distinct()
+    )
+    dau = act.groupBy("day_num").agg(F.count(F.lit(1)).alias("dau"))
+    mau = cover.groupBy("day_num").agg(F.count(F.lit(1)).alias("mau"))
+    return dau.join(mau, "day_num").select(
+        "day_num",
+        "dau",
+        "mau",
+        F.expr("CAST(dau * 1000000 div mau AS BIGINT)").alias(
+            "stickiness_micro"
+        ),
+    )

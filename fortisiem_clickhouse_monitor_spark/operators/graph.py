@@ -16,7 +16,7 @@ family as dedup_connected_components / dedup_graph_triangles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register, register_probe
@@ -1197,4 +1197,66 @@ def _probe_ppr(spark: SparkSession, sf_dir: str) -> int:
     li = table(spark, sf_dir, "lineitem")
     return (
         li.select("l_partkey", "l_suppkey").distinct().count() * 2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def _degree_dist_oracle() -> str:
+    from .dedup import _CC_PAIRS_SQL
+
+    return f"""
+    {_CC_PAIRS_SQL},
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT doc_a AS node FROM pairs
+        UNION ALL SELECT doc_b AS node FROM pairs
+      ) GROUP BY node
+    ),
+    hist AS (
+      SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM deg GROUP BY degree
+    )
+    SELECT degree, n_nodes,
+           CAST(sum(n_nodes) OVER (ORDER BY degree DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_nodes_at_least
+    FROM hist
+    """
+
+
+@register(
+    "graph_degree_distribution", oracle=_degree_dist_oracle(), tags=("GRAPH",)
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-duplicate graph with the
+    complementary cumulative count (nodes of degree >= d) — the
+    first thing to read before ANY wedge-bound operator: sum d(v)^2
+    off this histogram IS the triangle/truss/common-neighbor cost
+    estimate, and a heavy tail here is the signal to route to the
+    capped/sketch variants (graph_common_neighbors_capped/_sketch_eval)
+    instead of the exact forms.
+
+    One degree aggregate, one histogram aggregate, one cumulative sum
+    over the #distinct-degrees frame (aggregate-sized) — the profiler
+    discipline applied to graph shape."""
+    from .dedup import dedup_ngram_jaccard_pairs
+
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    w = Window.orderBy(F.desc("degree")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        "degree",
+        "n_nodes",
+        F.sum("n_nodes").over(w).cast("long").alias("n_nodes_at_least"),
     )

@@ -463,3 +463,30 @@ def test_rolling_slope_exact_linear(spark, monkeypatch):
     assert len(out) == 8  # days 2..9
     for r in out:
         assert r["slope_micro"] == 2_000_000
+
+
+def test_dau_mau_stickiness_planted(spark, monkeypatch):
+    """User 1 active on days 0 and 10; user 2 active on day 10 only.
+    Day 0: dau=1, mau=1 (stickiness 1e6).  Day 10: dau=2, mau=2 (user
+    1's day-0 activity covers day 10 but they're also active; user 2
+    new) -> stickiness 1e6.  Add user 3 active day 0 only: day 10 mau
+    becomes 3 while dau stays 2 -> 666666 ppm."""
+    t0 = dt.datetime(2024, 8, 1)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(days=10), 1, "click", 1.0, "{}"),
+        (3, t0 + dt.timedelta(days=10), 2, "click", 1.0, "{}"),
+        (4, t0, 3, "click", 1.0, "{}"),
+    ]
+    monkeypatch.setattr(
+        beh, "table", lambda s, d, n: spark.createDataFrame(rows, _EV_SCHEMA)
+    )
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+    out = {
+        r["day_num"]: r
+        for r in beh.behavior_dau_mau_stickiness(spark, "x").collect()
+    }
+    assert set(out) == {base, base + 10}
+    assert (out[base]["dau"], out[base]["mau"]) == (2, 2)
+    assert (out[base + 10]["dau"], out[base + 10]["mau"]) == (2, 3)
+    assert out[base + 10]["stickiness_micro"] == 666666
