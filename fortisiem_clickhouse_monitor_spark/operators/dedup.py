@@ -2402,3 +2402,63 @@ def _probe_edit_distance(spark: SparkSession, sf_dir: str) -> int:
         .distinct()
         .count()
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-language duplicate components (translation-dup screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cross_lang_components",
+    oracle=f"""
+    {_CC_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a
+    ),
+    comp AS (SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node)
+    SELECT c.component,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+           array_to_string(list_sort(list_distinct(list(d.lang))), ',')
+             AS langs
+    FROM comp c JOIN documents d USING (doc_id)
+    GROUP BY c.component
+    HAVING count(DISTINCT d.lang) >= 2
+    """,
+    tags=("DD", "ITER", "CORPUS"),
+)
+def dedup_cross_lang_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate components spanning two or more LANGUAGE labels —
+    either translation duplicates (the same content relabeled, worth
+    keeping once per language at most) or language-ID errors inside a
+    duplicate cluster (worth fixing before per-language mixture
+    weights trust the labels).  Monolingual dedup never surfaces
+    these; this is the multilingual-corpus screen.
+
+    Reuses the oracle-proven CC subtree (dedup_connected_components)
+    and adds one doc-keyed join + per-component lang rollup — the
+    sorted distinct-lang list is collected per COMPONENT (bounded by
+    duplicate-cluster size, the same bound the whole dedup family
+    rides), never per partition."""
+    comp = dedup_connected_components(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        comp.join(d, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.array_join(
+                F.array_sort(F.collect_set("lang")), ","
+            ).alias("langs"),
+        )
+        .filter(F.col("n_langs") >= 2)
+    )

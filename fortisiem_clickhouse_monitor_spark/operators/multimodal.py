@@ -869,3 +869,66 @@ def mm_video_shared_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_assets") >= 2)
     )
+
+
+@register(
+    "mm_video_static_screen",
+    oracle=f"""
+    WITH {_FRAME_DHASH_CTES}
+    SELECT asset_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(count(DISTINCT (dhash_hi, dhash_lo)) AS BIGINT)
+             AS n_distinct_frames,
+           count(DISTINCT (dhash_hi, dhash_lo)) = 1 AS is_static
+    FROM hashes GROUP BY asset_id
+    """,
+    tags=("MM", "DQ"),
+)
+def mm_video_static_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-video screen: per video, the number of DISTINCT sampled
+    frame dHashes — a video whose sampled frames all hash identically
+    is a still image in a video container (or a stuck encoder), worth
+    dropping before it wastes decode budget and poisons frame-level
+    training data.  The within-video complement of
+    mm_video_shared_frames' cross-video screen, off the same Arrow-
+    batched frame-hash kernel and the same closed-form oracle CTEs.
+
+    Plan: the decode+dHash mapInPandas pass, then one asset-keyed
+    count/count-distinct aggregate — mergeable, scale-safe."""
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    n_frames = (F.pmod(F.col("doc_id"), F.lit(3)) + 2).cast("int")
+    frames = d.select(
+        F.col("doc_id").alias("asset_id"),
+        F.explode(
+            F.sequence(F.lit(0), (n_frames * 10) - 10, F.lit(10))
+        ).alias("frame_idx"),
+        (F.pmod("doc_id", F.lit(4)) * 16 + 16).alias("w"),
+        (F.pmod("doc_id", F.lit(3)) * 8 + 8).alias("h"),
+    )
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            his, los = [], []
+            for aid, f, w, h in zip(
+                pdf["asset_id"], pdf["frame_idx"], pdf["w"], pdf["h"]
+            ):
+                img = decode_image(
+                    encode_ppm_frame(int(aid), int(f), int(w), int(h))
+                )
+                hi, lo = dhash64(img)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"asset_id": pdf["asset_id"], "dhash_hi": his, "dhash_lo": los}
+            )
+
+    hashed = frames.mapInPandas(
+        hash_batch, schema="asset_id LONG, dhash_hi LONG, dhash_lo LONG"
+    )
+    return hashed.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.countDistinct("dhash_hi", "dhash_lo").alias("n_distinct_frames"),
+        (F.countDistinct("dhash_hi", "dhash_lo") == 1).alias("is_static"),
+    )

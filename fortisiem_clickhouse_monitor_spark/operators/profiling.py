@@ -998,3 +998,94 @@ def quality_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         exp.alias("exp_micro"),
         (obs - exp).cast("long").alias("dev_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation from bucketed histograms (planner math)
+# ---------------------------------------------------------------------------
+
+_JCE_BUCKETS = 1024
+
+
+@register(
+    "profile_join_cardinality_bound",
+    oracle=f"""
+    WITH ha AS (
+      SELECT o_orderkey % {_JCE_BUCKETS} AS bucket,
+             CAST(count(*) AS BIGINT) AS ca
+      FROM orders GROUP BY 1
+    ),
+    hb AS (
+      SELECT l_orderkey % {_JCE_BUCKETS} AS bucket,
+             CAST(count(*) AS BIGINT) AS cb
+      FROM lineitem GROUP BY 1
+    ),
+    est AS (
+      SELECT CAST(sum(ca * cb) AS BIGINT) AS est_upper
+      FROM ha JOIN hb USING (bucket)
+    ),
+    ka AS (
+      SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+      FROM orders GROUP BY 1
+    ),
+    kb AS (
+      SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+      FROM lineitem GROUP BY 1
+    ),
+    act AS (
+      SELECT CAST(sum(ca * cb) AS BIGINT) AS actual
+      FROM ka JOIN kb USING (k)
+    )
+    SELECT {_JCE_BUCKETS} AS n_buckets, est.est_upper, act.actual,
+           CAST(est.est_upper * 1000000 // act.actual AS BIGINT)
+             AS overestimate_micro
+    FROM est CROSS JOIN act
+    """,
+    tags=("DQ", "LAYOUT"),
+)
+def profile_join_cardinality_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-cardinality estimation the way a cost-based planner does
+    it: the orders x lineitem equi-join size UPPER-BOUNDED from two
+    {_JCE_BUCKETS}-bucket key histograms (sum over buckets of
+    count_a * count_b — collisions only ever ADD, so it is a sound
+    upper bound), compared against the EXACT output size computed from
+    the per-key count tables (sum over matching keys of ca * cb — the
+    join's size without running the join).  The overestimate ratio is
+    the planner-error diagnostic: near 1e6 ppm means bucket histograms
+    suffice for this key; orders of magnitude higher means the key
+    needs a bigger histogram or a distinct-count sketch before its
+    join is planned.
+
+    Everything is aggregate arithmetic: two bucket histograms (tiny),
+    two per-key count tables (the same aggregates a shuffle join would
+    build), zero fact-x-fact row products materialized."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ha = o.groupBy((F.col("o_orderkey") % _JCE_BUCKETS).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    hb = li.groupBy((F.col("l_orderkey") % _JCE_BUCKETS).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    est = ha.join(hb, "bucket").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("est_upper")
+    )
+    ka = o.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    kb = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    act = ka.join(kb, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("actual")
+    )
+    return est.crossJoin(act).select(
+        F.lit(_JCE_BUCKETS).alias("n_buckets"),
+        "est_upper",
+        "actual",
+        F.expr("CAST(est_upper * 1000000 div actual AS BIGINT)").alias(
+            "overestimate_micro"
+        ),
+    )

@@ -490,3 +490,82 @@ def test_dau_mau_stickiness_planted(spark, monkeypatch):
     assert (out[base]["dau"], out[base]["mau"]) == (2, 2)
     assert (out[base + 10]["dau"], out[base + 10]["mau"]) == (2, 3)
     assert out[base + 10]["stickiness_micro"] == 666666
+
+
+def test_cross_lang_components_planted(spark, monkeypatch):
+    """Component {1,2,3} with langs {en,en,zh} -> reported with
+    langs='en,zh'; monolingual component {10,11} -> excluded."""
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame(
+        [
+            (i, "t", lang, "s", 1)
+            for i, lang in [
+                (1, "en"), (2, "en"), (3, "zh"), (10, "de"), (11, "de"),
+            ]
+        ],
+        _DOC_SCHEMA,
+    )
+    monkeypatch.setattr(dd, "dedup_ngram_jaccard_pairs", lambda s, d: pairs)
+    monkeypatch.setattr(dd, "table", lambda s, d, n: docs)
+    out = dd.dedup_cross_lang_components(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["component"] == 1
+    assert r["n_members"] == 3
+    assert r["n_langs"] == 2
+    assert r["langs"] == "en,zh"
+
+
+def test_static_video_screen_planted_vs_kernel(spark):
+    """Differential on real sf0.001 assets: n_distinct_frames must
+    match a pure-python recompute, and is_static iff one distinct
+    hash.  (The synthetic per-frame gradient varies with f, so truly
+    static videos may or may not occur — the invariant, not a fixed
+    count, is asserted.)"""
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        "SELECT doc_id FROM '/root/testdata/sf0.001/documents.parquet'"
+    ).fetchall()
+    expect = {}
+    for (doc_id,) in docs:
+        n_frames = doc_id % 3 + 2
+        w, h = (doc_id % 4) * 16 + 16, (doc_id % 3) * 8 + 8
+        hashes = {
+            mm.dhash64(mm.decode_image(mm.encode_ppm_frame(doc_id, f, w, h)))
+            for f in range(0, n_frames * 10, 10)
+        }
+        expect[doc_id] = (n_frames, len(hashes))
+    got = {
+        r["asset_id"]: (r["n_frames"], r["n_distinct_frames"], r["is_static"])
+        for r in mm.mm_video_static_screen(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for aid, (nf, nd) in expect.items():
+        assert got[aid][:2] == (nf, nd)
+        assert got[aid][2] == (nd == 1)
+
+
+def test_join_cardinality_bound_is_sound(spark):
+    """On real sf0.001 data: the bucketed estimate must upper-bound the
+    exact join size, and the exact size must equal the true join row
+    count computed independently in DuckDB."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    true_rows = con.execute(
+        f"""SELECT count(*) FROM '{sf}/orders.parquet' o
+            JOIN '{sf}/lineitem.parquet' l ON l.l_orderkey = o.o_orderkey"""
+    ).fetchone()[0]
+    r = prof.profile_join_cardinality_bound(spark, sf).collect()[0]
+    assert r["actual"] == true_rows
+    assert r["est_upper"] >= r["actual"]
+    assert r["overestimate_micro"] >= 1_000_000
