@@ -2462,3 +2462,10 @@ def dedup_cross_lang_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_langs") >= 2)
     )
+
+
+@register_probe("dedup_cross_lang_components")
+def _probe_cross_lang(spark: SparkSession, sf_dir: str) -> int:
+    """Dominant intermediate: the near-dup edge list the CC subtree
+    contracts (identical to dedup_connected_components' input)."""
+    return dedup_ngram_jaccard_pairs(spark, sf_dir).count()
