@@ -432,3 +432,54 @@ def heavy_hitters(stream: DataFrame) -> DataFrame:
             timeoutConf="NoTimeout",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous cumulative-distinct-users: per-user first-seen state
+# ---------------------------------------------------------------------------
+
+FS_OUTPUT_SCHEMA = "user_id LONG, first_day DATE"
+FS_STATE_SCHEMA = "seen LONG"
+
+
+def first_seen_fn(
+    key, pdf_iter: "Iterator[pd.DataFrame]", state
+) -> Iterator[pd.DataFrame]:
+    """Emit (user, first day) exactly ONCE — on the micro-batch where
+    the user is first observed; afterwards the 8-byte seen flag
+    swallows every later event.  State is one long per distinct user
+    ever seen (the minimum any exact first-seen operator can hold);
+    emission is append-mode and immediate."""
+    (user_id,) = key
+    if state.exists:
+        for _ in pdf_iter:
+            pass
+        yield pd.DataFrame({"user_id": [], "first_day": []})
+        return
+    first = None
+    for pdf in pdf_iter:
+        lo = pdf["ts"].min()
+        first = lo if first is None or lo < first else first
+    state.update((1,))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "first_day": [first.date()]}
+    )
+
+
+def first_seen(stream: DataFrame) -> DataFrame:
+    """Streaming twin of window_cumulative_distinct_users' key move:
+    the cumulative-distinct curve increments exactly at each user's
+    FIRST event, so the stream reduces to per-user first-seen emission
+    (this operator) + a downstream per-day count + running sum on the
+    tiny daily frame.  NOTE the within-batch caveat: first_day is the
+    min event time of the user's FIRST MICRO-BATCH — exact when the
+    source preserves event-time order across batches (the replay
+    harness does), and at worst one batch's skew otherwise; the exact
+    batch form is the oracle in the differential test."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        first_seen_fn,
+        outputStructType=FS_OUTPUT_SCHEMA,
+        stateStructType=FS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

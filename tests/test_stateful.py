@@ -417,3 +417,41 @@ def test_stateful_heavy_hitters_guarantees(spark, tmp_path):
         for u, c in truth.items():
             if u % stateful.MG_SHARDS == shard and c > bound:
                 assert u in sketch          # frequent items retained
+
+
+def test_stateful_first_seen_matches_batch(spark, tmp_path):
+    """Streaming first-seen differential: replaying sf0.001 events in
+    ts order must emit each user EXACTLY once with their true first
+    day — i.e. the per-day new-user counts reproduce the batch
+    window_cumulative_distinct_users n_new_users column."""
+    import fortisiem_clickhouse_monitor_spark.operators.windows as win
+
+    batch = {
+        r["day"]: r["n_new_users"]
+        for r in win.window_cumulative_distinct_users(
+            spark, SF_SMALL
+        ).collect()
+    }
+    ev = table(spark, SF_SMALL, "events")
+    out = str(tmp_path / "fs_events")
+    ev.orderBy("ts", "event_id").coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    stream = jobs.events_stream(spark, out, max_files_per_trigger=1)
+    q = (
+        stateful.first_seen(stream)
+        .writeStream.format("memory")
+        .queryName("t_first_seen")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM t_first_seen").collect()
+    users = [r["user_id"] for r in rows]
+    assert len(users) == len(set(users))  # exactly-once per user
+    got: dict = {}
+    for r in rows:
+        got[r["first_day"]] = got.get(r["first_day"], 0) + 1
+    assert got == {d: n for d, n in batch.items() if n > 0}
