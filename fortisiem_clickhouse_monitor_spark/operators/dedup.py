@@ -2469,3 +2469,63 @@ def _probe_cross_lang(spark: SparkSession, sf_dir: str) -> int:
     """Dominant intermediate: the near-dup edge list the CC subtree
     contracts (identical to dedup_connected_components' input)."""
     return dedup_ngram_jaccard_pairs(spark, sf_dir).count()
+
+
+# ---------------------------------------------------------------------------
+# Similarity histogram: threshold-tuning report over verified pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "report_similarity_histogram",
+    oracle=f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS bucket,
+             list_distinct({_DUCK_TOKENS}) AS toks
+      FROM documents
+    ),
+    scored AS (
+      SELECT round(
+               CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t)))
+                    AS DOUBLE)
+               / (len(a.toks) + len(b.toks)
+                  - len(list_filter(a.toks, t -> list_contains(b.toks, t)))),
+               4) AS j
+      FROM docs a JOIN docs b
+        ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    hist AS (
+      SELECT CAST(floor(j * 100) AS BIGINT) AS sim_pct,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM scored WHERE j >= 0.8 GROUP BY 1
+    )
+    SELECT sim_pct, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY sim_pct DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_pairs_at_least
+    FROM hist
+    """,
+    tags=("DD", "EVAL"),
+)
+def report_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity histogram over the verified near-dup pairs: pair
+    count per 1%-Jaccard band plus the cumulative count from the top —
+    the threshold-tuning report ("raising the cutoff from 0.80 to 0.85
+    drops N pairs") that every dedup rollout reads before touching the
+    production threshold, off the SAME blocked-GEMM scoring pass the
+    dedup family runs (nothing rescored, nothing unblocked).
+
+    Both engines bucket floor(round(j,4)*100) — the identical double
+    expression, so banding is bit-consistent; the cumulative sum runs
+    over the ~20-row band frame (aggregate-sized)."""
+    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir)
+    hist = pairs.groupBy(
+        F.floor(F.col("jaccard") * 100).cast("long").alias("sim_pct")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = Window.orderBy(F.desc("sim_pct")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        "sim_pct",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_least"),
+    )
