@@ -1109,7 +1109,7 @@ _NEG_DRAWS = 10  # deterministic candidate draws per customer
     users AS (SELECT DISTINCT custkey FROM pos),
     draws AS (
       SELECT u.custkey, t.i AS draw_i,
-             ('0x' || substr(md5(CAST(u.custkey AS VARCHAR) || ':'
+             1 + ('0x' || substr(md5(CAST(u.custkey AS VARCHAR) || ':'
                                  || CAST(t.i AS VARCHAR)), 1, 8))::BIGINT
                % (SELECT count(*) FROM part) AS cand
       FROM users u, range({_NEG_DRAWS}) t(i)
@@ -1176,8 +1176,12 @@ def corpus_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "custkey",
             "draw_i",
+            # 1 + (hash % n): p_partkey spans [1, n_parts], so the bare
+            # modulus would emit the nonexistent partkey 0 as a
+            # "negative sample" and could never draw the last part.
             (
-                F.conv(
+                F.lit(1)
+                + F.conv(
                     F.substring(
                         F.md5(
                             F.concat_ws(

@@ -26,6 +26,13 @@ _PR_ITERS = 6
 _PR_SCALE = 1_000_000  # initial rank per node
 _SUPP_OFF = 10_000_000  # offsets supplier ids into a disjoint node range
 
+#: Above this edge count the k-truss support kernel stops broadcasting
+#: the adjacency frames and falls back to shuffle hash joins (both
+#: paths produce identical rows — forced-path differential in
+#: tests/test_graph.py keeps the 100 TB branch from rotting as dead
+#: code at fixture scale).
+TRUSS_BROADCAST_MAX_EDGES = 2_500_000
+
 
 def _pagerank_oracle() -> str:
     rounds = []
@@ -176,10 +183,10 @@ def graph_common_neighbors_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster sizes — and therefore degrees — are small, making this
     near-linear. A collect_list + combination-explode variant measured
     identical (the wedge row count dominates, not the join)."""
-    from .dedup import dedup_ngram_jaccard_pairs
+    from .dedup import shared_ngram_pairs
 
     pairs = (
-        dedup_ngram_jaccard_pairs(spark, sf_dir)
+        shared_ngram_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
@@ -284,10 +291,10 @@ def graph_common_neighbors_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     argument as df-capping in shingle containment).  Exclusion is
     deterministic, so the DuckDB twin applies the same degree filter
     and the result stays hash-checked."""
-    from .dedup import dedup_ngram_jaccard_pairs
+    from .dedup import shared_ngram_pairs
 
     pairs = (
-        dedup_ngram_jaccard_pairs(spark, sf_dir)
+        shared_ngram_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
@@ -490,10 +497,10 @@ def graph_common_neighbors_sketch_eval(
     bit-identically), one groupBy per vertex; the eval joins 20 rows
     against the signature table — broadcast-sized by construction."""
     from ..functions import textfns
-    from .dedup import dedup_ngram_jaccard_pairs
+    from .dedup import shared_ngram_pairs
 
     pairs = (
-        dedup_ngram_jaccard_pairs(spark, sf_dir)
+        shared_ngram_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
@@ -621,9 +628,9 @@ def graph_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     the worst round is the first — at 100 TB the survivor set after
     round 1 is typically a small fraction of |V| (power-law degrees),
     and rounds get cheaper monotonically."""
-    from .dedup import dedup_ngram_jaccard_pairs
+    from .dedup import shared_ngram_pairs
 
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .unionByName(
@@ -712,14 +719,14 @@ def graph_adamic_adar_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges; here the cap is doubly principled since high-deg middles
     carry ~zero Adamic-Adar weight by construction), one (x, y)
     aggregate, broadcast anti-join against the edge list, global top-20."""
-    from .dedup import dedup_ngram_jaccard_pairs
+    from .dedup import shared_ngram_pairs
 
     # PLANS.md invariant #6: round-robin repartition BEFORE the
     # checkpoint — AQE coalesces the byte-small pair list to ~1
     # partition, and the wedge fan-out below then runs serial.
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pairs = (
-        dedup_ngram_jaccard_pairs(spark, sf_dir)
+        shared_ngram_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .repartition(2 * n_parts)
         .localCheckpoint()
@@ -773,9 +780,9 @@ def graph_adamic_adar_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _degree_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import dedup_ngram_jaccard_pairs
+    from .dedup import shared_ngram_pairs
 
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
     sym = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
@@ -1004,7 +1011,7 @@ def _edge_support(edges: DataFrame) -> DataFrame:
     adj = und.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
     a_u = adj.select(F.col("u").alias("a"), F.col("nbrs").alias("nbrs_a"))
     a_v = adj.select(F.col("u").alias("b"), F.col("nbrs").alias("nbrs_b"))
-    if e.count() <= 2_500_000:
+    if e.count() <= TRUSS_BROADCAST_MAX_EDGES:
         a_u, a_v = F.broadcast(a_u), F.broadcast(a_v)
     return (
         e.join(a_u, "a")
@@ -1042,9 +1049,9 @@ def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition-localCheckpoints per PLANS.md invariant #6 (the edge
     list is byte-small but wedge fan-out per row is huge — AQE would
     coalesce it onto one core)."""
-    from .dedup import dedup_ngram_jaccard_pairs
+    from .dedup import shared_ngram_pairs
 
-    edges = dedup_ngram_jaccard_pairs(spark, sf_dir).select(
+    edges = shared_ngram_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     supp = _edge_support(edges)
@@ -1066,9 +1073,9 @@ def _probe_ktruss(spark: SparkSession, sf_dir: str) -> int:
     """Dominant work: the round-1 intersect cost, sum over edges of
     d(a)+d(b) = sum_v d(v)^2 on the near-dup graph (later rounds only
     shrink it)."""
-    from .dedup import dedup_ngram_jaccard_pairs
+    from .dedup import shared_ngram_pairs
 
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir)
+    pairs = shared_ngram_pairs(spark, sf_dir)
     deg = (
         pairs.select(F.col("doc_a").alias("v"))
         .unionByName(pairs.select(F.col("doc_b").alias("v")))
@@ -1164,8 +1171,15 @@ def graph_ppr_seeded_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pr"),
     )
     for _ in range(_PPR_ITERS):
+        # Broadcast only the NONZERO ranks: pr=0 contributes pr DIV d
+        # = 0 and the left join below already coalesces missing sums
+        # to 0, so the filter is output-identical — and it is what
+        # makes the per-round broadcast genuinely reach-bounded
+        # (|seeds' k-hop reach| rows, not |V|), the whole reason PPR
+        # scales where dense global PageRank ships the full vector.
+        live = ranks.filter(F.col("pr") != 0)
         contrib = ed.join(
-            F.broadcast(ranks), ed["u"] == ranks["node"]
+            F.broadcast(live), ed["u"] == live["node"]
         ).select(F.col("v"), F.expr("pr DIV d").alias("c"))
         ranks = (
             nodes.join(
@@ -1192,12 +1206,37 @@ def graph_ppr_seeded_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register_probe("graph_ppr_seeded_top20")
 def _probe_ppr(spark: SparkSession, sf_dir: str) -> int:
-    """Dominant work: the symmetrized distinct edge list each PPR round
-    joins (x _PPR_ITERS rounds)."""
+    """Dominant work under the sparse-reach broadcast: per round, only
+    edges whose source carries nonzero rank are joined, so work is
+    sum over rounds of |edges out of the seeds' r-hop reach| — NOT
+    _PPR_ITERS x |E|.  Replayed here with the same frontier recursion
+    (reach_r+1 = N(reach_r) ∪ seeds; rank support equals reach because
+    seeds re-inject teleport mass every round)."""
     li = table(spark, sf_dir, "lineitem")
-    return (
-        li.select("l_partkey", "l_suppkey").distinct().count() * 2
+    e0 = li.select(
+        F.col("l_partkey").alias("u"),
+        (F.col("l_suppkey") + F.lit(_SUPP_OFF)).alias("v"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    seeds = edges.select(F.col("u").alias("node")).distinct().filter(
+        F.col("node").isin(*_PPR_SEEDS)
     )
+    reach = seeds
+    total = 0
+    for _ in range(_PPR_ITERS):
+        live_edges = edges.join(
+            F.broadcast(reach), edges["u"] == reach["node"]
+        )
+        total += live_edges.count()
+        reach = (
+            live_edges.select(F.col("v").alias("node"))
+            .unionByName(seeds)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    return total
 
 
 # ---------------------------------------------------------------------------
@@ -1242,9 +1281,9 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     One degree aggregate, one histogram aggregate, one cumulative sum
     over the #distinct-degrees frame (aggregate-sized) — the profiler
     discipline applied to graph shape."""
-    from .dedup import dedup_ngram_jaccard_pairs
+    from .dedup import shared_ngram_pairs
 
-    pairs = dedup_ngram_jaccard_pairs(spark, sf_dir)
+    pairs = shared_ngram_pairs(spark, sf_dir)
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
         .unionByName(pairs.select(F.col("doc_b").alias("node")))

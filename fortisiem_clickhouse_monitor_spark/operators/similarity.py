@@ -621,15 +621,19 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posexplode update serialize on one core (measured: the 20x sweep
     # point was 18.8 s starved vs ~7 s spread); structural no-op when
     # the scan already has >= defaultParallelism partitions.
-    # persist: Lloyd re-reads the matrix once per round (3 update
-    # collects + the final assignment) — caching the fanned-out frame
-    # pays the scan+exchange once instead of five times (n x dim
-    # doubles, bounded and spillable).
+    # localCheckpoint: Lloyd re-reads the matrix once per round (3
+    # update collects + the final assignment) — materializing the
+    # fanned-out frame pays the scan+exchange once instead of five
+    # times (n x dim doubles, bounded and spillable).  Checkpoint, not
+    # persist(): checkpoint blocks are freed by the ContextCleaner when
+    # the frame is garbage-collected, so a long bench/sweep session
+    # doesn't accumulate one cached n x dim matrix per invocation
+    # (persist() without unpersist() leaks exactly that).
     e = fanout(
         table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
-    ).persist()
+    ).localCheckpoint(eager=True)
     centroids = [
         r["emb"]
         for r in e.filter(F.col("vec_id") < _KMEANS_K)

@@ -249,10 +249,15 @@ CUSUM_OUTPUT_SCHEMA = (
     "event_type STRING, day DATE, n LONG, cusum2 LONG, is_shift BOOLEAN"
 )
 #: (open epoch day, count so far, prefix sum p2 over CLOSED days,
-#:  running min of p2 over closed days; _CUSUM_NO_MIN = none yet).
+#:  running min of p2 over closed days; _CUSUM_NO_MIN = none yet;
+#:  day = _CUSUM_NO_DAY = no open day, carry only).
 CUSUM_STATE_SCHEMA = "day LONG, n LONG, p2 LONG, minp2 LONG"
 
 _CUSUM_NO_MIN = 2**62
+_CUSUM_NO_DAY = -(2**62)
+#: 9999-12-31T23:59:59Z in epoch ms — "never" for a carry-only state's
+#: re-armed timeout (an event re-arms the real end-of-day timeout).
+_CUSUM_FAR_FUTURE_MS = 253_402_300_799_000
 
 
 def make_cusum_fn(targets: dict):
@@ -269,8 +274,12 @@ def make_cusum_fn(targets: dict):
     State is FOUR ints per key regardless of stream length: the open
     day, its count, the prefix sum P over closed days, and min_j P_j.
     A day emits when PROVEN over — a later-day event arrives, or the
-    event-time timeout passes end-of-day (so state never outlives the
-    watermark horizon).  Within-watermark stragglers whose ts sorts
+    event-time timeout passes end-of-day.  A timeout close keeps the
+    (p2, minp2) carry under a no-open-day marker (four ints, not
+    removed): the watermark is GLOBAL, so one quiet event_type would
+    otherwise have its prefix sums wiped while other types advance the
+    clock, restarting its detector at p2=0 and diverging from the
+    batch twin.  Within-watermark stragglers whose ts sorts
     into an already-closed day are counted toward the OPEN day (same
     documented contract as throttle_fn; closed days are final in
     append mode)."""
@@ -297,9 +306,23 @@ def make_cusum_fn(targets: dict):
         med2 = int(targets.get(etype, 0))
 
         if state.hasTimedOut:
-            row, _, _ = _close(etype, list(state.get), med2)
-            state.remove()
-            yield row
+            # Close the open day but KEEP the prefix sums: the
+            # watermark is global, so a quiet day for one event_type
+            # (while other types keep advancing it) times out here —
+            # state.remove() would restart the detector at p2=0 on the
+            # next event, diverging from the batch twin.  A no-open-day
+            # marker with the (p2, minp2) carry resumes the recursion
+            # exactly where the batch CUSUM would.  The expired timeout
+            # timestamp survives an update() (GroupState keeps it
+            # unless re-set), so push it out to the far future or the
+            # carry state would "time out" again every microbatch and
+            # close phantom days (n=0 closes shift p2 by -med2 each).
+            cur = list(state.get)
+            if cur[0] != _CUSUM_NO_DAY:
+                row, p2, minp2 = _close(etype, cur, med2)
+                state.update((_CUSUM_NO_DAY, 0, p2, minp2))
+                state.setTimeoutTimestamp(_CUSUM_FAR_FUTURE_MS)
+                yield row
             return
 
         cur = list(state.get) if state.exists else None
@@ -312,6 +335,10 @@ def make_cusum_fn(targets: dict):
             d = int(d)
             if cur is None:
                 cur = [d, 0, 0, _CUSUM_NO_MIN]
+            elif cur[0] == _CUSUM_NO_DAY:
+                # carry-only state left by a timeout close: reopen on
+                # this event's day, resuming with the kept (p2, minp2).
+                cur = [d, 0, cur[2], cur[3]]
             elif d > cur[0]:
                 row, p2, minp2 = _close(etype, cur, med2)
                 yield row

@@ -364,6 +364,140 @@ def test_stateful_cusum_matches_batch(spark, tmp_path):
     assert got == batch
 
 
+def test_stateful_cusum_timeout_carry(spark, tmp_path):
+    """A quiet event_type whose open day is closed by the GLOBAL
+    watermark (advanced by OTHER types) must keep its (p2, minp2)
+    carry and resume the CUSUM recursion when events return — the
+    state.remove() regression restarted the detector at p2=0 and
+    diverged from the batch twin (ADVICE r5, medium).
+
+    Scenario: type 'a' is active on days 0/3/4 with counts 9/2/3
+    (med2=6, so day 0 leaves p2=+12 — a positive carry the no-carry
+    bug erases: day 3 cusum2 is 10 with the carry, 0 without); type
+    'b' fires every day and drags the watermark across a's quiet days
+    so a's day-0 state times out MID-STREAM (phase 1), not at the
+    end-of-stream sentinel.  Phase 2 restarts from the checkpoint and
+    the union of both phases must equal changepoint_cusum_daily."""
+    import time as _time
+
+    import fortisiem_clickhouse_monitor_spark.operators.slo as slo
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    plan = {
+        0: [("a", 9), ("b", 2)],
+        1: [("b", 2)],
+        2: [("b", 2)],
+        3: [("a", 2), ("b", 2)],
+        4: [("a", 3), ("b", 2)],
+    }
+    eid = 0
+    day_rows: dict[int, list] = {}
+    for day, specs in plan.items():
+        rows = []
+        for etype, n in specs:
+            for i in range(n):
+                rows.append(
+                    (
+                        eid,
+                        base + dt.timedelta(days=day, minutes=i),
+                        1,
+                        etype,
+                        0.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+        day_rows[day] = rows
+
+    # batch twin inputs: the same events as an sf_dir-shaped table
+    batch_dir = tmp_path / "cusum_carry_sf"
+    batch_dir.mkdir()
+    all_rows = [r for d in sorted(day_rows) for r in day_rows[d]]
+    ev = spark.createDataFrame(all_rows, schema=jobs.EVENTS_SCHEMA)
+    ev.coalesce(1).write.parquet(str(batch_dir / "events.parquet"))
+    batch = {
+        (r["event_type"], r["day"]): (r["n"], r["cusum2"], r["is_shift"])
+        for r in slo.changepoint_cusum_daily(
+            spark, str(batch_dir)
+        ).collect()
+    }
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    targets = {
+        r["event_type"]: int(r["med2"])
+        for r in daily.groupBy("event_type")
+        .agg((2 * F.median("n")).cast("long").alias("med2"))
+        .collect()
+    }
+
+    stream_dir = str(tmp_path / "cusum_carry_events")
+    ckpt = str(tmp_path / "cusum_carry_ckpt")
+    sink_dir = str(tmp_path / "cusum_carry_out")
+
+    def append_file(rows):
+        spark.createDataFrame(rows, schema=jobs.EVENTS_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(stream_dir)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    def run_phase():
+        # file sink, not memory: the memory sink cannot recover from a
+        # checkpoint, and the restart IS what this test exercises.
+        stream = jobs.events_stream(
+            spark, stream_dir, max_files_per_trigger=1
+        )
+        q = (
+            stateful.cusum(stream, targets)
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.awaitTermination(180)
+        return {
+            (r["event_type"], r["day"]): (
+                r["n"],
+                r["cusum2"],
+                r["is_shift"],
+            )
+            for r in spark.read.parquet(sink_dir).collect()
+            if r["event_type"] != "sentinel"
+        }
+
+    # phase 1: days 0..2 — b advances the watermark past end-of-day-0
+    # while a is quiet, so a's day 0 closes by TIMEOUT mid-stream.
+    for day in (0, 1, 2):
+        append_file(day_rows[day])
+    got1 = run_phase()
+    a_day0 = ("a", base.date())
+    assert a_day0 in got1, "a's day 0 was not closed by the timeout"
+    assert got1[a_day0] == batch[a_day0]
+
+    # phase 2: a returns (days 3/4) + two sentinels to flush open days;
+    # restart from the checkpoint resumes the carried (p2, minp2).
+    for day in (3, 4):
+        append_file(day_rows[day])
+    for i, days in enumerate((6, 8)):
+        append_file(
+            [
+                (
+                    -9000 - i,
+                    base + dt.timedelta(days=days),
+                    -1,
+                    "sentinel",
+                    0.0,
+                    "{}",
+                )
+            ]
+        )
+    got = run_phase()  # file sink accumulates: phase 1 + phase 2 rows
+    assert got == batch
+
+
 def test_stateful_heavy_hitters_guarantees(spark, tmp_path):
     """Streaming Misra-Gries differential: replay sf0.001 events in
     multiple micro-batches, take each shard's FINAL snapshot, merge the

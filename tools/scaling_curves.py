@@ -73,7 +73,18 @@ def heavy_from_bench(
     if not os.path.exists(p):
         return []
     bench = json.load(open(p))["queries"]
-    return sorted(k for k, v in bench.items() if v > threshold)
+    # Intersect with the live registry: a renamed/deleted query still
+    # present in a stale artifact must not KeyError the whole sweep
+    # (the companion audit test already filters this way).
+    registered = set(entrymod.queries())
+    skipped = sorted(
+        k for k, v in bench.items() if v > threshold and k not in registered
+    )
+    if skipped:
+        print(f"heavy_from_bench: skipping unregistered names {skipped}")
+    return sorted(
+        k for k, v in bench.items() if v > threshold and k in registered
+    )
 
 
 def materialize(df) -> None:
