@@ -1685,3 +1685,191 @@ def _probe_scd2_merge(spark: SparkSession, sf_dir: str) -> int:
         .filter(F.unix_timestamp("ts") >= F.col("cutoff"))
         .count()
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt double-exponential smoothing over daily volumes (integer fixed-point)
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale for the Holt level/trend state (2^20): large enough
+#: that DIV-2 smoothing keeps ~6 decimal digits of precision on daily
+#: counts, small enough that level ~ S * n stays far below int64.
+_HOLT_S = 1 << 20
+
+
+def _tdiv2(a: int) -> int:
+    """Integer division by 2 TRUNCATING toward zero — matching DuckDB's
+    ``//`` on negatives (-7//2 = -3 there, -4 in Python), so the trend
+    component (which goes negative on declining series) folds
+    bit-identically in both engines."""
+    return a // 2 if a >= 0 else -((-a) // 2)
+
+
+def _holt_oracle() -> str:
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY CAST(ts AS DATE)) AS BIGINT)
+               AS rn
+      FROM events GROUP BY 1, 2
+    ),
+    holt(event_type, rn, day, n, lvl, trd) AS (
+      SELECT event_type, rn, day, n,
+             n * {_HOLT_S}, CAST(0 AS BIGINT)
+      FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.rn, d.day, d.n,
+             (d.n * {_HOLT_S} + h.lvl + h.trd) // 2,
+             ((((d.n * {_HOLT_S} + h.lvl + h.trd) // 2) - h.lvl) + h.trd)
+               // 2
+      FROM holt h
+      JOIN daily d ON d.event_type = h.event_type AND d.rn = h.rn + 1
+    )
+    SELECT event_type, day, n,
+           lvl AS level_fp, trd AS trend_fp,
+           lag(lvl + trd) OVER (PARTITION BY event_type ORDER BY rn)
+             AS forecast_fp
+    FROM holt
+    """
+
+
+@register(
+    "ts_holt_smoothing_daily",
+    oracle=_holt_oracle(),
+    tags=("TS", "ITER"),
+)
+def ts_holt_smoothing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend, alpha = beta =
+    1/2) over daily event volumes per type — the classic short-horizon
+    forecaster for capacity planning: `forecast_fp` is yesterday's
+    level+trend, i.e. what today SHOULD have been, so (n*S -
+    forecast_fp) is the surprise the alerting layer thresholds.
+    Complements the repo's detector family: MAD judges one day alone,
+    CUSUM accumulates a level SHIFT, Holt tracks a moving TREND.
+
+    Exactness: the recursion runs in int64 fixed-point (scale 2^20,
+    DIV-2 smoothing) with division truncating toward zero in BOTH
+    engines (DuckDB's `//` truncates on negatives; the Python fold
+    mirrors it via _tdiv2), so the iterative float algorithm is
+    hash-exact against an actual RECURSIVE CTE — unlike the unrolled
+    fixed-round oracles (PageRank, k-truss), this one recurses to
+    data-dependent depth.
+
+    Scale shape: the fold runs over the |types x days| DAILY SUMMARY
+    (one shuffle: the groupBy), never the raw events; each key's series
+    is bounded by the calendar, so the per-key sequential applyInPandas
+    fold is O(days) on an aggregate-sized frame.  The smoothing itself
+    is inherently order-sequential — this is the honest minimal
+    materialization for it (same discipline as the streaming EWMA
+    twin, streaming/stateful.py)."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    schema = (
+        "event_type string, day date, n long, "
+        "level_fp long, trend_fp long, forecast_fp long"
+    )
+
+    def holt_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        lvls, trds, fcs = [], [], []
+        lvl = trd = 0
+        for i, n in enumerate(pdf["n"]):
+            n = int(n)
+            if i == 0:
+                lvl, trd, fc = n * _HOLT_S, 0, None
+            else:
+                fc = lvl + trd
+                new_lvl = _tdiv2(n * _HOLT_S + lvl + trd)
+                trd = _tdiv2((new_lvl - lvl) + trd)
+                lvl = new_lvl
+            lvls.append(lvl)
+            trds.append(trd)
+            fcs.append(fc)
+        out = pdf[["event_type", "day", "n"]].copy()
+        out["level_fp"] = pd.Series(lvls, dtype="int64")
+        out["trend_fp"] = pd.Series(trds, dtype="int64")
+        out["forecast_fp"] = pd.Series(fcs, dtype="object")
+        return out
+
+    return daily.groupBy("event_type").applyInPandas(holt_fold, schema)
+
+
+# ---------------------------------------------------------------------------
+# Trend momentum: today vs the trailing-week median, top movers
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trend_momentum_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    trail AS (
+      SELECT event_type, day, n,
+             CAST(2 * median(n) OVER w AS BIGINT) AS med2_trail,
+             count(*) OVER w AS n_trail
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day, n, med2_trail,
+           CAST(2 * n - med2_trail AS BIGINT) AS momentum2
+    FROM trail WHERE n_trail = 7
+    ORDER BY momentum2 DESC, event_type, day LIMIT 20
+    """,
+    tags=("TS",),
+)
+def trend_momentum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 trending (event_type, day) cells: each day's volume
+    against its own trailing-week median (rows -7..-1, full windows
+    only), ranked by the doubled-integer excess — the "what spiked
+    today relative to ITS OWN recent normal" feed a trending/alerts
+    panel reads, robust to per-type scale differences because the
+    baseline is per-type.
+
+    Exactness: the trailing median over exactly 7 rows is the middle
+    element — integer-valued — so med2 = 2*median is exact int64 in
+    both engines (the repo's standard doubled-count discipline); no
+    float comparison anywhere.  Plan: one shuffle for the daily
+    rollup, one window over the |types x days| summary, top-20 lowers
+    to TakeOrderedAndProject."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    trail = daily.select(
+        "event_type",
+        "day",
+        "n",
+        (2 * F.expr("percentile(n, 0.5)").over(w)).cast("long").alias(
+            "med2_trail"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_trail"),
+    )
+    return (
+        trail.filter(F.col("n_trail") == 7)
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "med2_trail",
+            (2 * F.col("n") - F.col("med2_trail")).alias("momentum2"),
+        )
+        .orderBy(F.desc("momentum2"), "event_type", "day")
+        .limit(20)
+    )

@@ -29,8 +29,8 @@ _SUPP_OFF = 10_000_000  # offsets supplier ids into a disjoint node range
 #: Above this edge count the k-truss support kernel stops broadcasting
 #: the adjacency frames and falls back to shuffle hash joins (both
 #: paths produce identical rows — forced-path differential in
-#: tests/test_graph.py keeps the 100 TB branch from rotting as dead
-#: code at fixture scale).
+#: tests/test_forced_paths.py keeps the 100 TB branch from rotting as
+#: dead code at fixture scale).
 TRUSS_BROADCAST_MAX_EDGES = 2_500_000
 
 
@@ -1299,3 +1299,126 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes",
         F.sum("n_nodes").over(w).cast("long").alias("n_nodes_at_least"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Neighborhood function: reachable pairs within r hops (ANF)
+# ---------------------------------------------------------------------------
+
+_ANF_MAX_R = 3
+
+
+def _neighborhood_oracle() -> str:
+    from .dedup import _CC_PAIRS_SQL
+
+    frontier = []
+    prev = "r1"
+    for r in range(2, _ANF_MAX_R + 1):
+        frontier.append(
+            f"""r{r} AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT u, v FROM {prev}
+        UNION ALL
+        SELECT a.u, e.v FROM {prev} a JOIN sym e ON a.v = e.u
+        WHERE a.u <> e.v
+      ))"""
+        )
+        prev = f"r{r}"
+    joined = ",\n    ".join(frontier)
+    unions = "\n    UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS r, CAST(count(*) AS BIGINT)"
+        f" AS n_pairs FROM r{r}"
+        for r in range(1, _ANF_MAX_R + 1)
+    )
+    return f"""
+    {_CC_PAIRS_SQL},
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    r1 AS (SELECT DISTINCT u, v FROM sym),
+    {joined}
+    {unions}
+    """
+
+
+@register(
+    "graph_neighborhood_function",
+    oracle=_neighborhood_oracle(),
+    tags=("GRAPH", "ITER"),
+)
+def graph_neighborhood_function(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Neighborhood function N(r) of the near-dup graph: ordered node
+    pairs within distance <= r for r = 1..{_ANF_MAX_R} — the
+    effective-diameter / connectivity profile (Palmer et al., "ANF: a
+    fast and scalable tool for data mining in massive graphs").  Read:
+    N(2)/N(1) >> 1 means near-dup clusters chain (A~B~C without A~C),
+    the signal that a pairwise threshold is fragmenting real duplicate
+    groups and component-level dedup (dedup_connected_components) is
+    required.
+
+    EXACT form: the reachable-pair set expands by one frontier join
+    per round, distinct-folded; affordable because reachable sets are
+    bounded by duplicate-cluster size (the invariant the whole dedup
+    family rides — components ARE the clusters).  On a general 100 TB
+    graph the exact pair set is quadratic in component size: swap the
+    distinct pair set for a per-node HyperLogLog register merged each
+    round (HyperBall), identical loop shape, O(|V| log log |V|)
+    state; the exact form here doubles as that sketch's truth, the
+    repo's standard eval pattern.  Each round localCheckpoints
+    (lineage truncation, PLANS.md) and the final result is a 3-row
+    lazy union of aggregates — no driver-side counting."""
+    from .dedup import shared_ngram_pairs
+
+    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    e2 = sym.select(F.col("u").alias("m"), F.col("v").alias("w"))
+    reach = sym.distinct().localCheckpoint(eager=True)
+    out = reach.agg(
+        F.lit(1).cast("long").alias("r"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    for r in range(2, _ANF_MAX_R + 1):
+        grown = reach.join(e2, reach["v"] == e2["m"]).select(
+            "u", F.col("w").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        reach = (
+            reach.unionByName(grown).distinct().localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            reach.agg(
+                F.lit(r).cast("long").alias("r"),
+                F.count(F.lit(1)).alias("n_pairs"),
+            )
+        )
+    return out
+
+
+@register_probe("graph_neighborhood_function")
+def _probe_neighborhood(spark: SparkSession, sf_dir: str) -> int:
+    """Dominant work: the final reachable-pair set (every round's
+    distinct fold is bounded by it)."""
+    from .dedup import shared_ngram_pairs
+
+    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    e2 = sym.select(F.col("u").alias("m"), F.col("v").alias("w"))
+    reach = sym.distinct().localCheckpoint(eager=True)
+    for _ in range(2, _ANF_MAX_R + 1):
+        grown = reach.join(e2, reach["v"] == e2["m"]).select(
+            "u", F.col("w").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        reach = (
+            reach.unionByName(grown).distinct().localCheckpoint(eager=True)
+        )
+    return reach.count()

@@ -214,3 +214,131 @@ def _probe_linkage_clusters(spark: SparkSession, sf_dir: str) -> int:
     construction; the matched subset is what the iterative stage
     actually chews on."""
     return sorted_neighborhood_pairs(spark, sf_dir).count()
+
+
+# ---------------------------------------------------------------------------
+# Blocking-quality eval: reduction ratio + window pairs-completeness
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "linkage_blocking_quality",
+    oracle=f"""
+    WITH {_PAIRS_SQL},
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM customer),
+    blocks AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS bn
+      FROM customer GROUP BY 1, 2
+    ),
+    block_pairs AS (
+      SELECT CAST(sum(bn * (bn - 1) / 2) AS BIGINT) AS n_block_pairs
+      FROM blocks
+    ),
+    true_matches AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_true
+      FROM customer a JOIN customer b
+        ON a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= {_MAX_ED}
+    ),
+    found AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM pairs),
+    cand_counts AS (
+      SELECT CAST(sum(CASE WHEN bn > {_W} THEN {_W} * bn
+                               - ({_W} * ({_W} + 1)) / 2
+                           ELSE bn * (bn - 1) / 2 END) AS BIGINT)
+               AS n_candidates
+      FROM blocks
+    )
+    SELECT b.n_records, bp.n_block_pairs, c.n_candidates,
+           t.n_true, f.n_found,
+           round(1.0 - CAST(c.n_candidates AS DOUBLE) / bp.n_block_pairs,
+                 4) AS reduction_ratio,
+           round(CAST(f.n_found AS DOUBLE) / t.n_true, 4)
+             AS pairs_completeness
+    FROM base b, block_pairs bp, cand_counts c, true_matches t, found f
+    """,
+    tags=("LINK", "EVAL"),
+)
+def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality report for the sorted-neighborhood linkage —
+    the two numbers every ER deployment reads before trusting its
+    blocking scheme (Christen, "Data Matching", ch. 4 eval metrics):
+
+    * reduction ratio: 1 - candidates/block_pairs — how much of the
+      within-block quadratic comparison space the W-window pass skips
+      (candidates per block = W*n - W(W+1)/2, exact, vs n(n-1)/2).
+    * pairs completeness: found/true within blocks — how many of the
+      exhaustive within-block edit-distance matches the window
+      actually catches (misses = true duplicates sorted more than W
+      apart).
+
+    The exhaustive within-block all-pairs truth is the EVAL side only
+    (it is the quadratic this family exists to avoid): customer is a
+    dimension in the replica scheme so it is block-bounded here; at
+    100 TB the same report runs on a per-block sample, the standard
+    audit shape (same discipline as the sim_*_recall_eval family —
+    approximate operator + exact truth on a bounded slice).
+
+    Counting is closed-form where possible: candidate and block-pair
+    counts come from per-block membership counts alone (one rollup),
+    not from materializing pairs."""
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    n_records = c.agg(F.count(F.lit(1)).alias("n_records"))
+    blocks = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    block_pairs = blocks.agg(
+        F.sum(F.expr("bn * (bn - 1) / 2")).cast("long").alias(
+            "n_block_pairs"
+        )
+    )
+    cand = blocks.agg(
+        F.sum(
+            F.when(
+                F.col("bn") > _W,
+                _W * F.col("bn") - (_W * (_W + 1)) // 2,
+            ).otherwise(F.expr("bn * (bn - 1) / 2"))
+        )
+        .cast("long")
+        .alias("n_candidates")
+    )
+    b = c.select(
+        F.col("c_custkey").alias("k2"),
+        F.col("c_name").alias("n2"),
+        "c_nationkey",
+        "c_mktsegment",
+    )
+    true_matches = (
+        c.join(b, ["c_nationkey", "c_mktsegment"])
+        .filter(F.col("c_custkey") < F.col("k2"))
+        .filter(F.levenshtein("c_name", "n2") <= _MAX_ED)
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    found = sorted_neighborhood_pairs(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    return (
+        n_records.crossJoin(F.broadcast(block_pairs))
+        .crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(true_matches))
+        .crossJoin(F.broadcast(found))
+        .select(
+            "n_records",
+            "n_block_pairs",
+            "n_candidates",
+            "n_true",
+            "n_found",
+            F.round(
+                1.0
+                - F.col("n_candidates").cast("double")
+                / F.col("n_block_pairs"),
+                4,
+            ).alias("reduction_ratio"),
+            F.round(
+                F.col("n_found").cast("double") / F.col("n_true"), 4
+            ).alias("pairs_completeness"),
+        )
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -931,4 +931,145 @@ def mm_video_static_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.countDistinct("dhash_hi", "dhash_lo").alias("n_distinct_frames"),
         (F.countDistinct("dhash_hi", "dhash_lo") == 1).alias("is_static"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio silence segmentation: trim bounds + silent-run profile per track
+# ---------------------------------------------------------------------------
+
+_SILENCE_ABS_Q = 2000  # |sample| below this (= |value| < 20) is silence
+
+
+@register(
+    "mm_audio_silence_trim",
+    oracle=f"""
+    WITH samples AS (
+      SELECT user_id,
+             greatest(least(CAST(floor(value * 100) AS BIGINT), 32767),
+                      -32768) AS q,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS idx
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, idx, abs(q) < {_SILENCE_ABS_Q} AS silent,
+             CASE WHEN lag(abs(q) < {_SILENCE_ABS_Q}) OVER w IS NULL
+                    OR (abs(q) < {_SILENCE_ABS_Q})
+                       <> lag(abs(q) < {_SILENCE_ABS_Q}) OVER w
+                  THEN 1 ELSE 0 END AS chg
+      FROM samples
+      WINDOW w AS (PARTITION BY user_id ORDER BY idx)
+    ),
+    runs0 AS (
+      SELECT user_id, silent,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY idx
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ),
+    runs AS (
+      SELECT user_id, run_id, bool_and(silent) AS silent,
+             CAST(count(*) AS BIGINT) AS len
+      FROM runs0 GROUP BY user_id, run_id
+    ),
+    runs_l AS (
+      SELECT *, max(run_id) OVER (PARTITION BY user_id) AS last_run
+      FROM runs
+    )
+    SELECT user_id,
+           CAST(sum(len) AS BIGINT) AS n_samples,
+           CAST(coalesce(sum(len) FILTER (silent), 0) AS BIGINT)
+             AS n_silent,
+           CAST(count(*) FILTER (silent) AS BIGINT) AS n_silent_runs,
+           CAST(coalesce(max(len) FILTER (silent), 0) AS BIGINT)
+             AS longest_silent_run,
+           CAST(coalesce(max(CASE WHEN run_id = 1 AND silent
+                                  THEN len END), 0) AS BIGINT)
+             AS lead_trim,
+           CAST(coalesce(max(CASE WHEN run_id = last_run AND silent
+                                  THEN len END), 0) AS BIGINT)
+             AS tail_trim
+    FROM runs_l GROUP BY user_id
+    """,
+    tags=("MM", "W"),
+)
+def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence segmentation over the PCM-shaped per-user sample stream
+    (same quantization as mm_audio_rms_features): maximal silent runs
+    (|sample| < {_SILENCE_ABS_Q}) found by gaps-and-islands, reduced
+    per track to the silence profile a speech-data pipeline needs —
+    lead/tail TRIM lengths (the silence-trim preprocessing step),
+    silent-run count, longest internal silence (the
+    voice-activity-segmentation signal), and totals.
+
+    Run detection is the classic change-flag prefix-sum — two window
+    functions over ONE exchange on user_id (idx, chg, run_id all ride
+    the same HashPartitioning), then run- and track-level rollups that
+    reuse the same keys; integers and booleans end-to-end, hash-exact.
+    At 100 TB this is the relational form of silence trimming: no
+    per-track Python, no collected waveforms — a 10^8-sample track
+    streams through the window operator (same no-materialize argument
+    as the behavior module's funnels)."""
+    ev = table(spark, sf_dir, "events")
+    q = F.greatest(
+        F.least(F.floor(F.col("value") * 100), F.lit(32767)),
+        F.lit(-32768),
+    ).cast("long")
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    samples = ev.select(
+        "user_id",
+        q.alias("q"),
+        F.row_number().over(w_ts).alias("idx"),
+    )
+    w_idx = Window.partitionBy("user_id").orderBy("idx")
+    silent = F.abs(F.col("q")) < _SILENCE_ABS_Q
+    marked = samples.select(
+        "user_id",
+        "idx",
+        silent.alias("silent"),
+        F.when(
+            F.lag(silent).over(w_idx).isNull()
+            | (silent != F.lag(silent).over(w_idx)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    runs0 = marked.select(
+        "user_id",
+        "silent",
+        F.sum("chg")
+        .over(w_idx.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    runs = runs0.groupBy("user_id", "run_id").agg(
+        F.expr("bool_and(silent)").alias("silent"),
+        F.count(F.lit(1)).alias("len"),
+    )
+    runs_l = runs.withColumn(
+        "last_run", F.max("run_id").over(Window.partitionBy("user_id"))
+    )
+    sil = F.col("silent")
+    return runs_l.groupBy("user_id").agg(
+        F.sum("len").alias("n_samples"),
+        F.coalesce(
+            F.sum(F.when(sil, F.col("len"))), F.lit(0)
+        ).alias("n_silent"),
+        F.count(F.when(sil, F.lit(1))).alias("n_silent_runs"),
+        F.coalesce(
+            F.max(F.when(sil, F.col("len"))), F.lit(0)
+        ).alias("longest_silent_run"),
+        F.coalesce(
+            F.max(F.when((F.col("run_id") == 1) & sil, F.col("len"))),
+            F.lit(0),
+        ).alias("lead_trim"),
+        F.coalesce(
+            F.max(
+                F.when(
+                    (F.col("run_id") == F.col("last_run")) & sil,
+                    F.col("len"),
+                )
+            ),
+            F.lit(0),
+        ).alias("tail_trim"),
     )

@@ -1089,3 +1089,145 @@ def profile_join_cardinality_bound(
             "overestimate_micro"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Privacy screens: k-anonymity / l-diversity over quasi-identifier groups
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5   # group smaller than this re-identifies its members
+_LDIV_L = 3    # fewer distinct sensitive values than this leaks them
+
+
+@register(
+    "privacy_k_anonymity_screen",
+    oracle=f"""
+    WITH grp AS (
+      SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(count(DISTINCT CAST(floor(c_acctbal / 1000)
+                                      AS BIGINT)) AS BIGINT)
+               AS n_balance_bands
+      FROM customer
+      GROUP BY 1, 2
+    )
+    SELECT nationkey, mktsegment, n_members, n_balance_bands,
+           n_members < {_KANON_K} AS violates_k,
+           n_balance_bands < {_LDIV_L} AS violates_l
+    FROM grp
+    """,
+    tags=("DQ", "PRIVACY"),
+)
+def privacy_k_anonymity_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Privacy screen before a customer-derived dataset ships into a
+    training corpus: every quasi-identifier group (nation, market
+    segment) that is either smaller than k={_KANON_K} members
+    (k-anonymity: the combination re-identifies its members) or
+    carries fewer than l={_LDIV_L} distinct sensitive-value bands
+    (l-diversity on the account-balance thousand-band: even an
+    anonymous group leaks the attribute when everyone shares it).
+    Every group is reported WITH its two flags — release passes when
+    no flag is true — so the check is non-vacuous at every scale
+    factor regardless of whether violations exist (the r4/r5
+    0-rows-vs-0-rows lesson).
+
+    Plan: ONE aggregation over the dimension (count + count distinct
+    per group) — the screen is a rollup, not a join; at 100 TB the
+    quasi-identifier cardinality (|nations| x |segments|) bounds the
+    result regardless of row count, and the distinct-count partials
+    combine map-side."""
+    c = table(spark, sf_dir, "customer")
+    grp = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+        ).alias("n_balance_bands"),
+    )
+    return grp.select(
+        "nationkey",
+        "mktsegment",
+        "n_members",
+        "n_balance_bands",
+        (F.col("n_members") < _KANON_K).alias("violates_k"),
+        (F.col("n_balance_bands") < _LDIV_L).alias("violates_l"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# File-compaction plan: greedy prefix-sum packing of docs into targets
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET_CHARS = 200_000  # target output-file payload
+
+
+@register(
+    "layout_compaction_plan",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS run_chars
+      FROM documents
+    ),
+    assigned AS (
+      SELECT source, doc_id, n_chars,
+             (run_chars - 1) // {_COMPACT_TARGET_CHARS} AS file_idx
+      FROM sized
+    )
+    SELECT source, CAST(file_idx AS BIGINT) AS file_idx,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc
+    FROM assigned
+    GROUP BY source, file_idx
+    """,
+    tags=("LAYOUT",),
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: pack each source's documents (in
+    doc_id order) into output files of ~{_COMPACT_TARGET_CHARS} chars
+    by bucketing the running payload prefix-sum — the plan a
+    lakehouse OPTIMIZE/compaction job executes, and the companion to
+    profile_partition_advisor (that query picks the partition COLUMN;
+    this one sizes the FILES within each partition).  Deterministic
+    greedy: file_idx = (prefix_sum - 1) DIV target, so a document
+    always lands in the file its running total crosses into —
+    identical plans on every engine/run, no bin-packing heuristic
+    drift.
+
+    Plan: one window (prefix sum per source — the same exchange the
+    sort-for-locality write would need anyway) + one rollup per
+    (source, file).  An oversized single document still gets its own
+    file (never split), matching compactor behavior."""
+    d = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sized = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("run_chars"),
+    )
+    assigned = sized.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(f"(run_chars - 1) DIV {_COMPACT_TARGET_CHARS}").alias(
+            "file_idx"
+        ),
+    )
+    return assigned.groupBy("source", "file_idx").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

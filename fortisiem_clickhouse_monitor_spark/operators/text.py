@@ -927,3 +927,71 @@ def text_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("vocab_new").over(w).cast("long").alias("vocab_cum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility report per language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokenizer_fertility_by_lang",
+    oracle=r"""
+    WITH per_doc AS (
+      SELECT lang, n_chars,
+             len(string_split_regex(trim(text), '\s+')) AS n_words,
+             len(regexp_extract_all(
+               text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_pieces
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(n_words) AS BIGINT) AS total_words,
+           CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+           round(CAST(sum(n_pieces) AS DOUBLE) / sum(n_words), 4)
+             AS fertility,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_pieces), 4)
+             AS chars_per_piece
+    FROM per_doc GROUP BY lang
+    """,
+    tags=("TXT", "ML"),
+)
+def text_tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish pieces per whitespace
+    word, and chars per piece — THE tokenizer-equity report a
+    multilingual pretraining run reads (a language with 2x fertility
+    pays 2x the compute per word and fits half the content per
+    context window; it drives both mixture weights and
+    vocabulary-size decisions).
+
+    Builds on the same GPT-2-ish pre-tokenizer regex as
+    text_bpe_token_estimate (that query is per-document; this is the
+    per-language corpus rollup).  Map-side regex + ONE partial-
+    aggregated groupBy on lang — no shuffle carries document text,
+    only the 4-counter summaries."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    pieces = F.regexp_extract_all(
+        "text", F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"), 0
+    )
+    per_doc = d.select(
+        "lang",
+        "n_chars",
+        F.size(words).alias("n_words"),
+        F.size(pieces).alias("n_pieces"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_pieces").cast("long").alias("total_pieces"),
+        F.round(
+            F.sum("n_pieces").cast("double") / F.sum("n_words"), 4
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_pieces"), 4
+        ).alias("chars_per_piece"),
+    )

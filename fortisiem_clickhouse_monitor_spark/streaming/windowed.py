@@ -317,3 +317,92 @@ def streaming_dedup(stream: DataFrame, watermark: str = "10 minutes") -> DataFra
     """Streaming exact dedup on event_id within the watermark horizon —
     bounded state (SURVEY §2.10: `dropDuplicates` + watermark)."""
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Left-outer attribution: every click, matched or provably unmatched
+# ---------------------------------------------------------------------------
+
+
+def attribution_outcomes(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT-OUTER interval join: every click with each same-user
+    purchase in the following 30 minutes, or ONE null-purchase row when
+    no purchase follows — the conversion/no-conversion outcome feed
+    (the inner join above cannot distinguish 'not converted' from 'not
+    yet joined')."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES"))
+    )
+    return c.join(p, cond, "left_outer").select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lag_us"),
+    )
+
+
+@register(
+    "stream_click_attribution_outcomes",
+    oracle=f"""
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))
+             AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND {_DUCK_TS.replace('ts', 'p.ts')} > {_DUCK_TS.replace('ts', 'c.ts')}
+     AND {_DUCK_TS.replace('ts', 'p.ts')} <=
+         {_DUCK_TS.replace('ts', 'c.ts')} + INTERVAL '30 minutes'
+    """,
+    tags=("T", "J-ext"),
+)
+def stream_click_attribution_outcomes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Batch twin of the stream-stream LEFT-OUTER interval join: every
+    click paired with its following-30-min same-user purchases, plus a
+    null-purchase row for clicks that never converted.  The outer side
+    is what makes this a STREAMING-hard operator: an unmatched click is
+    only provably unmatched once the purchase-side watermark passes
+    (click_ts + 30 min), at which point Structured Streaming emits the
+    null row and evicts the state — the batch twin states the target
+    those delayed emissions must converge to, and the differential
+    test (tests/test_streaming.py) replays this exact equivalence.
+
+    Plan shape (batch): one scan split by two filters, hash join on
+    user_id with the time bounds residual — identical to the inner
+    form; the outer-ness adds only null-padding, no extra exchange."""
+    ev = table(spark, sf_dir, "events")
+    return attribution_outcomes(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+def streaming_attribution_outcomes(
+    clicks: DataFrame, purchases: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream LEFT-OUTER join with watermarks on both sides.
+    The event-time bound in the condition is REQUIRED for outer
+    stream-stream joins (Spark rejects the plan without it): it is
+    what lets the engine prove a click unmatched at
+    watermark > click_ts + 30 min and emit the null row with bounded
+    state."""
+    return attribution_outcomes(
+        clicks.withWatermark("ts", watermark),
+        purchases.withWatermark("ts", watermark),
+    )

@@ -346,3 +346,60 @@ def test_streaming_burn_rate_matches_batch(spark, events_stream, events_dir):
     append_rows = set(map(tuple, got_append.collect()))
     assert append_rows
     assert append_rows <= set(map(tuple, batch.collect()))
+
+
+def test_streaming_left_outer_attribution_matches_batch(
+    spark, events_dir, tmp_path_factory
+):
+    """Stream-stream LEFT-OUTER interval join differential: matched
+    rows emit on match; an unmatched click's null-purchase row emits
+    only once the watermark proves no purchase can follow
+    (wm > click_ts + 30 min).  Far-future sentinel click+purchase
+    waves (user_id = -1, excluded from comparison) advance the
+    watermark past every real click's horizon and give the state store
+    batches in which to evict — after which the replay must equal the
+    batch twin row-for-row, nulls included."""
+    import datetime as dtm
+    import shutil
+
+    out = str(tmp_path_factory.mktemp("outer_attrib_events"))
+    for f in sorted(os.listdir(events_dir)):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(events_dir, f), os.path.join(out, f))
+    ev = table(spark, SF_SMALL, "events")
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    for i, days in enumerate((2, 4)):
+        wave = spark.createDataFrame(
+            [
+                (-7000 - 2 * i, mx + dtm.timedelta(days=days), -1,
+                 "click", 0.0, "{}"),
+                (-7001 - 2 * i, mx + dtm.timedelta(days=days), -1,
+                 "purchase", 0.0, "{}"),
+            ],
+            schema=jobs.EVENTS_SCHEMA,
+        )
+        time.sleep(1.1)  # distinct mtime: sentinels arrive LAST, in order
+        wave.coalesce(1).write.mode("append").parquet(out)
+
+    clicks = jobs.events_stream(spark, out).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = jobs.events_stream(spark, out).filter(
+        F.col("event_type") == "purchase"
+    )
+    got = _run_stream_to_memory(
+        spark,
+        windowed.streaming_attribution_outcomes(clicks, purchases),
+        "t_attrib_outer",
+    )
+    got_rows = sorted(
+        map(tuple, got.filter(F.col("user_id") >= 0).collect())
+    )
+    batch = windowed.attribution_outcomes(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    batch_rows = sorted(map(tuple, batch.collect()))
+    assert got_rows == batch_rows
+    # the outer-ness must be exercised: real unmatched clicks exist
+    assert any(r[2] is None for r in batch_rows)
