@@ -27,11 +27,18 @@ _PR_SCALE = 1_000_000  # initial rank per node
 _SUPP_OFF = 10_000_000  # offsets supplier ids into a disjoint node range
 
 #: Above this edge count the k-truss support kernel stops broadcasting
-#: the adjacency frames and falls back to shuffle hash joins (both
+#: the adjacency frames and falls back to SHUFFLED HASH joins (both
 #: paths produce identical rows — forced-path differential in
 #: tests/test_forced_paths.py keeps the 100 TB branch from rotting as
-#: dead code at fixture scale).
-TRUSS_BROADCAST_MAX_EDGES = 2_500_000
+#: dead code at fixture scale).  Sizing: the adjacency payload is
+#: ~2|E| int64s ≈ 16 bytes/edge — 25M edges ≈ 400 MB broadcast, a
+#: normal executor-memory fraction.  The r5 gate (2.5M) was 10x too
+#: conservative: the 20x sweep point (4.3M edges) crossed it and paid
+#: a 31 GB sort-spill on the fallback joins — the entire "20x wall
+#: bend with linear work" VERDICT r5 #4 flagged (measured:
+#: docs/stage_metrics_ktruss_r6.json — 203 MB shuffle/no spill at 10x
+#: vs 4.5 GB shuffle + 22.5/8.4 GB mem/disk spill at 20x).
+TRUSS_BROADCAST_MAX_EDGES = 25_000_000
 
 
 def _pagerank_oracle() -> str:
@@ -1013,6 +1020,13 @@ def _edge_support(edges: DataFrame) -> DataFrame:
     a_v = adj.select(F.col("u").alias("b"), F.col("nbrs").alias("nbrs_b"))
     if e.count() <= TRUSS_BROADCAST_MAX_EDGES:
         a_u, a_v = F.broadcast(a_u), F.broadcast(a_v)
+    else:
+        # Fallback must HASH-join, not sort-merge: SMJ sorts rows
+        # carrying the deg-length nbrs arrays and spills them (the
+        # measured 20x failure mode: 31 GB spill at 4.3M edges).
+        # Hash build sides are the adjacency frames (node-cardinality);
+        # the array payload streams through unsorted.
+        a_u, a_v = a_u.hint("shuffle_hash"), a_v.hint("shuffle_hash")
     return (
         e.join(a_u, "a")
         .join(a_v, "b")

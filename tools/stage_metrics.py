@@ -37,6 +37,8 @@ def run_one(query_name: str, sf_dir: str) -> dict:
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file://{log_dir}")
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
     )
     for k, v in RUNTIME_CONFS.items():
@@ -54,8 +56,13 @@ def run_one(query_name: str, sf_dir: str) -> dict:
     spark.stop()  # flush the event log
 
     stages: dict[int, dict] = {}
-    for fname in os.listdir(log_dir):
-        with open(os.path.join(log_dir, fname)) as fh:
+    # Spark 4 writes a rolling event-log DIRECTORY (eventlog_v2_*)
+    # containing events_* files plus an empty appstatus marker.
+    log_files = []
+    for root, _dirs, files in os.walk(log_dir):
+        log_files += [os.path.join(root, f) for f in files]
+    for fname in sorted(log_files):
+        with open(fname) as fh:
             for line in fh:
                 try:
                     ev = json.loads(line)
