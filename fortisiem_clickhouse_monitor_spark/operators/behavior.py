@@ -1873,3 +1873,72 @@ def trend_momentum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("momentum2"), "event_type", "day")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend: median of pairwise daily slopes per type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trend_theil_sen_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(ts AS DATE) - DATE '1970-01-01' AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             ((b.n - a.n) * 1000000) // (b.d - a.d) AS slope_ppm
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(2 * median(slope_ppm) AS BIGINT) AS med2_slope_ppm
+    FROM slopes GROUP BY event_type
+    """,
+    tags=("TS",),
+)
+def trend_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all
+    pairwise day-to-day slopes of the daily volume series — the
+    estimator that shrugs off the outlier days that wreck the OLS
+    slope (trend_rolling_7d_slope's companion: OLS answers "what is
+    the trend", Theil-Sen answers it when up to 29% of days are
+    garbage).
+
+    Exactness: slopes are integer ppm with DIV truncating toward zero
+    in BOTH engines (Spark `DIV` and DuckDB `//` agree on negatives —
+    no Python in the loop), and the median ships as the repo's
+    standard doubled integer (.5-safe).  The pairwise frame is
+    |days|^2 per type — bounded by the CALENDAR, not the data, so
+    this is genuinely scale-safe: at 100 TB the daily rollup is the
+    only data-sized pass; the self-join runs on the types x days
+    summary."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("datediff(CAST(ts AS DATE), DATE '1970-01-01')").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("n").alias("na"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("d").alias("db"),
+        F.col("n").alias("nb"),
+    )
+    slopes = (
+        a.join(b, (a["event_type"] == b["et_b"]) & (a["da"] < b["db"]))
+        .select(
+            "event_type",
+            F.expr("((nb - na) * 1000000) DIV (db - da)").alias("slope_ppm"),
+        )
+    )
+    return slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (2 * F.expr("percentile(slope_ppm, 0.5)")).cast("long").alias(
+            "med2_slope_ppm"
+        ),
+    )

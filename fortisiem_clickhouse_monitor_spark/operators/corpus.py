@@ -1432,3 +1432,128 @@ def corpus_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("allocated_tokens"),
         F.col("sat").alias("fully_satisfied"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-shaped iterative mixture reweighting (integer fixed point)
+# ---------------------------------------------------------------------------
+
+_DOREMI_ROUNDS = 3
+_DOREMI_SCALE = 1_000_000  # weights sum to ~1e6 after each renorm
+_DOREMI_DAMP = 16          # excess DIV damp -> per-round multiplier
+
+
+def _doremi_oracle() -> str:
+    rounds = []
+    prev = "w0"
+    for r in range(1, _DOREMI_ROUNDS + 1):
+        rounds.append(
+            f"""ref{r} AS (
+      SELECT sum(w.weight * d.mean_milli) // sum(w.weight) AS ref
+      FROM {prev} w JOIN doms d ON d.source = w.source
+    ),
+    up{r} AS (
+      SELECT w.source,
+             w.weight * ({_DOREMI_SCALE}
+               + greatest(least((SELECT ref FROM ref{r}) - d.mean_milli,
+                                {_DOREMI_SCALE} // 4),
+                          -({_DOREMI_SCALE} // 4)) // {_DOREMI_DAMP})
+               // {_DOREMI_SCALE} AS raw
+      FROM {prev} w JOIN doms d ON d.source = w.source
+    ),
+    w{r} AS (
+      SELECT source,
+             raw * {_DOREMI_SCALE} // (SELECT sum(raw) FROM up{r})
+               AS weight
+      FROM up{r}
+    )"""
+        )
+        prev = f"w{r}"
+    joined = ",\n    ".join(rounds)
+    return f"""
+    WITH doms AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             (sum(n_chars) * 1000) // count(*) AS mean_milli
+      FROM documents GROUP BY source
+    ),
+    w0 AS (
+      SELECT source,
+             CAST({_DOREMI_SCALE} // (SELECT count(*) FROM doms)
+                  AS BIGINT) AS weight
+      FROM doms
+    ),
+    {joined}
+    SELECT d.source, d.n_docs,
+           CAST(d.mean_milli AS BIGINT) AS mean_chars_milli,
+           CAST(w.weight AS BIGINT) AS weight_ppm
+    FROM doms d JOIN {prev} w ON w.source = d.source
+    """
+
+
+@register(
+    "corpus_doremi_mixture",
+    oracle=_doremi_oracle(),
+    tags=("SAMPLE", "ML", "ITER"),
+)
+def corpus_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-shaped iterative domain reweighting (Xie et al., "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    start uniform over sources, then for {_DOREMI_ROUNDS} rounds move
+    weight multiplicatively toward domains whose difficulty proxy
+    exceeds the CURRENT-WEIGHTED corpus reference, renormalizing each
+    round.  The reference shifts as the weights shift, so the rounds
+    genuinely interact — this is a fixed-point iteration, not a
+    closed-form reweighting.  (Difficulty proxy here: mean document
+    length in milli-chars, standing in for the proxy-model excess
+    loss the paper trains; the ALGORITHM — weighted reference,
+    clamped multiplicative update, renorm — is the part that must be
+    exact and scale.)
+
+    All integer: means in milli-chars, weights in ppm, excess clamped
+    to ±SCALE/4 then damped by DIV {_DOREMI_DAMP}; Spark `DIV` and
+    DuckDB `//` truncate identically on negatives, so the unrolled
+    CTE twin is hash-exact.  Scale shape: ONE data-sized pass (the
+    per-source rollup); every round then runs on the |sources|-row
+    summary — broadcast-sized by construction, the same
+    aggregate-then-iterate discipline as the water-filling mixture."""
+    d = table(spark, sf_dir, "documents")
+    doms = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("(sum(n_chars) * 1000) DIV count(*)").alias("mean_milli"),
+    ).localCheckpoint(eager=True)
+    n_doms = doms.select(
+        F.count(F.lit(1)).alias("k")
+    )
+    w = doms.crossJoin(F.broadcast(n_doms)).select(
+        "source",
+        F.expr(f"CAST({_DOREMI_SCALE} DIV k AS BIGINT)").alias("weight"),
+    )
+    clamp_hi = _DOREMI_SCALE // 4
+    for _ in range(_DOREMI_ROUNDS):
+        wd = w.join(doms.select("source", "mean_milli"), "source")
+        ref = wd.agg(
+            F.expr("sum(weight * mean_milli) DIV sum(weight)").alias("ref")
+        )
+        up = wd.crossJoin(F.broadcast(ref)).select(
+            "source",
+            F.expr(
+                f"weight * ({_DOREMI_SCALE}"
+                f" + greatest(least(ref - mean_milli, {clamp_hi}),"
+                f" -{clamp_hi}) DIV {_DOREMI_DAMP})"
+                f" DIV {_DOREMI_SCALE}"
+            ).alias("raw"),
+        )
+        tot = up.agg(F.sum("raw").alias("tot"))
+        w = up.crossJoin(F.broadcast(tot)).select(
+            "source",
+            F.expr(f"raw * {_DOREMI_SCALE} DIV tot").alias("weight"),
+        )
+    return (
+        doms.join(w, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.col("mean_milli").cast("long").alias("mean_chars_milli"),
+            F.col("weight").cast("long").alias("weight_ppm"),
+        )
+    )

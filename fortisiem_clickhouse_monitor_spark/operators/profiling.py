@@ -1162,7 +1162,8 @@ def privacy_k_anonymity_screen(
 # File-compaction plan: greedy prefix-sum packing of docs into targets
 # ---------------------------------------------------------------------------
 
-_COMPACT_TARGET_CHARS = 200_000  # target output-file payload
+_COMPACT_TARGET_CHARS = 2_000  # target output-file payload (fixture-sized;
+# a production compactor sets ~128 MB — the plan is the same window)
 
 
 @register(
@@ -1230,4 +1231,152 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map prune eval: sorted vs unsorted column pruning, quantified
+# ---------------------------------------------------------------------------
+
+_ZONE_PROBES = 10
+#: File payload for the prune eval — smaller than the compaction
+#: target so fixture-scale sources still split into several files per
+#: source (one file per source would give zone maps nothing to prune).
+_ZONE_FILE_CHARS = 1_500
+
+
+@register(
+    "layout_zone_map_prune_eval",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, source, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS run_chars
+      FROM documents
+    ),
+    files AS (
+      SELECT source, (run_chars - 1) // {_ZONE_FILE_CHARS} AS file_idx,
+             min(doc_id) AS min_id, max(doc_id) AS max_id,
+             min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      FROM sized GROUP BY 1, 2
+    ),
+    dom AS (
+      SELECT min(doc_id) AS lo_id, max(doc_id) AS hi_id,
+             min(n_chars) AS lo_ch, max(n_chars) AS hi_ch
+      FROM documents
+    ),
+    probes AS (
+      SELECT t.i AS probe_id,
+             d.lo_id + t.i * (d.hi_id - d.lo_id + 1) // {_ZONE_PROBES}
+               AS id_lo,
+             d.lo_id + (t.i + 1) * (d.hi_id - d.lo_id + 1) // {_ZONE_PROBES}
+               - 1 AS id_hi,
+             d.lo_ch + t.i * (d.hi_ch - d.lo_ch + 1) // {_ZONE_PROBES}
+               AS ch_lo,
+             d.lo_ch + (t.i + 1) * (d.hi_ch - d.lo_ch + 1) // {_ZONE_PROBES}
+               - 1 AS ch_hi
+      FROM range({_ZONE_PROBES}) t(i), dom d
+    )
+    SELECT CAST(p.probe_id AS BIGINT) AS probe_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(count(*) FILTER (f.min_id <= p.id_hi
+                                 AND f.max_id >= p.id_lo) AS BIGINT)
+             AS files_hit_by_id,
+           CAST(count(*) FILTER (f.min_chars <= p.ch_hi
+                                 AND f.max_chars >= p.ch_lo) AS BIGINT)
+             AS files_hit_by_chars
+    FROM probes p, files f
+    GROUP BY p.probe_id
+    """,
+    tags=("LAYOUT", "EVAL"),
+)
+def layout_zone_map_prune_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zone-map pruning A/B over the compaction plan's files: for ten
+    equal-width probe ranges, how many files a scan must touch when
+    filtering on the SORT column (doc_id — files are packed in doc_id
+    order, so ranges are disjoint and ~90% prune) versus an UNSORTED
+    column (n_chars — every file spans most of the domain, so zone
+    maps prune almost nothing).  This is the measured version of the
+    advice profile_partition_advisor gives ("sort_or_zorder"): the
+    same min/max file statistics, evaluated against real predicates
+    before anyone rewrites a 100 TB table.
+
+    The file-stat frame is plan-sized (|sources| x |files|) and the
+    probe frame is {_ZONE_PROBES} rows — the eval join is a broadcast
+    nested-loop over metadata, never over data; at any scale this
+    query costs one documents scan (to build the stats) plus
+    aggregate-sized arithmetic."""
+    d = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    files = (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.sum("n_chars").over(w).alias("run_chars"),
+        )
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.expr(f"(run_chars - 1) DIV {_ZONE_FILE_CHARS}").alias(
+                "file_idx"
+            ),
+        )
+        .groupBy("source", "file_idx")
+        .agg(
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+    dom = d.agg(
+        F.min("doc_id").alias("lo_id"),
+        F.max("doc_id").alias("hi_id"),
+        F.min("n_chars").alias("lo_ch"),
+        F.max("n_chars").alias("hi_ch"),
+    )
+    probes = (
+        spark.range(_ZONE_PROBES)
+        .withColumnRenamed("id", "probe_id")
+        .crossJoin(F.broadcast(dom))
+        .select(
+            "probe_id",
+            F.expr(
+                f"lo_id + probe_id * (hi_id - lo_id + 1) DIV {_ZONE_PROBES}"
+            ).alias("id_lo"),
+            F.expr(
+                f"lo_id + (probe_id + 1) * (hi_id - lo_id + 1)"
+                f" DIV {_ZONE_PROBES} - 1"
+            ).alias("id_hi"),
+            F.expr(
+                f"lo_ch + probe_id * (hi_ch - lo_ch + 1) DIV {_ZONE_PROBES}"
+            ).alias("ch_lo"),
+            F.expr(
+                f"lo_ch + (probe_id + 1) * (hi_ch - lo_ch + 1)"
+                f" DIV {_ZONE_PROBES} - 1"
+            ).alias("ch_hi"),
+        )
+    )
+    hit_id = (F.col("min_id") <= F.col("id_hi")) & (
+        F.col("max_id") >= F.col("id_lo")
+    )
+    hit_ch = (F.col("min_chars") <= F.col("ch_hi")) & (
+        F.col("max_chars") >= F.col("ch_lo")
+    )
+    return (
+        files.crossJoin(F.broadcast(probes))
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.count(F.when(hit_id, F.lit(1))).alias("files_hit_by_id"),
+            F.count(F.when(hit_ch, F.lit(1))).alias("files_hit_by_chars"),
+        )
     )

@@ -186,3 +186,93 @@ def test_privacy_screen_flags_planted_small_group(spark, monkeypatch):
     assert got[(1, "A")] == (True, True)  # 2 members, 2 bands
     assert got[(2, "B")] == (False, True)
     assert got[(3, "C")] == (False, False)
+
+
+def test_zone_map_eval_sorted_column_prunes_more(spark):
+    # sf0.01: each source splits into several files (SF_SMALL packs one
+    # file per source, which gives zone maps nothing to prune).
+    rows = prof.layout_zone_map_prune_eval(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    assert len(rows) == prof._ZONE_PROBES
+    tot_id = sum(r["files_hit_by_id"] for r in rows)
+    tot_ch = sum(r["files_hit_by_chars"] for r in rows)
+    n = rows[0]["n_files"]
+    assert all(r["n_files"] == n for r in rows)
+    # the sort column prunes; the unsorted column barely does
+    assert tot_id < tot_ch
+    # per SOURCE the id ranges partition the domain, so that source's
+    # files hit at most (files_in_source + probes - 1) probe slots;
+    # summed over 20 sources: n + 19 * sources is a safe ceiling
+    assert tot_id <= n + 19 * 20
+    assert all(r["files_hit_by_id"] >= 1 for r in rows)
+
+
+def test_theil_sen_ignores_planted_outlier_day(spark, monkeypatch):
+    """Daily counts 10,12,14,16,99,20,22 (slope +2/day, one garbage
+    day): the pairwise-slope median stays 2e6 ppm; an OLS fit would
+    be dragged far off by the 99."""
+    counts = [10, 12, 14, 16, 99, 20, 22]
+    rows, eid = [], 0
+    for day, n in enumerate(counts, start=1):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 8, day), 7, "view", 0.0, "{}"))
+    ev = _events(spark, rows)
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    r = bh.trend_theil_sen_daily(spark, "x").collect()[0]
+    assert r["n_pairs"] == 21
+    assert r["med2_slope_ppm"] == 4_000_000  # 2 * 2e6 ppm
+
+
+def test_doremi_matches_python_fixed_point(spark, monkeypatch):
+    """The distributed rounds must equal the same integer fixed-point
+    iteration run in plain Python (truncating division), and weight
+    must move toward the below-reference (shorter-mean) domain."""
+    import fortisiem_clickhouse_monitor_spark.operators.corpus as corpus
+
+    rows = []
+    did = 0
+    for src, size, k in (("tiny", 40, 30), ("big", 400, 10)):
+        for _ in range(k):
+            did += 1
+            rows.append((did, "x " * (size // 2), "en", src, size))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(corpus, "table", lambda s, d, n: docs)
+    got = {
+        r["source"]: (r["n_docs"], r["mean_chars_milli"], r["weight_ppm"])
+        for r in corpus.corpus_doremi_mixture(spark, "x").collect()
+    }
+
+    S, DAMP, R = (
+        corpus._DOREMI_SCALE,
+        corpus._DOREMI_DAMP,
+        corpus._DOREMI_ROUNDS,
+    )
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    doms = {"tiny": 40 * 1000, "big": 400 * 1000}
+    w = {s: tdiv(S, len(doms)) for s in doms}
+    clamp = S // 4
+    for _ in range(R):
+        ref = tdiv(
+            sum(w[s] * doms[s] for s in doms), sum(w.values())
+        )
+        raw = {
+            s: tdiv(
+                w[s] * (S + tdiv(max(min(ref - doms[s], clamp), -clamp), DAMP)),
+                S,
+            )
+            for s in doms
+        }
+        tot = sum(raw.values())
+        w = {s: tdiv(raw[s] * S, tot) for s in doms}
+    assert got["tiny"] == (30, 40_000, w["tiny"])
+    assert got["big"] == (10, 400_000, w["big"])
+    assert got["tiny"][2] > got["big"][2]  # weight moved to the short domain
+    assert abs(got["tiny"][2] + got["big"][2] - S) <= 2  # renorm holds
