@@ -349,7 +349,7 @@ def test_streaming_burn_rate_matches_batch(spark, events_stream, events_dir):
 
 
 def test_streaming_left_outer_attribution_matches_batch(
-    spark, events_dir, tmp_path_factory
+    spark, tmp_path_factory
 ):
     """Stream-stream LEFT-OUTER interval join differential: matched
     rows emit on match; an unmatched click's null-purchase row emits
@@ -360,13 +360,17 @@ def test_streaming_left_outer_attribution_matches_batch(
     batches in which to evict — after which the replay must equal the
     batch twin row-for-row, nulls included."""
     import datetime as dtm
-    import shutil
 
+    # ONE ts-sorted file for the real data (copying events_dir's parts
+    # loses their mtime ordering — shutil.copy stamps "now" on all of
+    # them, so arrival order goes arbitrary and the watermark can
+    # outrun unread earlier files under load): a single file means one
+    # data batch, then the sentinel files advance the watermark.
     out = str(tmp_path_factory.mktemp("outer_attrib_events"))
-    for f in sorted(os.listdir(events_dir)):
-        if f.endswith(".parquet"):
-            shutil.copy(os.path.join(events_dir, f), os.path.join(out, f))
     ev = table(spark, SF_SMALL, "events")
+    ev.coalesce(1).sortWithinPartitions("ts").write.mode(
+        "overwrite"
+    ).parquet(out)
     mx = ev.agg(F.max("ts")).collect()[0][0]
     for i, days in enumerate((2, 4)):
         wave = spark.createDataFrame(

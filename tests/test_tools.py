@@ -33,14 +33,26 @@ def test_fit_alpha_degenerate_inputs():
 
 
 def test_heavy_from_bench_reads_threshold(tmp_path):
+    """Strict >, sorted — and names absent from the live registry are
+    SKIPPED (ADVICE r5: a stale artifact naming a renamed/deleted
+    query must not KeyError the sweep), so the fake artifact mixes
+    registered names with a phantom."""
     p = tmp_path / "bench.json"
     p.write_text(
         json.dumps(
-            {"queries": {"fast": 0.5, "edge": 2.0, "slow": 2.01, "big": 9.9}}
+            {
+                "queries": {
+                    "q1_pricing_summary": 0.5,           # registered, fast
+                    "topk_users_by_events": 2.0,         # registered, edge
+                    "dedup_connected_components": 2.01,  # registered, heavy
+                    "graph_ktruss_edges": 9.9,           # registered, heavy
+                    "renamed_phantom_query": 99.9,       # NOT registered
+                }
+            }
         )
     )
     got = scaling_curves.heavy_from_bench(str(p), threshold=2.0)
-    assert got == ["big", "slow"]  # strict >, sorted
+    assert got == ["dedup_connected_components", "graph_ktruss_edges"]
 
 
 def test_heavy_from_bench_missing_artifact():
