@@ -276,3 +276,15 @@ def test_doremi_matches_python_fixed_point(spark, monkeypatch):
     assert got["big"] == (10, 400_000, w["big"])
     assert got["tiny"][2] > got["big"][2]  # weight moved to the short domain
     assert abs(got["tiny"][2] + got["big"][2] - S) <= 2  # renorm holds
+
+
+def test_hyperball_estimates_close_on_fixture(spark):
+    """m=512 registers at fixture ball sizes sit in the linear-counting
+    regime, so the HyperBall estimate should land within ~15% of the
+    exact 2-hop ball for every reported node."""
+    rows = graph.graph_anf_hll_eval(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["exact_ball"] >= 2
+        rel = r["abs_err"] / r["exact_ball"]
+        assert rel <= 0.15, (r["node"], r["exact_ball"], r["est_ball"])
