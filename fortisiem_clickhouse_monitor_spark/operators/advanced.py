@@ -1365,3 +1365,217 @@ def trend_rolling_7d_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("slope_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: build, probe, and MEASURE the false-positive rate
+# ---------------------------------------------------------------------------
+
+#: Bloom filter size in bits and number of hash functions.  m is kept
+#: deliberately small so the measured FPR is non-degenerate at fixture
+#: scale (a production filter sizes m ~ 10 bits/key for ~1% FPR).
+_BLOOM_M = 16384
+_BLOOM_K = 3
+
+#: Double hashing (Kirsch-Mitzenmacher): position_i = (h1 + i*h2) % m,
+#: with h1/h2 the first and second 15-hex-char halves of ONE md5 —
+#: one hash invocation per key, k positions, bit-identical in both
+#: engines (same split the hash60 spec uses; max value 2^60, so
+#: h1 + 2*h2 < 2^62 cannot overflow int64).
+_DUCK_H1 = "(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT)"
+_DUCK_H2 = "(('0x' || substr(md5(CAST({key} AS VARCHAR)), 16, 15))::BIGINT)"
+
+
+def _bloom_hashes(key):
+    """(h1, h2) int64 columns from one md5 of the key's string form."""
+    s = key.cast("string")
+    h1 = F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(s), 16, 15), 16, 10).cast("long")
+    return h1, h2
+
+
+@register(
+    "sketch_bloom_fpr_eval",
+    oracle=f"""
+    WITH cutoff AS (
+      SELECT max(l_shipdate) - INTERVAL 180 DAY AS c FROM lineitem
+    ),
+    ins AS (
+      SELECT DISTINCT l_partkey AS key FROM lineitem
+      WHERE l_shipdate >= (SELECT c FROM cutoff)
+    ),
+    ih AS (
+      SELECT key, {_DUCK_H1.format(key="key")} AS h1,
+                  {_DUCK_H2.format(key="key")} AS h2
+      FROM ins
+    ),
+    bits AS (
+      SELECT DISTINCT (h1 + i.i * h2) % {_BLOOM_M} AS pos
+      FROM ih, range(0, {_BLOOM_K}) i(i)
+    ),
+    ph AS (
+      SELECT p_partkey AS key, {_DUCK_H1.format(key="p_partkey")} AS h1,
+             {_DUCK_H2.format(key="p_partkey")} AS h2
+      FROM part
+    ),
+    ppos AS (
+      SELECT key, (h1 + i.i * h2) % {_BLOOM_M} AS pos
+      FROM ph, range(0, {_BLOOM_K}) i(i)
+    ),
+    pos_hits AS (
+      SELECT key, count(*) AS hits
+      FROM ppos JOIN bits USING (pos) GROUP BY key
+    ),
+    probes AS (
+      SELECT p.key,
+             coalesce(h.hits, 0) = {_BLOOM_K} AS bloom_pos,
+             ins.key IS NOT NULL AS member
+      FROM ph p
+      LEFT JOIN pos_hits h ON h.key = p.key
+      LEFT JOIN ins ON ins.key = p.key
+    ),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bits_set FROM bits),
+    ni AS (SELECT CAST(count(*) AS BIGINT) AS n_inserted FROM ins),
+    ag AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_probes,
+             CAST(sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_positive,
+             CAST(sum(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_members,
+             CAST(sum(CASE WHEN bloom_pos AND NOT member THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_false_positive,
+             CAST(sum(CASE WHEN member AND NOT bloom_pos THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_false_negative
+      FROM probes
+    )
+    SELECT ni.n_inserted, nb.n_bits_set,
+           round(CAST(nb.n_bits_set AS DOUBLE) / {_BLOOM_M}, 6)
+             AS fill_ratio,
+           ag.n_probes, ag.n_bloom_positive, ag.n_true_members,
+           ag.n_false_positive, ag.n_false_negative,
+           round(CAST(ag.n_false_positive AS DOUBLE)
+                 / (ag.n_probes - ag.n_true_members), 6) AS measured_fpr,
+           round((CAST(nb.n_bits_set AS DOUBLE) / {_BLOOM_M})
+                 * (CAST(nb.n_bits_set AS DOUBLE) / {_BLOOM_M})
+                 * (CAST(nb.n_bits_set AS DOUBLE) / {_BLOOM_M}), 6)
+             AS predicted_fpr
+    FROM ni, nb, ag
+    """,
+    tags=("A-ext", "SKETCH", "EVAL"),
+)
+def sketch_bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter build + probe + measured-vs-predicted FPR report.
+
+    The filter over "parts shipped in the trailing 180 days" is built
+    RELATIONALLY: each key contributes k = 3 bit positions via double
+    hashing (one md5 per key, split into two 60-bit halves — the
+    hash60 trick extended), and the filter IS the distinct set of set
+    positions (<= m = 16384 rows, kilobytes).  That representation is
+    mergeable exactly like the HLL registers: per-partition position
+    sets union with a plain distinct, so at 100 TB the build is one
+    map-side pass over new data and the probe side broadcasts a
+    bitset-sized frame — the measured companion to
+    join_bloom_semi_prune, which USES a filter this op AUDITS.
+
+    A probe is positive iff all k of its positions are set (the join
+    back counts position hits per key; k rows == k hits).  The report
+    pins the two numbers a deployment reads: measured FPR against the
+    exact membership truth, and the fill-ratio prediction r^k — plus
+    n_false_negative, which the structure guarantees is ZERO (a live
+    invariant, not an assumption: the oracle computes it too).
+
+    The 180-day cutoff is data-derived (max shipdate), so the report
+    is non-degenerate at every scale factor."""
+    li = table(spark, sf_dir, "lineitem")
+    cutoff = li.agg(
+        F.date_sub(F.max("l_shipdate"), 180).alias("c")
+    )
+    ins = (
+        li.join(F.broadcast(cutoff))
+        .filter(F.col("l_shipdate") >= F.col("c"))
+        .select(F.col("l_partkey").alias("key"))
+        .distinct()
+    )
+    ih1, ih2 = _bloom_hashes(F.col("key"))
+    i = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))).alias("i")
+    bits = (
+        ins.select("key", ih1.alias("h1"), ih2.alias("h2"))
+        .select("h1", "h2", i)
+        .select(
+            F.pmod(F.col("h1") + F.col("i") * F.col("h2"), F.lit(_BLOOM_M))
+            .alias("pos")
+        )
+        .distinct()
+    )
+    ph1, ph2 = _bloom_hashes(F.col("p_partkey"))
+    ph = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"), ph1.alias("h1"), ph2.alias("h2")
+    )
+    ppos = ph.select("key", "h1", "h2", i).select(
+        "key",
+        F.pmod(F.col("h1") + F.col("i") * F.col("h2"), F.lit(_BLOOM_M))
+        .alias("pos"),
+    )
+    pos_hits = (
+        ppos.join(F.broadcast(bits), "pos")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    probes = (
+        ph.select("key")
+        .join(pos_hits, "key", "left")
+        .join(
+            F.broadcast(ins.select("key", F.lit(True).alias("member"))),
+            "key",
+            "left",
+        )
+        .select(
+            "key",
+            (F.coalesce(F.col("hits"), F.lit(0)) == _BLOOM_K).alias(
+                "bloom_pos"
+            ),
+            F.coalesce(F.col("member"), F.lit(False)).alias("member"),
+        )
+    )
+    nb = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    ni = ins.agg(F.count(F.lit(1)).alias("n_inserted"))
+    ag = probes.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("bloom_pos"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_bloom_positive"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_true_members"),
+        F.sum(
+            F.when(F.col("bloom_pos") & ~F.col("member"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_positive"),
+        F.sum(
+            F.when(F.col("member") & ~F.col("bloom_pos"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_negative"),
+    )
+    r = F.col("n_bits_set").cast("double") / F.lit(_BLOOM_M)
+    return (
+        ni.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(ag))
+        .select(
+            "n_inserted",
+            "n_bits_set",
+            F.round(r, 6).alias("fill_ratio"),
+            "n_probes",
+            "n_bloom_positive",
+            "n_true_members",
+            "n_false_positive",
+            "n_false_negative",
+            F.round(
+                F.col("n_false_positive").cast("double")
+                / (F.col("n_probes") - F.col("n_true_members")),
+                6,
+            ).alias("measured_fpr"),
+            F.round(r * r * r, 6).alias("predicted_fpr"),
+        )
+    )

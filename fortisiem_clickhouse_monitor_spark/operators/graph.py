@@ -1640,3 +1640,140 @@ def graph_anf_hll_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs_err"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: neighbor-set Jaccard (capped), completing the family
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_neighbors_oracle() -> str:
+    from .dedup import _CC_PAIRS_SQL
+
+    return f"""
+    {_CC_PAIRS_SQL},
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, count(*) AS d FROM sym GROUP BY u),
+    kept AS (
+      SELECT s.u, s.v FROM sym s JOIN deg ON deg.u = s.u
+      WHERE deg.d <= {_CN_DEG_CAP}
+    ),
+    ndeg AS (SELECT v, CAST(count(*) AS BIGINT) AS nd FROM kept GROUP BY v),
+    wedges AS (
+      SELECT a.v AS x, b.v AS y
+      FROM kept a JOIN kept b ON a.u = b.u AND a.v < b.v
+    ),
+    counts AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS common FROM wedges GROUP BY x, y
+    ),
+    scored AS (
+      SELECT c.x, c.y, c.common,
+             dx.nd + dy.nd - c.common AS union_size,
+             round(CAST(c.common AS DOUBLE)
+                   / (dx.nd + dy.nd - c.common), 6) AS jaccard
+      FROM counts c
+      JOIN ndeg dx ON dx.v = c.x
+      JOIN ndeg dy ON dy.v = c.y
+    ),
+    nonedges AS (
+      SELECT s.* FROM scored s
+      LEFT JOIN pairs p ON p.doc_a = s.x AND p.doc_b = s.y
+      WHERE p.doc_a IS NULL
+    )
+    SELECT x AS doc_a, y AS doc_b, common AS common_neighbors,
+           union_size, jaccard
+    FROM nonedges
+    ORDER BY jaccard DESC, common DESC, x, y LIMIT 20
+    """
+
+
+@register(
+    "graph_jaccard_neighbors_top20",
+    oracle=_jaccard_neighbors_oracle(),
+    tags=("graph",),
+)
+def graph_jaccard_neighbors_top20(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Neighbor-set Jaccard link prediction (Liben-Nowell & Kleinberg's
+    third classic score, completing the family next to raw common
+    neighbors and Adamic-Adar): for non-adjacent pairs,
+    |N(x) ∩ N(y)| / |N(x) ∪ N(y)| — normalizing by the union demotes
+    high-degree nodes that share many neighbors merely because they
+    have many neighbors, which raw counts over-rank.
+
+    Runs on the SAME degree-capped wedge frame as
+    graph_common_neighbors_capped (middles of degree <= {_CN_DEG_CAP}
+    only, so wedge count stays <= 2*cap*|E| — linear in edges), with
+    neighbor-set sizes measured consistently in the capped subgraph
+    (kept-middle neighbors per endpoint: one extra groupBy on the kept
+    adjacency, no new join shape).  The intersection count, both set
+    sizes, and the union are exact integers; the single final division
+    is the only double, so the DuckDB twin hash-matches.  Ordering is
+    by the rounded score with (common, ids) tiebreaks — deterministic
+    in both engines."""
+    from .dedup import shared_ngram_pairs
+
+    pairs = (
+        shared_ngram_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    kept = sym.join(
+        F.broadcast(deg.filter(F.col("d") <= _CN_DEG_CAP).select("u")), "u"
+    )
+    ndeg = kept.groupBy("v").agg(F.count(F.lit(1)).alias("nd"))
+    a, b = kept.alias("a"), kept.alias("b")
+    counts = (
+        a.join(
+            b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v"))
+        )
+        .select(F.col("a.v").alias("x"), F.col("b.v").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    dx = ndeg.select(F.col("v").alias("x"), F.col("nd").alias("ndx"))
+    dy = ndeg.select(F.col("v").alias("y"), F.col("nd").alias("ndy"))
+    scored = (
+        counts.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            "x",
+            "y",
+            "common",
+            (F.col("ndx") + F.col("ndy") - F.col("common")).alias(
+                "union_size"
+            ),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("ndx") + F.col("ndy") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    nonedges = scored.join(
+        pairs,
+        (scored["x"] == pairs["doc_a"]) & (scored["y"] == pairs["doc_b"]),
+        "left_anti",
+    )
+    return (
+        nonedges.select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            F.col("common").alias("common_neighbors"),
+            "union_size",
+            "jaccard",
+        )
+        .orderBy(F.desc("jaccard"), F.desc("common_neighbors"), "doc_a", "doc_b")
+        .limit(20)
+    )

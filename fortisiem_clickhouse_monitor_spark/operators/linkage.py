@@ -62,13 +62,12 @@ _PAIRS_SQL = f"""
 """
 
 
-def sorted_neighborhood_pairs(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """(custkey_a, custkey_b, name_a, name_b, edit_distance) — the
-    matched pairs of the sorted-neighborhood pass.  Shared by both
-    registered queries so the clustering oracle and the pair oracle
-    state the same candidate set."""
+def neighbor_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL W*n sorted-neighborhood candidate pairs with their edit
+    distance — the unfiltered comparison space.  The deterministic
+    pairs (edit distance <= _MAX_ED) are a filter on this frame; the
+    Fellegi-Sunter scorer consumes it whole (probabilistic linkage
+    scores every candidate, it does not pre-threshold)."""
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
@@ -101,7 +100,19 @@ def sorted_neighborhood_pairs(
         F.levenshtein("name_a", F.col("nb.n")).cast("long").alias(
             "edit_distance"
         ),
-    ).filter(F.col("edit_distance") <= _MAX_ED)
+    )
+
+
+def sorted_neighborhood_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(custkey_a, custkey_b, name_a, name_b, edit_distance) — the
+    matched pairs of the sorted-neighborhood pass.  Shared by both
+    registered queries so the clustering oracle and the pair oracle
+    state the same candidate set."""
+    return neighbor_candidates(spark, sf_dir).filter(
+        F.col("edit_distance") <= _MAX_ED
+    )
 
 
 @register(
@@ -341,4 +352,159 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_found").cast("double") / F.col("n_true"), 4
             ).alias("pairs_completeness"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic scoring over the candidate space
+# ---------------------------------------------------------------------------
+
+#: Agreement/disagreement weights in integer MILLI-NATS
+#: (round(ln(m/u) * 1000) etc.), so candidate scores stay exact BIGINT
+#: sums per the repo's integer-arithmetic discipline.  m/u values are
+#: fixed literals here; production estimates them with EM over the
+#: candidate agreement patterns (Winkler) — the scoring algebra is
+#: identical either way.
+_FS_NAME_A, _FS_NAME_D = 2944, -2944  # m=0.95, u=0.05
+_FS_BAND_A, _FS_BAND_D = 2185, -1515  # m=0.80, u=0.09 (11 bands)
+_FS_BAL_A, _FS_BAL_D = 1946, -1099  # m=0.70, u=0.10
+
+#: |acctbal difference| (in cents) under which balances "agree".
+_FS_BAL_CENTS = 50000
+
+#: Decision thresholds (milli-nats): total >= upper => match,
+#: >= lower => possible (clerical review), else non-match.
+_FS_UPPER, _FS_LOWER = 4000, 0
+
+
+@register(
+    "linkage_fellegi_sunter_scores",
+    oracle=f"""
+    WITH led AS (
+      SELECT c_custkey, c_name, {_DUCK_LEADS}
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment
+                   ORDER BY c_name, c_custkey)
+    ),
+    cand AS ({_DUCK_CAND}),
+    attrs AS (
+      SELECT c_custkey,
+             CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+      FROM customer
+    ),
+    scored AS (
+      SELECT c.custkey_a, c.custkey_b,
+             CASE WHEN levenshtein(c.name_a, c.name_b) <= {_MAX_ED}
+                  THEN 1 ELSE 0 END AS name_agree,
+             CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS band_agree,
+             CASE WHEN abs(a.cents - b.cents) <= {_FS_BAL_CENTS}
+                  THEN 1 ELSE 0 END AS bal_agree
+      FROM cand c
+      JOIN attrs a ON a.c_custkey = c.custkey_a
+      JOIN attrs b ON b.c_custkey = c.custkey_b
+    ),
+    weighted AS (
+      SELECT *,
+             CAST(CASE WHEN name_agree = 1 THEN {_FS_NAME_A}
+                       ELSE {_FS_NAME_D} END
+                + CASE WHEN band_agree = 1 THEN {_FS_BAND_A}
+                       ELSE {_FS_BAND_D} END
+                + CASE WHEN bal_agree = 1 THEN {_FS_BAL_A}
+                       ELSE {_FS_BAL_D} END AS BIGINT) AS score_milli
+      FROM scored
+    )
+    SELECT custkey_a, custkey_b,
+           CAST(name_agree AS BIGINT) AS name_agree,
+           CAST(band_agree AS BIGINT) AS band_agree,
+           CAST(bal_agree AS BIGINT) AS bal_agree,
+           score_milli,
+           CASE WHEN score_milli >= {_FS_UPPER} THEN 'match'
+                WHEN score_milli >= {_FS_LOWER} THEN 'possible'
+                ELSE 'non-match' END AS decision
+    FROM weighted
+    """,
+    tags=("LINK",),
+)
+def linkage_fellegi_sunter_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage scoring: every
+    sorted-neighborhood candidate pair gets an agreement vector over
+    three comparators (fuzzy name; account-balance BAND — the coarse
+    categorical form; account-balance proximity — the fine form), each field contributes its log-likelihood weight
+    ln(m/u) on agreement or ln((1-m)/(1-u)) on disagreement, and the
+    summed score classifies the pair match / possible / non-match —
+    the 1969 decision model every serious ER system still runs
+    underneath its blocking.
+
+    Weights are integer milli-nats so scores are exact BIGINT sums
+    (no float summation anywhere); m/u are documented literals (EM
+    estimation is an offline concern — at 100 TB it runs on a sample
+    of this very candidate frame).  The comparison space stays the
+    linear W*n sorted-neighborhood frame; attribute lookup is two
+    joins against the customer dim, both broadcast.  Fields absent
+    from the block key carry the discrimination (block-key fields
+    would agree identically on every candidate and weight nothing);
+    layering the SAME attribute at two resolutions (band + proximity)
+    is standard FS practice, with the usual caveat that the naive-
+    Bayes independence assumption is violated between them — the
+    thresholds absorb that in practice."""
+    cand = neighbor_candidates(spark, sf_dir).select(
+        "custkey_a", "custkey_b", "edit_distance"
+    )
+    attrs = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("band"),
+    )
+    a = attrs.select(
+        F.col("k").alias("custkey_a"),
+        F.col("band").alias("band_a"),
+        F.col("cents").alias("cents_a"),
+    )
+    b = attrs.select(
+        F.col("k").alias("custkey_b"),
+        F.col("band").alias("band_b"),
+        F.col("cents").alias("cents_b"),
+    )
+    scored = (
+        cand.join(F.broadcast(a), "custkey_a")
+        .join(F.broadcast(b), "custkey_b")
+        .select(
+            "custkey_a",
+            "custkey_b",
+            F.when(F.col("edit_distance") <= _MAX_ED, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("name_agree"),
+            F.when(F.col("band_a") == F.col("band_b"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("band_agree"),
+            F.when(
+                F.abs(F.col("cents_a") - F.col("cents_b")) <= _FS_BAL_CENTS,
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("bal_agree"),
+        )
+    )
+    score = (
+        F.when(F.col("name_agree") == 1, F.lit(_FS_NAME_A)).otherwise(
+            F.lit(_FS_NAME_D)
+        )
+        + F.when(F.col("band_agree") == 1, F.lit(_FS_BAND_A)).otherwise(
+            F.lit(_FS_BAND_D)
+        )
+        + F.when(F.col("bal_agree") == 1, F.lit(_FS_BAL_A)).otherwise(
+            F.lit(_FS_BAL_D)
+        )
+    ).cast("long")
+    return scored.withColumn("score_milli", score).withColumn(
+        "decision",
+        F.when(F.col("score_milli") >= _FS_UPPER, "match")
+        .when(F.col("score_milli") >= _FS_LOWER, "possible")
+        .otherwise("non-match"),
     )
