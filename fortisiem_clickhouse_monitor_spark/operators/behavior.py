@@ -1942,3 +1942,109 @@ def trend_theil_sen_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "med2_slope_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort value curve (LTV): cumulative value per user by cohort age
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_cohort_value_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM firsts GROUP BY cohort_week
+    ),
+    weekly AS (
+      SELECT f.cohort_week,
+             datediff('week', f.cohort_week, date_trunc('week', e.ts))
+               AS week_offset,
+             CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS week_value_cents
+      FROM events e JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_week, week_offset, week_value_cents,
+             CAST(sum(week_value_cents) OVER (
+               PARTITION BY cohort_week ORDER BY week_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_value_cents
+      FROM weekly
+    )
+    SELECT CAST(c.cohort_week AS TIMESTAMP) AS cohort_week,
+           c.week_offset, s.cohort_users,
+           c.week_value_cents, c.cum_value_cents,
+           round(CAST(c.cum_value_cents AS DOUBLE) / s.cohort_users, 4)
+             AS cum_cents_per_user
+    FROM cum c JOIN sizes s USING (cohort_week)
+    """,
+    tags=("BEHAV",),
+)
+def behavior_cohort_value_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohort VALUE curve (the LTV companion to the retention
+    triangle): users grouped by first-event week; for each cohort age
+    in weeks, the cohort's value that week, the running cumulative,
+    and cumulative cents per cohort member — the curve a growth team
+    reads to see whether later cohorts monetize faster.
+
+    Same scale shape as retention_weekly_cohorts: cohort assignment is
+    a window min over the ONE user_id exchange, weekly sums aggregate
+    onto the cohorts x weeks grid (tiny at any scale), and the
+    cumulative is a window over that grid — never over events.  Value
+    is exact centi-unit BIGINT end to end (floor(value*100) per event,
+    integer sums); the single per-user division happens once per
+    output row.  Ages with zero activity simply don't appear — the
+    cumulative stays correct because the window orders by observed
+    offsets (a calendar gap-fill belongs to presentation, cf.
+    timeseries_gap_fill_daily)."""
+    e = table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id")
+    assigned = e.withColumn(
+        "cohort_week", F.date_trunc("week", F.min("ts").over(w))
+    ).select(
+        "user_id",
+        "cohort_week",
+        F.floor(
+            F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+            / 7
+        )
+        .cast("long")
+        .alias("week_offset"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    sizes = (
+        assigned.select("user_id", "cohort_week")
+        .distinct()
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).alias("cohort_users"))
+    )
+    weekly = assigned.groupBy("cohort_week", "week_offset").agg(
+        F.sum("cents").alias("week_value_cents")
+    )
+    cw = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = weekly.withColumn(
+        "cum_value_cents", F.sum("week_value_cents").over(cw).cast("long")
+    )
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "cohort_users",
+        "week_value_cents",
+        "cum_value_cents",
+        F.round(
+            F.col("cum_value_cents").cast("double") / F.col("cohort_users"),
+            4,
+        ).alias("cum_cents_per_user"),
+    )

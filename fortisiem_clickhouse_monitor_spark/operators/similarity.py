@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors
@@ -1875,4 +1875,79 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("adist") / grid2, 6).alias("adc_dist"),
             F.round(F.col("edist") / grid2, 6).alias("exact_dist"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MIPS retrieval: top-k by raw inner product, skew-safe two-phase top-k
+# ---------------------------------------------------------------------------
+
+_MIPS_NQ = 5  # query vectors: vec_id 0.._MIPS_NQ-1
+_MIPS_K = 3
+_MIPS_SALT = 16
+
+
+@register(
+    "sim_mips_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < {_MIPS_NQ}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id, e.label,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qe), 6) AS ip
+      FROM embeddings e, q
+      WHERE e.vec_id >= {_MIPS_NQ}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ip DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, label, ip, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_MIPS_K}
+    """,
+    tags=("ANN",),
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product retrieval (MIPS): top-{_MIPS_K} index
+    vectors by RAW dot product for each of {_MIPS_NQ} query vectors —
+    the recommendation/reranking semantics where magnitude matters
+    (cosine deliberately throws it away; a popular item's long vector
+    SHOULD outrank an obscure near-parallel one).
+
+    The plan demonstrates the skew-safe per-group top-k shape: with a
+    handful of queries and a huge index, ranking directly over
+    partitionBy(query_id) funnels the whole scored frame into
+    {_MIPS_NQ} hot partitions.  Instead phase 1 ranks within
+    (query_id, salt = vec_id % {_MIPS_SALT}) — {_MIPS_SALT}x the
+    parallelism, each partition sees ~1/{_MIPS_SALT} of the rows —
+    and phase 2 re-ranks only the {_MIPS_SALT}*{_MIPS_K} survivors
+    per query.  Output is identical to the single-phase form (any
+    global top-k row is also top-k within its salt), which is exactly
+    what the single-window oracle checks.  Scoring itself is map-side:
+    the {_MIPS_NQ}-row query frame broadcasts, zip_with/aggregate dot
+    products stay in whole-stage codegen."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < _MIPS_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    ip = F.round(vectors.dot(F.col("embedding"), F.col("qe")), 6)
+    scored = (
+        e.filter(F.col("vec_id") >= _MIPS_NQ)
+        .crossJoin(F.broadcast(q))
+        .select("query_id", "vec_id", "label", ip.alias("ip"))
+    )
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.col("vec_id"), F.lit(_MIPS_SALT))
+    ).orderBy(F.desc("ip"), F.asc("vec_id"))
+    survivors = scored.withColumn(
+        "srnk", F.row_number().over(w1)
+    ).filter(F.col("srnk") <= _MIPS_K)
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("vec_id"))
+    return (
+        survivors.withColumn("rnk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rnk") <= _MIPS_K)
+        .select("query_id", "vec_id", "label", "ip", "rnk")
     )

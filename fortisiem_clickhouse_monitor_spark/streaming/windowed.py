@@ -406,3 +406,69 @@ def streaming_attribution_outcomes(
         clicks.withWatermark("ts", watermark),
         purchases.withWatermark("ts", watermark),
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed top-k: rank event types within each closed tumbling window
+# ---------------------------------------------------------------------------
+
+_TOPK_PER_WINDOW = 2
+
+
+def rank_topk(counts: DataFrame, k: int = _TOPK_PER_WINDOW) -> DataFrame:
+    """Top-k event types per window from a (window, type, n) counts
+    frame — the POST-PASS half of streaming windowed top-k.  Ranking
+    is not an incremental-state operator: once the watermark closes a
+    window its counts are final, so the rank is a per-window batch
+    computation over the (tiny) closed-window aggregate, never over
+    events.  In streaming this runs on the sink side (foreachBatch or
+    the downstream table); in batch it composes directly."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "window_start", "window_end", "event_type", "n", "rnk"
+        )
+    )
+
+
+@register(
+    "stream_windowed_topk",
+    oracle=f"""
+    WITH counts AS (
+      SELECT time_bucket(INTERVAL '10 minutes', {_DUCK_TS}) AS window_start,
+             time_bucket(INTERVAL '10 minutes', {_DUCK_TS})
+               + INTERVAL '10 minutes' AS window_end,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type) AS rnk
+      FROM counts
+    )
+    SELECT window_start, window_end, event_type, n,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {_TOPK_PER_WINDOW}
+    """,
+    tags=("T", "W"),
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TOPK_PER_WINDOW} event types per tumbling 10-minute
+    window — the trending-now panel.  Batch form of the two-stage
+    streaming shape: the STATEFUL stage is exactly
+    stream_tumbling_counts' windowed aggregation (one state row per
+    (window, type), watermark-bounded); the RANKING stage is
+    rank_topk over closed windows, state-free by construction.  The
+    exchange for the rank is on window_start over the aggregate frame
+    — types x windows rows, metadata-sized next to the fact table at
+    any scale."""
+    counts = tumbling_counts(table(spark, sf_dir, "events")).select(
+        "window_start", "window_end", "event_type", "n"
+    )
+    return rank_topk(counts)

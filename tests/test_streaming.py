@@ -407,3 +407,27 @@ def test_streaming_left_outer_attribution_matches_batch(
     assert got_rows == batch_rows
     # the outer-ness must be exercised: real unmatched clicks exist
     assert any(r[2] is None for r in batch_rows)
+
+
+def test_streaming_windowed_topk_matches_batch(spark, events_stream):
+    """Two-stage streaming top-k: the stateful windowed counts replay
+    in complete mode, then rank_topk (the state-free post-pass) must
+    reproduce the batch stream_windowed_topk exactly — including rank
+    ties broken by event_type."""
+    counts = _run_stream_to_memory(
+        spark,
+        windowed.streaming_tumbling_query(events_stream),
+        "t_topk_counts",
+        mode="complete",
+    )
+    got = windowed.rank_topk(
+        counts.select("window_start", "window_end", "event_type", "n")
+    )
+    batch = windowed.rank_topk(
+        windowed.tumbling_counts(table(spark, SF_SMALL, "events")).select(
+            "window_start", "window_end", "event_type", "n"
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
