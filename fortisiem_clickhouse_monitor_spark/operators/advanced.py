@@ -1579,3 +1579,173 @@ def sketch_bloom_fpr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(r * r * r, 6).alias("predicted_fpr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: intersection via inclusion-exclusion, with exact truth
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_hll_intersection_eval",
+    oracle=f"""
+    WITH regs AS (
+      SELECT event_type,
+             {hll.duck_bucket("user_id::VARCHAR")} AS bucket,
+             max({hll.duck_rho("user_id::VARCHAR")}) AS m_rho
+      FROM events GROUP BY 1, 2
+    ),
+    est_t AS (
+      SELECT event_type,
+             sum({hll.DUCK_REG_TERM}) AS s_present,
+             count(*) AS n_present
+      FROM regs GROUP BY event_type
+    ),
+    tpairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM regs) a
+      JOIN (SELECT DISTINCT event_type FROM regs) b
+        ON a.event_type < b.event_type
+    ),
+    union_regs AS (
+      SELECT p.type_a, p.type_b, r.bucket, max(r.m_rho) AS m_rho
+      FROM tpairs p JOIN regs r
+        ON r.event_type = p.type_a OR r.event_type = p.type_b
+      GROUP BY 1, 2, 3
+    ),
+    est_u AS (
+      SELECT type_a, type_b,
+             sum({hll.DUCK_REG_TERM}) AS s_present,
+             count(*) AS n_present
+      FROM union_regs GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT x.type_a, x.type_b, CAST(count(*) AS BIGINT) AS exact_overlap
+      FROM (
+        SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b
+        FROM (SELECT DISTINCT user_id, event_type FROM events) a
+        JOIN (SELECT DISTINCT user_id, event_type FROM events) b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+      ) x
+      GROUP BY 1, 2
+    )
+    SELECT u.type_a, u.type_b,
+           round({hll.duck_estimate("ea.s_present", "ea.n_present")}, 4)
+             AS est_a,
+           round({hll.duck_estimate("eb.s_present", "eb.n_present")}, 4)
+             AS est_b,
+           round({hll.duck_estimate("u.s_present", "u.n_present")}, 4)
+             AS est_union,
+           round({hll.duck_estimate("ea.s_present", "ea.n_present")}
+                 + {hll.duck_estimate("eb.s_present", "eb.n_present")}
+                 - {hll.duck_estimate("u.s_present", "u.n_present")}, 4)
+             AS est_overlap,
+           x.exact_overlap
+    FROM est_u u
+    JOIN est_t ea ON ea.event_type = u.type_a
+    JOIN est_t eb ON eb.event_type = u.type_b
+    LEFT JOIN exact x ON x.type_a = u.type_a AND x.type_b = u.type_b
+    """,
+    tags=("A-ext", "SKETCH", "EVAL"),
+)
+def sketch_hll_intersection_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch SET ALGEBRA with its error measured: distinct-user
+    overlap between every event-type pair estimated by
+    inclusion-exclusion over mergeable HLL registers
+    (|A∩B| ≈ E(A) + E(B) - E(A∪B), where the union sketch is just the
+    bucket-wise max of the two register sets), next to the exact
+    overlap.  Inclusion-exclusion on HLLs is the textbook "cheap but
+    error-amplifying" composition — three estimates' errors stack, and
+    small true overlaps can even go negative — which is exactly why
+    the eval row carries the exact truth beside it (the audit shape of
+    sim_ann_recall_eval).
+
+    Register algebra end to end: per-type sketches are built in ONE
+    pass over events (the same deterministic md5 spec every sketch_*
+    query shares — hash-exact oracle), union sketches are a bucket-max
+    over the types-pairs x 512 frame, and the exact side joins the
+    (user, type) distinct against itself — at 100 TB, the sketches
+    stay kilobytes while only the truth side scales, and a production
+    deployment samples or drops it."""
+    ev = table(spark, sf_dir, "events")
+    h = hll.hash_col(F.col("user_id"))
+    regs = (
+        ev.select("event_type", h.alias("h"))
+        .select("event_type", hll.bucket_of(F.col("h")), hll.rho_of(F.col("h")))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    term = F.expr(hll.REG_TERM_EXPR)
+    est_t = regs.groupBy("event_type").agg(
+        F.sum(term).alias("s_present"), F.count(F.lit(1)).alias("n_present")
+    )
+    types = regs.select("event_type").distinct()
+    tpairs = (
+        types.alias("a")
+        .join(
+            types.alias("b"),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    union_regs = (
+        F.broadcast(tpairs)
+        .join(
+            regs,
+            (regs["event_type"] == F.col("type_a"))
+            | (regs["event_type"] == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
+    est_u = union_regs.groupBy("type_a", "type_b").agg(
+        F.sum(term).alias("s_present"), F.count(F.lit(1)).alias("n_present")
+    )
+    ut = ev.select("user_id", "event_type").distinct()
+    exact = (
+        ut.alias("a")
+        .join(
+            ut.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    ea = est_t.select(
+        F.col("event_type").alias("type_a"),
+        hll.estimate_col(F.col("s_present"), F.col("n_present")).alias("ea"),
+    )
+    eb = est_t.select(
+        F.col("event_type").alias("type_b"),
+        hll.estimate_col(F.col("s_present"), F.col("n_present")).alias("eb"),
+    )
+    eu = est_u.select(
+        "type_a",
+        "type_b",
+        hll.estimate_col(F.col("s_present"), F.col("n_present")).alias("eu"),
+    )
+    return (
+        eu.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .join(F.broadcast(exact), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            F.round(F.col("ea"), 4).alias("est_a"),
+            F.round(F.col("eb"), 4).alias("est_b"),
+            F.round(F.col("eu"), 4).alias("est_union"),
+            F.round(F.col("ea") + F.col("eb") - F.col("eu"), 4).alias(
+                "est_overlap"
+            ),
+            "exact_overlap",
+        )
+    )

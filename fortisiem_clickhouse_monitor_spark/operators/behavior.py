@@ -2048,3 +2048,115 @@ def behavior_cohort_value_curve(
             4,
         ).alias("cum_cents_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Activity concentration: exact Gini + top-share report
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_activity_gini",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, user_id) AS i
+      FROM per_user
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS total,
+             CAST(sum(i * x) AS BIGINT) AS s_ix
+      FROM ranked
+    ),
+    shares AS (
+      SELECT
+        CAST(sum(CASE WHEN i > n - CAST(ceil(n * 0.01) AS BIGINT)
+                      THEN x ELSE 0 END) AS BIGINT) AS top1_events,
+        CAST(sum(CASE WHEN i > n - CAST(ceil(n * 0.10) AS BIGINT)
+                      THEN x ELSE 0 END) AS BIGINT) AS top10_events
+      FROM ranked, agg
+    )
+    SELECT a.n AS n_users, a.total AS total_events,
+           round(CAST(2 * a.s_ix AS DOUBLE) / (a.n * a.total)
+                 - CAST(a.n + 1 AS DOUBLE) / a.n, 6) AS gini,
+           round(CAST(s.top1_events AS DOUBLE) / a.total, 6)
+             AS top1_share,
+           round(CAST(s.top10_events AS DOUBLE) / a.total, 6)
+             AS top10_share
+    FROM agg a, shares s
+    """,
+    tags=("BEHAV",),
+)
+def behavior_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is event volume across users?  Exact Gini
+    coefficient via the rank formula G = 2*sum(i*x_i)/(n*sum(x)) -
+    (n+1)/n over ascending-sorted per-user counts (user_id tiebreak
+    makes ranks deterministic), plus the top-1% and top-10% volume
+    shares — the skew facts that decide salting strategy and abuse
+    thresholds alike.
+
+    Everything until the final three divisions is exact BIGINT: the
+    rank-weighted sum, the totals, and the ceil-based top-percentile
+    cutoffs (computed from n, not from a float quantile).  One
+    exchange for the per-user rollup; the rank is a single window
+    over the users frame — at 100 TB that frame is |users|, orders
+    below the fact table.  A global row_number puts all users through
+    one sort partition: if |users| itself outgrows that, replace the
+    rank-weighted sum with a count-histogram prefix sum (the
+    sketch_histogram_quantiles shape) — the formula only needs
+    sum(i*x_i) per distinct count value."""
+    per_user = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    ranked = per_user.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy("x", "user_id"))
+        .cast("long")
+        .alias("i"),
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("total"),
+        F.sum(F.col("i") * F.col("x")).alias("s_ix"),
+    )
+    shares = ranked.crossJoin(F.broadcast(agg)).agg(
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.ceil(F.col("n") * 0.01),
+                F.col("x"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("top1_events"),
+        F.sum(
+            F.when(
+                F.col("i") > F.col("n") - F.ceil(F.col("n") * 0.10),
+                F.col("x"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("top10_events"),
+    )
+    return agg.crossJoin(F.broadcast(shares)).select(
+        F.col("n").alias("n_users"),
+        F.col("total").alias("total_events"),
+        F.round(
+            (2 * F.col("s_ix")).cast("double")
+            / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.round(
+            F.col("top1_events").cast("double") / F.col("total"), 6
+        ).alias("top1_share"),
+        F.round(
+            F.col("top10_events").cast("double") / F.col("total"), 6
+        ).alias("top10_share"),
+    )

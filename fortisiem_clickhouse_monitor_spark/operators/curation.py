@@ -605,3 +605,116 @@ def text_chunk_stitch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, (F.col("overlap") == F.col("head"))).filter(
         F.col("doc_a") != F.col("doc_b")
     ).select("doc_a", "doc_b", "overlap")
+
+
+# ---------------------------------------------------------------------------
+# Annealing schedule: phase assignment from the quality deciles
+# ---------------------------------------------------------------------------
+
+#: Fraction of each language's tokens reserved for the final
+#: high-quality annealing phase.
+_ANNEAL_PCT = 20
+
+
+@register(
+    "corpus_anneal_schedule",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, len({_DUCK_TOKENS}) AS n_toks,
+             (len(list_filter({_DUCK_TOKENS},
+                  t -> t IN ('the','a','of','and','to','in','is'))) * 10000)
+               // len({_DUCK_TOKENS}) AS score
+      FROM documents
+      WHERE len({_DUCK_TOKENS}) > 0
+    ),
+    deciled AS (
+      SELECT lang, n_toks,
+             ntile(10) OVER (PARTITION BY lang
+                             ORDER BY score, doc_id) AS decile
+      FROM scored
+    ),
+    summary AS (
+      SELECT lang, CAST(decile AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS tokens
+      FROM deciled GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT *,
+             CAST(sum(tokens) OVER (PARTITION BY lang ORDER BY decile DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens_from_top,
+             CAST(sum(tokens) OVER (PARTITION BY lang) AS BIGINT)
+               AS lang_tokens
+      FROM summary
+    )
+    SELECT lang, decile, n_docs, tokens, cum_tokens_from_top,
+           CASE WHEN cum_tokens_from_top * 100
+                     <= lang_tokens * {_ANNEAL_PCT}
+                THEN 'anneal' ELSE 'main' END AS phase
+    FROM cum
+    """,
+    tags=("CURATION", "MIX"),
+)
+def corpus_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase training schedule from the quality deciles: the final
+    "annealing" phase takes the HIGHEST-quality deciles until it holds
+    ~{_ANNEAL_PCT}% of each language's tokens, the main phase takes the
+    rest — the end-of-training quality upweighting that modern LLM
+    recipes apply (anneal on the best data last).
+
+    Consumes the same per-language decile assignment as
+    curriculum_quality_deciles, rolled up to the langs x 10 summary —
+    after that rollup every window (cumulative-from-top, language
+    totals) runs on a metadata-sized frame, so the schedule itself is
+    free at any scale; the integer cross-multiplied threshold
+    (cum*100 <= total*pct) keeps the phase boundary exact.  Whole
+    deciles are assigned, not split docs — the boundary decile lands
+    in 'main', biasing the anneal slice slightly under budget
+    (deterministic; a doc-level greedy split is the refinement,
+    layout_compaction_plan's prefix-sum shape)."""
+    d = bind(table(spark, sf_dir, "documents"), toks=textfns.tokens("text"))
+    n = F.size("toks")
+    hits = textfns.stopword_hits(F.col("toks"), _CURR_STOPS)
+    scored = d.filter(n > 0).select(
+        "doc_id",
+        "lang",
+        n.alias("n_toks"),
+        F.floor(hits * 10000 / n).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    deciled = scored.select(
+        "lang", "n_toks", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    summary = deciled.groupBy("lang", "decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("tokens"),
+    )
+    wt = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wl = Window.partitionBy("lang")
+    cum = summary.select(
+        "lang",
+        "decile",
+        "n_docs",
+        "tokens",
+        F.sum("tokens").over(wt).cast("long").alias("cum_tokens_from_top"),
+        F.sum("tokens").over(wl).cast("long").alias("lang_tokens"),
+    )
+    return cum.select(
+        "lang",
+        "decile",
+        "n_docs",
+        "tokens",
+        "cum_tokens_from_top",
+        F.when(
+            F.col("cum_tokens_from_top") * 100
+            <= F.col("lang_tokens") * _ANNEAL_PCT,
+            "anneal",
+        )
+        .otherwise("main")
+        .alias("phase"),
+    )

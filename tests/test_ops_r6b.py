@@ -110,3 +110,100 @@ def test_fellegi_sunter_decisions_planted(spark, monkeypatch):
         for r in got.values()
         if r["score_milli"] == full_dis
     )
+
+
+def test_gini_planted_extremes(spark, monkeypatch):
+    """Equal per-user activity -> Gini exactly 0; one dominant user ->
+    the closed-form rank value (exact integer moments make these
+    reproducible to the 6-dp rounding)."""
+    import datetime as dt
+
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 1, 1, 0, 0, i % 60), u, "view", 1.0, "{}")
+                for i, u in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    # 4 users x 5 events each
+    monkeypatch.setattr(
+        bh, "table", lambda s, d, n: ev([u for u in (1, 2, 3, 4) for _ in range(5)])
+    )
+    r = bh.behavior_activity_gini(spark, "x").collect()[0]
+    assert r["gini"] == 0.0 and r["total_events"] == 20
+
+    # one user with 97 events, three with 1 each:
+    # G = 2*(1+2+3+4*97)/(4*100) - 5/4 = 0.72
+    monkeypatch.setattr(
+        bh, "table", lambda s, d, n: ev([9] * 97 + [1, 2, 3])
+    )
+    r = bh.behavior_activity_gini(spark, "x").collect()[0]
+    assert r["gini"] == 0.72
+    assert r["top1_share"] == 0.97  # ceil(4*0.01)=1 user -> the heavy one
+
+
+def test_anneal_schedule_boundary_decile(spark, monkeypatch):
+    """10 equal-token docs (one per decile): the anneal phase takes
+    whole deciles from the top until 20% of tokens — exactly deciles
+    10 and 9; decile 8 (cumulative 30%) stays in main."""
+    import fortisiem_clickhouse_monitor_spark.operators.curation as cur
+
+    rows = []
+    for i in range(10):
+        # i stopwords out of 10 tokens -> score = i*1000, ascending
+        words = ["the"] * i + ["zzz"] * (10 - i)
+        rows.append((i, " ".join(words), "en", "s", 10))
+    monkeypatch.setattr(
+        cur,
+        "table",
+        lambda s, d, n: spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ),
+    )
+    got = {
+        r["decile"]: r["phase"]
+        for r in cur.corpus_anneal_schedule(spark, "x").collect()
+    }
+    assert got[10] == "anneal" and got[9] == "anneal"
+    assert all(got[d] == "main" for d in range(1, 9))
+
+
+def test_hll_intersection_planted_overlap(spark, monkeypatch):
+    """Users 1..100 do A, 51..150 do B: exact overlap 50; the
+    inclusion-exclusion estimate must land within the small-m HLL
+    error band (m=512 is in linear-counting regime here, so the
+    estimate is tight)."""
+    import datetime as dt
+
+    import fortisiem_clickhouse_monitor_spark.operators.advanced as adv
+
+    rows = []
+    eid = 0
+    for u in range(1, 101):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1), u, "A", 1.0, "{}"))
+    for u in range(51, 151):
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1), u, "B", 1.0, "{}"))
+    monkeypatch.setattr(
+        adv,
+        "table",
+        lambda s, d, n: spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ),
+    )
+    r = adv.sketch_hll_intersection_eval(spark, "x").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["type_a"], row["type_b"]) == ("A", "B")
+    assert row["exact_overlap"] == 50
+    assert row["est_union"] <= row["est_a"] + row["est_b"]
+    assert abs(row["est_overlap"] - 50) <= 15  # 3 stacked estimates
