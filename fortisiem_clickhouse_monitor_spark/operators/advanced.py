@@ -1749,3 +1749,141 @@ def sketch_hll_intersection_eval(
             "exact_overlap",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation: lead-lag structure between event-type pairs
+# ---------------------------------------------------------------------------
+
+_CCF_MAX_LAG = 3
+
+
+@register(
+    "timeseries_cross_correlation",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    tpairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM daily) a
+      JOIN (SELECT DISTINCT event_type FROM daily) b
+        ON a.event_type < b.event_type
+    ),
+    lags AS (
+      SELECT unnest(generate_series(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG})) AS lag
+    ),
+    pairs AS (
+      SELECT p.type_a, p.type_b, l.lag, da.cnt AS x, db.cnt AS y
+      FROM tpairs p
+      JOIN lags l ON TRUE
+      JOIN daily db ON db.event_type = p.type_b
+      JOIN daily da ON da.event_type = p.type_a
+                   AND da.day_num = db.day_num - l.lag
+    ),
+    mom AS (
+      SELECT type_a, type_b, lag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY 1, 2, 3
+    )
+    SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL
+                ELSE round(
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS ccf
+    FROM mom
+    """,
+    tags=("TS",),
+)
+def timeseries_cross_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lead-lag cross-correlation between every event-type pair's
+    daily count series at lags -{_CCF_MAX_LAG}..{_CCF_MAX_LAG}:
+    ccf(L) = corr(a on day t-L, b on day t) — a positive-lag peak
+    says type_a LEADS type_b by that many days (clicks today,
+    purchases tomorrow), the causal-ordering probe run before any
+    attribution modeling.  Negative lags cover the reverse direction,
+    so unordered pairs (a < b) suffice.
+
+    Same exact-moment discipline as timeseries_autocorrelation: daily
+    counts are integer aggregates, all five moment sums are exact
+    BIGINTs per (pair, lag), one double division at the end — the
+    sqrt radicands are identical integers in both engines, so the
+    result is bit-identical.  Only days present for BOTH types pair
+    up at a given lag (stated in the oracle too).  Post-aggregate
+    work is |types|^2 x lags x days — metadata-sized next to the
+    fact table."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_timestamp("ts") / 86400).cast("long").alias("day_num"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    types = daily.select("event_type").distinct()
+    tpairs = (
+        types.alias("a")
+        .join(types.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+    )
+    lags = spark.range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    db = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day_num").alias("d"),
+        F.col("cnt").alias("y"),
+    )
+    da = daily.select(
+        F.col("event_type").alias("ta"),
+        F.col("day_num").alias("p"),
+        F.col("cnt").alias("x"),
+    )
+    pairs = (
+        F.broadcast(tpairs)
+        .join(db, "type_b")
+        .crossJoin(F.broadcast(lags))
+        .join(
+            da,
+            (F.col("ta") == F.col("type_a"))
+            & (F.col("p") == F.col("d") - F.col("lag")),
+        )
+        .select("type_a", "type_b", "lag", "x", "y")
+    )
+    mom = pairs.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return mom.select(
+        "type_a",
+        "type_b",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.when((vx == 0) | (vy == 0), F.lit(None)).otherwise(
+            F.round(
+                cov.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            )
+        ).alias("ccf"),
+    )

@@ -1802,6 +1802,124 @@ def ts_holt_smoothing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (period 7, integer fixed-point)
+# ---------------------------------------------------------------------------
+
+_HW_P = 7
+
+
+def _hw_oracle() -> str:
+    zeros = "[" + ", ".join(["CAST(0 AS BIGINT)"] * _HW_P) + "]"
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY CAST(ts AS DATE)) AS BIGINT)
+               AS rn
+      FROM events GROUP BY 1, 2
+    ),
+    hw(event_type, rn, day, n, lvl, trd, seas) AS (
+      SELECT event_type, rn, day, n,
+             n * {_HOLT_S}, CAST(0 AS BIGINT), {zeros}
+      FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT event_type, rn, day, n, lvl2,
+             ((lvl2 - lvl) + trd) // 2,
+             list_append(seas[2:{_HW_P}],
+                         ((n * {_HOLT_S} - lvl2) + sprev) // 2)
+      FROM (
+        SELECT d.event_type, d.rn, d.day, d.n,
+               h.lvl, h.trd, h.seas, h.seas[1] AS sprev,
+               ((d.n * {_HOLT_S} - h.seas[1]) + h.lvl + h.trd) // 2 AS lvl2
+        FROM hw h
+        JOIN daily d ON d.event_type = h.event_type AND d.rn = h.rn + 1
+      )
+    )
+    SELECT event_type, day, n,
+           lvl AS level_fp, trd AS trend_fp,
+           seas[{_HW_P}] AS season_fp,
+           lag(lvl + trd + seas[1]) OVER (PARTITION BY event_type
+                                          ORDER BY rn) AS forecast_fp
+    FROM hw
+    """
+
+
+@register(
+    "ts_holt_winters_daily",
+    oracle=_hw_oracle(),
+    tags=("TS", "ITER"),
+)
+def ts_holt_winters_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (level + trend +
+    period-{_HW_P} season, alpha = beta = gamma = 1/2) over daily event
+    volumes per type — the weekly-rhythm-aware upgrade of
+    ts_holt_smoothing_daily: its forecast (previous level + trend +
+    the season slot from {_HW_P} days back) stops flagging every
+    weekend dip the way a trend-only model does.  Seasonal state
+    starts at zero and is learned by the gamma updates (no bootstrap
+    heuristic — deterministic and identical in both engines).
+
+    Exactness: same int64 fixed-point discipline as Holt (scale 2^20,
+    all three smoothing divisions truncate toward zero — DuckDB `//`
+    parity), but the recursion now CARRIES the 7-slot seasonal ring
+    as a list column in the RECURSIVE CTE (seas[2:] || new_s), the
+    SQL expression of the deque the Python fold rotates — a recursive
+    state VECTOR, not just scalars.
+
+    Scale shape identical to Holt: the fold is per-type sequential
+    over the types x days aggregate (calendar-bounded), applyInPandas
+    on the summary frame, never on events."""
+    import collections
+
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    schema = (
+        "event_type string, day date, n long, level_fp long, "
+        "trend_fp long, season_fp long, forecast_fp long"
+    )
+
+    def hw_fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        lvls, trds, seasons, fcs = [], [], [], []
+        lvl = trd = 0
+        ring = collections.deque([0] * _HW_P)
+        for i, n in enumerate(pdf["n"]):
+            n = int(n)
+            if i == 0:
+                lvl, trd, s_new, fc = n * _HOLT_S, 0, 0, None
+                # rotate the zero ring exactly like the CTE does not:
+                # step 1 keeps the literal zero list (s_1 = 0 lands in
+                # the last slot of an all-zero ring — identical state).
+            else:
+                sprev = ring[0]
+                fc = lvl + trd + sprev
+                new_lvl = _tdiv2((n * _HOLT_S - sprev) + lvl + trd)
+                trd = _tdiv2((new_lvl - lvl) + trd)
+                s_new = _tdiv2((n * _HOLT_S - new_lvl) + sprev)
+                lvl = new_lvl
+                ring.popleft()
+                ring.append(s_new)
+            lvls.append(lvl)
+            trds.append(trd)
+            seasons.append(s_new)
+            fcs.append(fc)
+        out = pdf[["event_type", "day", "n"]].copy()
+        out["level_fp"] = pd.Series(lvls, dtype="int64")
+        out["trend_fp"] = pd.Series(trds, dtype="int64")
+        out["season_fp"] = pd.Series(seasons, dtype="int64")
+        out["forecast_fp"] = pd.Series(fcs, dtype="object")
+        return out
+
+    return daily.groupBy("event_type").applyInPandas(hw_fold, schema)
+
+
+# ---------------------------------------------------------------------------
 # Trend momentum: today vs the trailing-week median, top movers
 # ---------------------------------------------------------------------------
 

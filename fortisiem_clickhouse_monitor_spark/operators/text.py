@@ -995,3 +995,103 @@ def text_tokenizer_fertility_by_lang(
             F.sum("n_chars").cast("double") / F.sum("n_pieces"), 4
         ).alias("chars_per_piece"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: Cohen's kappa (chance-corrected agreement)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_lang_id_kappa",
+    oracle=f"""
+    WITH cm AS (
+      SELECT lang AS a, {_duck_lang_guess()} AS g,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN a = g THEN n ELSE 0 END) AS BIGINT)
+               AS n_agree
+      FROM cm
+    ),
+    r AS (SELECT a AS l, CAST(sum(n) AS BIGINT) AS rn FROM cm GROUP BY a),
+    c AS (SELECT g AS l, CAST(sum(n) AS BIGINT) AS cn FROM cm GROUP BY g),
+    rc AS (
+      SELECT CAST(coalesce(sum(r.rn * c.cn), 0) AS BIGINT) AS s_rc
+      FROM r JOIN c ON r.l = c.l
+    )
+    SELECT t.n_docs, t.n_agree,
+           round(CAST(t.n_agree AS DOUBLE) / t.n_docs, 6) AS accuracy,
+           round(CAST(rc.s_rc AS DOUBLE) / (t.n_docs * t.n_docs), 6)
+             AS expected_accuracy,
+           CASE WHEN t.n_docs * t.n_docs - rc.s_rc = 0 THEN NULL
+                ELSE round(CAST(t.n_docs * t.n_agree - rc.s_rc AS DOUBLE)
+                           / (t.n_docs * t.n_docs - rc.s_rc), 6)
+           END AS kappa
+    FROM tot t, rc
+    """,
+    tags=("TXT", "eval"),
+)
+def text_lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the stopword language-ID heuristic against
+    the labeled lang column — the chance-corrected scalar the
+    confusion matrix (text_lang_confusion_matrix) summarizes to.
+    Plain accuracy flatters a classifier on skewed label mixes; kappa
+    subtracts the agreement the marginals alone would produce.
+
+    Exact-arithmetic shape: kappa = (po-pe)/(1-pe) algebraically
+    rearranged to (N*agree - sum_l r_l*c_l) / (N^2 - sum_l r_l*c_l),
+    so BOTH numerator and denominator are exact BIGINTs from the
+    confusion matrix's row/column marginals — one final division, no
+    float accumulation; pe = 1 (single-label degenerate matrix) makes
+    kappa undefined, guarded to NULL in both engines.  Everything downstream of the |langs|^2-cell
+    matrix is metadata-sized at any corpus scale."""
+    d = bind(table(spark, sf_dir, "documents"), toks=textfns.tokens("text"))
+    _, guess = _lang_guess_exprs(F.col("toks"))
+    cm = (
+        d.select(F.col("lang").alias("a"), guess.alias("g"))
+        .groupBy("a", "g")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cm.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(F.when(F.col("a") == F.col("g"), F.col("n")).otherwise(0))
+        .alias("n_agree"),
+    )
+    r = cm.groupBy(F.col("a").alias("l")).agg(F.sum("n").alias("rn"))
+    c = cm.groupBy(F.col("g").alias("l")).agg(F.sum("n").alias("cn"))
+    rc = (
+        r.join(c, "l")
+        .agg(
+            F.coalesce(F.sum(F.col("rn") * F.col("cn")), F.lit(0))
+            .cast("long")
+            .alias("s_rc")
+        )
+    )
+    return tot.crossJoin(F.broadcast(rc)).select(
+        "n_docs",
+        "n_agree",
+        F.round(F.col("n_agree").cast("double") / F.col("n_docs"), 6).alias(
+            "accuracy"
+        ),
+        F.round(
+            F.col("s_rc").cast("double") / (F.col("n_docs") * F.col("n_docs")),
+            6,
+        ).alias("expected_accuracy"),
+        F.when(
+            F.col("n_docs") * F.col("n_docs") - F.col("s_rc") == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(
+            F.round(
+                (F.col("n_docs") * F.col("n_agree") - F.col("s_rc")).cast(
+                    "double"
+                )
+                / (F.col("n_docs") * F.col("n_docs") - F.col("s_rc")),
+                6,
+            )
+        )
+        .alias("kappa"),
+    )

