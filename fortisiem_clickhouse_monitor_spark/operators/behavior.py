@@ -2278,3 +2278,145 @@ def behavior_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("top10_events").cast("double") / F.col("total"), 6
         ).alias("top10_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event prediction: train on the past, score on the future
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_markov_next_event_eval",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(epoch_us(ts)) AS lo,
+             min(epoch_us(ts))
+               + (max(epoch_us(ts)) - min(epoch_us(ts))) * 8 // 10 AS cut
+      FROM events
+    ),
+    ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER w AS next_type,
+             lead(epoch_us(ts)) OVER w AS next_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pairs AS (
+      SELECT o.event_type, o.next_type,
+             o.next_us >= b.cut AS is_test
+      FROM ordered o, bounds b
+      WHERE o.next_type IS NOT NULL
+    ),
+    train AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+      FROM pairs WHERE NOT is_test GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT event_type, next_type AS predicted_next, n FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY n DESC, next_type) AS rn
+        FROM train
+      ) WHERE rn = 1
+    ),
+    train_tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS n_train
+      FROM train GROUP BY event_type
+    ),
+    test AS (
+      SELECT p.event_type,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN p.next_type = m.predicted_next
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM pairs p JOIN model m ON m.event_type = p.event_type
+      WHERE p.is_test
+      GROUP BY p.event_type
+    )
+    SELECT t.event_type, m.predicted_next, tt.n_train,
+           t.n_test, t.n_correct,
+           round(CAST(t.n_correct AS DOUBLE) / t.n_test, 6) AS accuracy
+    FROM test t
+    JOIN model m ON m.event_type = t.event_type
+    JOIN train_tot tt ON tt.event_type = t.event_type
+    """,
+    tags=("BEHAV", "EVAL"),
+)
+def behavior_markov_next_event_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-correct evaluation of the first-order Markov next-event
+    model: transitions whose TARGET event lands in the first 80% of
+    the timespan train the model (per current type, the modal next
+    type with a lexicographic tiebreak); transitions landing in the
+    last 20% score it — per-type test accuracy next to the train/test
+    sizes.  This turns path_transition_matrix from a descriptive table
+    into a measured predictor, with the same temporal-leakage
+    discipline as corpus_temporal_holdout_summary (the model never
+    sees a future pair; a random split would leak each user's future
+    behavior into training).
+
+    Scale shape: one lead() over the user exchange builds all pairs,
+    train/test tagging is an integer-epoch comparison against a
+    broadcast 1-row bound, and everything after the pair groupBy lives
+    on the |types|^2 domain.  The argmax is rn = 1 over that tiny
+    frame; the scoring join broadcasts the |types|-row model."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + F.expr(
+                "(max(unix_micros(ts)) - min(unix_micros(ts))) * 8 div 10"
+            )
+        ).alias("cut")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    ).filter(F.col("next_type").isNotNull())
+    pairs = ordered.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "next_type",
+        (F.col("next_us") >= F.col("cut")).alias("is_test"),
+    )
+    train = (
+        pairs.filter(~F.col("is_test"))
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("n"), "next_type")
+    )
+    model = (
+        train.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("next_type").alias("predicted_next"))
+    )
+    train_tot = train.groupBy("event_type").agg(
+        F.sum("n").alias("n_train")
+    )
+    test = (
+        pairs.filter(F.col("is_test"))
+        .join(F.broadcast(model), "event_type")
+        .groupBy("event_type", "predicted_next")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                F.when(
+                    F.col("next_type") == F.col("predicted_next"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+        )
+    )
+    return test.join(F.broadcast(train_tot), "event_type").select(
+        "event_type",
+        "predicted_next",
+        "n_train",
+        "n_test",
+        "n_correct",
+        F.round(
+            F.col("n_correct").cast("double") / F.col("n_test"), 6
+        ).alias("accuracy"),
+    )

@@ -1777,3 +1777,144 @@ def graph_jaccard_neighbors_top20(
         .orderBy(F.desc("jaccard"), F.desc("common_neighbors"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality via HyperBall — the canonical HyperBall application
+# ---------------------------------------------------------------------------
+
+
+def _harmonic_oracle() -> str:
+    from ..functions import hll
+    from .dedup import _CC_PAIRS_SQL
+
+    merges = []
+    prev = "m0"
+    for r in range(1, _HB_ROUNDS + 1):
+        merges.append(
+            f"""m{r} AS (
+      SELECT node, bucket, max(m_rho) AS m_rho FROM (
+        SELECT node, bucket, m_rho FROM {prev}
+        UNION ALL
+        SELECT e.u AS node, p.bucket, p.m_rho
+        FROM sym e JOIN {prev} p ON p.node = e.v
+      ) GROUP BY node, bucket)"""
+        )
+        prev = f"m{r}"
+    joined = ",\n    ".join(merges)
+
+    def est(src: str) -> str:
+        return f"""(
+      SELECT node, {hll.duck_estimate("sum(" + hll.DUCK_REG_TERM + ")",
+                                      "count(*)")} AS e
+      FROM {src} GROUP BY node)"""
+
+    return f"""
+    {_CC_PAIRS_SQL},
+    sym AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs
+      )
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    m0 AS (
+      SELECT node,
+             {hll.duck_bucket("CAST(node AS VARCHAR)")} AS bucket,
+             {hll.duck_rho("CAST(node AS VARCHAR)")} AS m_rho
+      FROM nodes
+    ),
+    {joined},
+    e0 AS {est("m0")},
+    e1 AS {est("m1")},
+    e2 AS {est("m2")}
+    SELECT e0.node,
+           round(e1.e, 4) AS est_b1,
+           round(e2.e, 4) AS est_b2,
+           round((e1.e - e0.e) + (e2.e - e1.e) / 2, 4) AS harmonic_est
+    FROM e0 JOIN e1 ON e1.node = e0.node JOIN e2 ON e2.node = e0.node
+    ORDER BY harmonic_est DESC, e0.node LIMIT 20
+    """
+
+
+@register(
+    "graph_harmonic_centrality_sketch",
+    oracle=_harmonic_oracle(),
+    tags=("GRAPH", "ITER", "SKETCH"),
+)
+def graph_harmonic_centrality_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Harmonic centrality estimated from HyperBall register states —
+    the application HyperBall was BUILT for (Boldi & Vigna, "Axioms
+    for Centrality" / "In-Core Computation of Geometric Centralities
+    with HyperBall"): H(v) = sum_r (|B_r(v)| - |B_(r-1)(v)|) / r,
+    every term read off the SAME per-round sketch states the
+    neighborhood function keeps (truncated at r = {_HB_ROUNDS} like
+    graph_anf_hll_eval — on this graph's small diameters that covers
+    most of the mass; deeper ranks cost one more |E|-join each).
+
+    Per-round state is the m = 512 bucket-max register set per node —
+    the ball DELTAS come from subtracting successive estimates, so no
+    extra data structure, no exact-distance pass, no pair
+    materialization, at ANY ball size.  The two deltas and the 1/r
+    weights are the only float arithmetic, computed in the same order
+    from the same int64 register sums in both engines — hash-exact.
+    Centrality ranks by the sketch; the exact-truth audit protocol
+    for these registers lives in graph_anf_hll_eval (one eval per
+    sketch family, per the repo discipline)."""
+    from ..functions import hll
+    from .dedup import shared_ngram_pairs
+
+    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    h = hll.hash_col(F.col("node"))
+    regs = nodes.select(
+        "node", hll.bucket_of(h), hll.rho_of(h).alias("m_rho")
+    )
+
+    def est_of(r: DataFrame, name: str) -> DataFrame:
+        return r.groupBy("node").agg(
+            hll.estimate_col(
+                F.sum(F.expr(hll.REG_TERM_EXPR)), F.count(F.lit(1))
+            ).alias(name)
+        )
+
+    ests = [est_of(regs, "e0")]
+    for i in range(_HB_ROUNDS):
+        nbr = sym.join(regs, regs["node"] == sym["v"]).select(
+            sym["u"].alias("node"), "bucket", "m_rho"
+        )
+        regs = (
+            regs.unionByName(nbr)
+            .groupBy("node", "bucket")
+            .agg(F.max("m_rho").alias("m_rho"))
+        )
+        ests.append(est_of(regs, f"e{i + 1}"))
+    e0, e1, e2 = ests
+    return (
+        e0.join(e1, "node")
+        .join(e2, "node")
+        .select(
+            "node",
+            F.round(F.col("e1"), 4).alias("est_b1"),
+            F.round(F.col("e2"), 4).alias("est_b2"),
+            F.round(
+                (F.col("e1") - F.col("e0"))
+                + (F.col("e2") - F.col("e1")) / 2,
+                4,
+            ).alias("harmonic_est"),
+        )
+        .orderBy(F.desc("harmonic_est"), "node")
+        .limit(20)
+    )

@@ -1073,3 +1073,80 @@ def mm_audio_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("tail_trim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyframe selection: first frame of every detected scene
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_video_keyframes",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id AS asset_id,
+             (doc_id % 4) * 16 + 16 AS w,
+             (doc_id % 3) * 8 + 8 AS h,
+             (doc_id % 3) + 2 AS n_frames,
+             doc_id * 7 AS a7
+      FROM documents
+    ),
+    pairs AS (
+      SELECT asset_id, f.f AS frame_from,
+             w * h * 3 AS n,
+             (a7 + 13 * f.f * f.f) % 256 AS b1,
+             (13 * (2 * f.f + 1)) % 256 AS d
+      FROM a, unnest(range(0, n_frames - 1)) AS f(f)
+    ),
+    wr AS (
+      SELECT asset_id, frame_from, n, d,
+             (n // 256) * d
+             + greatest(0, least(b1 + (n % 256), 256) - greatest(b1, 256 - d))
+             + greatest(0, b1 + (n % 256) - 256 - (256 - d)) AS wraps
+      FROM pairs
+    ),
+    kf AS (
+      SELECT asset_id, CAST(0 AS BIGINT) AS keyframe_idx FROM a
+      UNION ALL
+      SELECT asset_id, CAST(frame_from + 1 AS BIGINT)
+      FROM wr
+      WHERE wraps * (256 - d) + (n - wraps) * d >= {_SCENE_TAU} * n
+    )
+    SELECT asset_id, keyframe_idx,
+           CAST(count(*) OVER (PARTITION BY asset_id) AS BIGINT)
+             AS n_keyframes
+    FROM kf
+    """,
+    tags=("MM", "UDF"),
+)
+def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection: one representative frame per SCENE — frame
+    0 always, plus the first frame after every detected cut — the
+    standard thumbnail/embedding-extraction policy (sampling a fixed
+    stride wastes decode budget inside static scenes and misses short
+    ones; cut-aligned sampling spends it exactly where content
+    changes).  Composes directly on mm_video_scene_cuts' decode+diff
+    pass: the selection itself is a filter + a 1-row-per-asset union,
+    with the per-asset keyframe count windowed on the output frame.
+
+    Same Arrow-batch decode shape (and the same closed-form pixel
+    oracle) as the cut detector; at real scale the keyframe list is
+    the DECODE WORK ORDER for the downstream feature extractor —
+    |scenes| rows instead of |frames|, which is the entire budget
+    argument for cut-aligned sampling."""
+    cuts = mm_video_scene_cuts(spark, sf_dir)
+    first = (
+        table(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("asset_id"))
+        .withColumn("keyframe_idx", F.lit(0).cast("long"))
+    )
+    after_cuts = cuts.filter(F.col("is_cut")).select(
+        "asset_id", (F.col("frame_from") + 1).cast("long").alias("keyframe_idx")
+    )
+    kf = first.unionByName(after_cuts)
+    w = Window.partitionBy("asset_id")
+    return kf.select(
+        "asset_id",
+        "keyframe_idx",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_keyframes"),
+    )

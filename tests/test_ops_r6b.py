@@ -325,3 +325,67 @@ def test_holt_winters_matches_python_recursion(spark, monkeypatch):
     # the seasonal ring must have learned the weekly spike: season_fp on
     # a spike day ends positive, a trough day negative
     assert want[20][2] > 0  # day 21 = index 20 -> spike weekday
+
+
+def test_markov_eval_no_temporal_leakage(spark, monkeypatch):
+    """The model must be fit ONLY on transitions whose target lands
+    before the 80% cutoff: a planted flip in the last 20% (A->C
+    instead of the historical A->B) must lower test accuracy, not
+    retrain the model."""
+    import datetime as dt
+
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    rows, eid = [], 0
+    # one user; 50 days: A,B alternating (A->B dominant in train).
+    # Span: day 0 .. day 49; cutoff at 80% => day 39.2.
+    base = dt.datetime(2024, 1, 1)
+    seq = []
+    for d in range(40):
+        seq.append("A" if d % 2 == 0 else "B")
+    # last 10 days: A followed by C (the flip the model hasn't seen)
+    for d in range(40, 50):
+        seq.append("A" if d % 2 == 0 else "C")
+    for d, t in enumerate(seq):
+        eid += 1
+        rows.append((eid, base + dt.timedelta(days=d), 1, t, 1.0, "{}"))
+    monkeypatch.setattr(
+        bh,
+        "table",
+        lambda s, d, n: spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ),
+    )
+    got = {
+        r["event_type"]: r
+        for r in bh.behavior_markov_next_event_eval(spark, "x").collect()
+    }
+    a = got["A"]
+    assert a["predicted_next"] == "B"  # trained on the past only
+    assert a["n_correct"] == 0  # every test A is followed by C
+    assert a["accuracy"] == 0.0
+
+
+def test_keyframes_cover_every_scene(spark):
+    """Frame 0 is always a keyframe; every cut contributes exactly the
+    frame after it; n_keyframes = 1 + #cuts per asset (checked against
+    the scene-cut operator itself on the real fixture)."""
+    import fortisiem_clickhouse_monitor_spark.operators.multimodal as mm
+
+    cuts = {
+        (r["asset_id"], r["frame_from"])
+        for r in mm.mm_video_scene_cuts(spark, SF_SMALL)
+        .filter("is_cut")
+        .collect()
+    }
+    kfs = mm.mm_video_keyframes(spark, SF_SMALL).collect()
+    by_asset = {}
+    for r in kfs:
+        by_asset.setdefault(r["asset_id"], set()).add(r["keyframe_idx"])
+        assert r["n_keyframes"] >= 1
+    for aid, idxs in by_asset.items():
+        assert 0 in idxs
+        expect = {0} | {f + 1 for (a, f) in cuts if a == aid}
+        assert idxs == expect
