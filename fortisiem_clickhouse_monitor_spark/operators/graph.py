@@ -1784,6 +1784,14 @@ def graph_jaccard_neighbors_top20(
 # ---------------------------------------------------------------------------
 
 
+#: HLL estimate of a single-item sketch: always in the linear-counting
+#: regime with exactly one register present, so it's the CONSTANT
+#: m*ln(m/(m-1)) REGARDLESS of the register's rho — |B_0(v)| = 1 needs
+#: no aggregation at all.  Python-computed literal used by BOTH engines
+#: (the Benford-ppm discipline: no per-engine libm in a shared term).
+_HB_E0 = 1.000977835931287
+
+
 def _harmonic_oracle() -> str:
     from ..functions import hll
     from .dedup import _CC_PAIRS_SQL
@@ -1825,15 +1833,15 @@ def _harmonic_oracle() -> str:
       FROM nodes
     ),
     {joined},
-    e0 AS {est("m0")},
     e1 AS {est("m1")},
     e2 AS {est("m2")}
-    SELECT e0.node,
+    SELECT e1.node,
            round(e1.e, 4) AS est_b1,
            round(e2.e, 4) AS est_b2,
-           round((e1.e - e0.e) + (e2.e - e1.e) / 2, 4) AS harmonic_est
-    FROM e0 JOIN e1 ON e1.node = e0.node JOIN e2 ON e2.node = e0.node
-    ORDER BY harmonic_est DESC, e0.node LIMIT 20
+           round((e1.e - {_HB_E0!r}) + (e2.e - e1.e) / 2, 4)
+             AS harmonic_est
+    FROM e1 JOIN e2 ON e2.node = e1.node
+    ORDER BY harmonic_est DESC, e1.node LIMIT 20
     """
 
 
@@ -1890,7 +1898,13 @@ def graph_harmonic_centrality_sketch(
             ).alias(name)
         )
 
-    ests = [est_of(regs, "e0")]
+    # Each round's register table feeds BOTH the next round and its own
+    # estimate branch: checkpoint per round so the shared subtree (and
+    # the pairs GEMM above it) executes once, not once per branch —
+    # without this the three-way estimate join re-ran the whole
+    # register pipeline per branch (measured 19.3 s -> anf-eval band).
+    regs = regs.localCheckpoint(eager=True)
+    ests = []
     for i in range(_HB_ROUNDS):
         nbr = sym.join(regs, regs["node"] == sym["v"]).select(
             sym["u"].alias("node"), "bucket", "m_rho"
@@ -1899,18 +1913,18 @@ def graph_harmonic_centrality_sketch(
             regs.unionByName(nbr)
             .groupBy("node", "bucket")
             .agg(F.max("m_rho").alias("m_rho"))
+            .localCheckpoint(eager=True)
         )
         ests.append(est_of(regs, f"e{i + 1}"))
-    e0, e1, e2 = ests
+    e1, e2 = ests
     return (
-        e0.join(e1, "node")
-        .join(e2, "node")
+        e1.join(e2, "node")
         .select(
             "node",
             F.round(F.col("e1"), 4).alias("est_b1"),
             F.round(F.col("e2"), 4).alias("est_b2"),
             F.round(
-                (F.col("e1") - F.col("e0"))
+                (F.col("e1") - F.lit(_HB_E0))
                 + (F.col("e2") - F.col("e1")) / 2,
                 4,
             ).alias("harmonic_est"),
@@ -1918,3 +1932,41 @@ def graph_harmonic_centrality_sketch(
         .orderBy(F.desc("harmonic_est"), "node")
         .limit(20)
     )
+
+
+@register_probe("graph_harmonic_centrality_sketch")
+def _probe_harmonic(spark: SparkSession, sf_dir: str) -> int:
+    """Dominant work: the register-merge join fan-in summed over both
+    rounds — sum_v deg(v) * |regs(v)| rows per round (HyperBall's
+    inherent cost; the per-node register cap at m = 512 is what bounds
+    it at large ball sizes)."""
+    from ..functions import hll
+    from .dedup import shared_ngram_pairs
+
+    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    h = hll.hash_col(F.col("node"))
+    regs = nodes.select(
+        "node", hll.bucket_of(h), hll.rho_of(h).alias("m_rho")
+    ).localCheckpoint(eager=True)
+    total = 0
+    for _ in range(_HB_ROUNDS):
+        nbr = sym.join(regs, regs["node"] == sym["v"]).select(
+            sym["u"].alias("node"), "bucket", "m_rho"
+        )
+        total += nbr.count()
+        regs = (
+            regs.unionByName(nbr)
+            .groupBy("node", "bucket")
+            .agg(F.max("m_rho").alias("m_rho"))
+            .localCheckpoint(eager=True)
+        )
+    return total

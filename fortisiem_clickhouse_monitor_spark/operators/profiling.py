@@ -1380,3 +1380,118 @@ def layout_zone_map_prune_eval(
             F.count(F.when(hit_ch, F.lit(1))).alias("files_hit_by_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index: binned drift contributions per event type
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 10
+
+
+@register(
+    "drift_psi_value_bins",
+    oracle=f"""
+    WITH mid AS ({_DUCK_MID}),
+    rng AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    binned AS (
+      SELECT event_type,
+             least(CAST(floor((value - r.lo) * {_PSI_BINS}
+                              / (r.hi - r.lo)) AS BIGINT),
+                   {_PSI_BINS - 1}) AS bin,
+             {_DUCK_T} <= m.mid AS early
+      FROM events CROSS JOIN mid m CROSS JOIN rng r
+    ),
+    cnt AS (
+      SELECT event_type, bin,
+             CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS c_e,
+             CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS c_l
+      FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, bin, c_e, c_l,
+             CAST(sum(c_e) OVER (PARTITION BY event_type) AS BIGINT) AS n_e,
+             CAST(sum(c_l) OVER (PARTITION BY event_type) AS BIGINT) AS n_l
+      FROM cnt
+    )
+    SELECT event_type, bin, c_e AS n_early, c_l AS n_late,
+           round(
+             (CAST(c_e + 1 AS DOUBLE) / (n_e + {_PSI_BINS})
+              - CAST(c_l + 1 AS DOUBLE) / (n_l + {_PSI_BINS}))
+             * ln((CAST(c_e + 1 AS DOUBLE) / (n_e + {_PSI_BINS}))
+                  / (CAST(c_l + 1 AS DOUBLE) / (n_l + {_PSI_BINS}))), 6)
+             AS psi_contrib
+    FROM tot
+    """,
+    tags=("DQ", "DRIFT"),
+)
+def drift_psi_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index contributions per (event_type, value
+    bin) between the stream's first and second half — the binned drift
+    screen model-risk teams run beside KS (drift_ks_event_values reads
+    the worst single CDF gap; PSI weights every bin's shift by its
+    log-odds, so several small coordinated shifts that KS shrugs at
+    still add up).  Convention: total PSI < 0.1 stable, > 0.25 drifted
+    — the per-bin rows are emitted so the consumer sees WHERE the
+    mass moved, and the total is their sum.
+
+    Equal-width bins over the data-derived [min, max] value range
+    (integer-capped into {_PSI_BINS} bins), add-one smoothing so empty
+    bins contribute finite terms.  Counts and totals are exact
+    BIGINTs; each bin's contribution does its two divisions and one ln
+    in the same order in both engines (the zipf/regression precedent
+    for libm parity at 6 dp), and emitting PER-BIN rows avoids any
+    cross-row float summation entirely — the oracle stays hash-exact.
+
+    One pass over events (bin + half tags are map-side), one groupBy
+    on the |types| x {_PSI_BINS} domain, two broadcast scalars."""
+    ev = table(spark, sf_dir, "events")
+    mid = ev.agg(
+        (
+            F.min(F.unix_timestamp("ts"))
+            + F.expr(
+                "(max(unix_timestamp(ts)) - min(unix_timestamp(ts))) DIV 2"
+            )
+        ).alias("mid")
+    )
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = (
+        ev.crossJoin(F.broadcast(mid))
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    * _PSI_BINS
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("long"),
+                F.lit(_PSI_BINS - 1).cast("long"),
+            ).alias("bin"),
+            (F.unix_timestamp("ts") <= F.col("mid")).alias("early"),
+        )
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("early"), 1).otherwise(0)).cast("long").alias("c_e"),
+        F.sum(F.when(F.col("early"), 0).otherwise(1)).cast("long").alias("c_l"),
+    )
+    w = Window.partitionBy("event_type")
+    tot = cnt.select(
+        "event_type",
+        "bin",
+        "c_e",
+        "c_l",
+        F.sum("c_e").over(w).cast("long").alias("n_e"),
+        F.sum("c_l").over(w).cast("long").alias("n_l"),
+    )
+    p = (F.col("c_e") + 1).cast("double") / (F.col("n_e") + _PSI_BINS)
+    q = (F.col("c_l") + 1).cast("double") / (F.col("n_l") + _PSI_BINS)
+    return tot.select(
+        "event_type",
+        "bin",
+        F.col("c_e").alias("n_early"),
+        F.col("c_l").alias("n_late"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
+    )

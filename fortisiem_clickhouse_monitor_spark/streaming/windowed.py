@@ -472,3 +472,32 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start", "window_end", "event_type", "n"
     )
     return rank_topk(counts)
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL: daily distinct-user registers as a streaming aggregation
+# ---------------------------------------------------------------------------
+
+
+def streaming_hll_daily_registers(stream: DataFrame) -> DataFrame:
+    """Daily HyperLogLog registers as a STREAMING aggregation: the
+    bucket-wise max is an algebraic aggregate, so the state store
+    holds exactly the register table (days x 512 rows x one int) —
+    the streaming form of the batch sketch family
+    (sketch_monthly_users_from_daily and friends share the register
+    spec, functions/hll.py).  Run in complete/update mode: a register
+    only ever ratchets upward, so updates are monotone and the final
+    state after replay equals the batch registers row-for-row (the
+    differential test's claim).  This is THE scale pattern for
+    streaming distinct counts: state is O(m) per day regardless of
+    user cardinality, and the same registers downstream-merge into
+    weekly/monthly estimates without touching events again."""
+    from ..functions import hll
+
+    h = hll.hash_col(F.col("user_id"))
+    return (
+        stream.select(F.to_date("ts").alias("day"), h.alias("h"))
+        .select("day", hll.bucket_of(F.col("h")), hll.rho_of(F.col("h")))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )

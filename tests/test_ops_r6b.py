@@ -389,3 +389,42 @@ def test_keyframes_cover_every_scene(spark):
         assert 0 in idxs
         expect = {0} | {f + 1 for (a, f) in cuts if a == aid}
         assert idxs == expect
+
+
+def test_psi_planted_shift(spark, monkeypatch):
+    """A clean mean shift between halves must put large positive PSI
+    contributions in the bins that gained/lost mass; identical halves
+    must give ~zero contributions everywhere."""
+    import datetime as dt
+
+    import fortisiem_clickhouse_monitor_spark.operators.profiling as prof
+
+    def ev(vals_early, vals_late):
+        rows, eid = [], 0
+        for v in vals_early:
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 1), 1, "A", float(v), "{}"))
+        for v in vals_late:
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, 9), 1, "A", float(v), "{}"))
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    # identical halves -> every contribution is exactly 0
+    same = list(range(100))
+    monkeypatch.setattr(prof, "table", lambda s, d, n: ev(same, same))
+    rows = prof.drift_psi_value_bins(spark, "x").collect()
+    assert rows and all(r["psi_contrib"] == 0.0 for r in rows)
+
+    # early mass in [0,50), late mass in [50,100) -> strong +/- terms
+    monkeypatch.setattr(
+        prof,
+        "table",
+        lambda s, d, n: ev(list(range(50)) * 2, list(range(50, 100)) * 2),
+    )
+    rows = prof.drift_psi_value_bins(spark, "x").collect()
+    total = sum(r["psi_contrib"] for r in rows)
+    assert total > 0.25  # the classic "drifted" threshold

@@ -431,3 +431,29 @@ def test_streaming_windowed_topk_matches_batch(spark, events_stream):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_streaming_hll_registers_match_batch(spark, events_stream):
+    """Replaying the whole stream through the streaming HLL register
+    aggregation (complete mode) must yield EXACTLY the batch register
+    table — max-merge is order-insensitive, so arrival order cannot
+    perturb a single register."""
+    from fortisiem_clickhouse_monitor_spark.functions import hll
+
+    got = _run_stream_to_memory(
+        spark,
+        windowed.streaming_hll_daily_registers(events_stream),
+        "t_hll_regs",
+        mode="complete",
+    )
+    ev = table(spark, SF_SMALL, "events")
+    h = hll.hash_col(F.col("user_id"))
+    batch = (
+        ev.select(F.to_date("ts").alias("day"), h.alias("h"))
+        .select("day", hll.bucket_of(F.col("h")), hll.rho_of(F.col("h")))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
