@@ -1887,3 +1887,116 @@ def timeseries_cross_correlation(
             )
         ).alias("ccf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jackknife standard error: uncertainty for a distributed mean
+# ---------------------------------------------------------------------------
+
+_JK_G = 10
+
+
+@register(
+    "stats_jackknife_mean_se",
+    oracle=f"""
+    WITH b AS (
+      SELECT (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT)
+               % {_JK_G} AS g,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(cents) AS BIGINT) AS s_g
+      FROM b GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS gcnt
+      FROM per
+    ),
+    loo AS (
+      SELECT p.g, (1000 * (t.s - p.s_g)) // (t.n - p.n_g) AS loo_mc
+      FROM per p, tot t
+    ),
+    dev AS (
+      SELECT CAST(sum((t.gcnt * l.loo_mc - sl.sum_loo)
+                      * (t.gcnt * l.loo_mc - sl.sum_loo)) AS BIGINT) AS ssd
+      FROM loo l,
+           (SELECT CAST(sum(loo_mc) AS BIGINT) AS sum_loo FROM loo) sl,
+           tot t
+    )
+    SELECT t.n AS n_events, t.gcnt AS n_buckets,
+           round(CAST(t.s AS DOUBLE) / (100.0 * t.n), 6) AS mean_value,
+           round(sqrt(CAST((t.gcnt - 1) AS DOUBLE) * d.ssd
+                      / (t.gcnt * t.gcnt * t.gcnt)) / 100000.0, 6)
+             AS se_jackknife
+    FROM tot t, dev d
+    """,
+    tags=("A-ext", "STATS"),
+)
+def stats_jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-bucket jackknife standard error for the mean event
+    value — the uncertainty a monitoring dashboard should print next
+    to every mean, computed the only way that scales: hash-assign
+    every row to one of G = {_JK_G} buckets, keep per-bucket (count,
+    sum), and derive the G leave-one-out means from those sufficient
+    statistics alone.  No resampling pass, no per-replicate scan —
+    the classic "bag of little bootstraps / jackknife on summaries"
+    shape where adding data only updates G running pairs.
+
+    Exactness: bucket assignment is the shared md5 hash spec; sums
+    are exact centi-unit BIGINTs; each leave-one-out mean is an exact
+    integer milli-cent division (truncating, both engines); the sum
+    of squared deviations is computed in the G-scaled integer form
+    sum((G*loo_i - sum_loo)^2) — an exact BIGINT — so the ONLY float
+    ops are the final sqrt and two divisions, identical in both
+    engines.  No cross-row float summation anywhere."""
+    ev = table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    b = ev.select(
+        F.pmod(h, F.lit(_JK_G)).alias("g"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per = b.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("cents").alias("s_g")
+    )
+    tot = per.agg(
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.count(F.lit(1)).alias("gcnt"),
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        F.expr("(1000 * (s - s_g)) DIV (n - n_g)").alias("loo_mc")
+    )
+    sum_loo = loo.agg(F.sum("loo_mc").cast("long").alias("sum_loo"))
+    dev = (
+        loo.crossJoin(F.broadcast(sum_loo))
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("gcnt") * F.col("loo_mc") - F.col("sum_loo"))
+                * (F.col("gcnt") * F.col("loo_mc") - F.col("sum_loo"))
+            )
+            .cast("long")
+            .alias("ssd")
+        )
+    )
+    return tot.crossJoin(F.broadcast(dev)).select(
+        F.col("n").alias("n_events"),
+        F.col("gcnt").alias("n_buckets"),
+        F.round(F.col("s").cast("double") / (100.0 * F.col("n")), 6).alias(
+            "mean_value"
+        ),
+        F.round(
+            F.sqrt(
+                (F.col("gcnt") - 1).cast("double")
+                * F.col("ssd")
+                / (F.col("gcnt") * F.col("gcnt") * F.col("gcnt"))
+            )
+            / 100000.0,
+            6,
+        ).alias("se_jackknife"),
+    )

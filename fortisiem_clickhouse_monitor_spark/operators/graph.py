@@ -1970,3 +1970,107 @@ def _probe_harmonic(spark: SparkSession, sf_dir: str) -> int:
             .localCheckpoint(eager=True)
         )
     return total
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity: do similar-degree nodes link to each other?
+# ---------------------------------------------------------------------------
+
+
+def _assortativity_oracle() -> str:
+    from .dedup import _CC_PAIRS_SQL
+
+    return f"""
+    {_CC_PAIRS_SQL},
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    ed AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM sym e
+      JOIN deg du ON du.u = e.u
+      JOIN deg dv ON dv.u = e.v
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM ed
+    )
+    SELECT n AS n_directed_edges,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL
+                ELSE round(
+                  CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS assortativity
+    FROM mom
+    """
+
+
+@register(
+    "graph_degree_assortativity",
+    oracle=_assortativity_oracle(),
+    tags=("GRAPH",),
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over all directed edge instances of the near-dup
+    graph — positive means hubs attach to hubs (boilerplate families
+    chaining into super-clusters: CC labels will snowball), negative
+    means hub-leaf structure (star-shaped duplicate clusters: CC stays
+    shallow).  The one scalar to read before predicting how the
+    connected-components labels will behave as the corpus grows.
+
+    Exact-moment discipline (the autocorrelation/CCF pattern): degrees
+    are exact BIGINT counts, the five moment sums over the symmetric
+    edge list are exact, both sqrt radicands are identical integers in
+    both engines — one double division.  Work is two broadcast-sized
+    degree joins over the edge list; no wedge or pair materialization
+    anywhere (this reads only EDGES, unlike the triangle family)."""
+    from .dedup import shared_ngram_pairs
+
+    pairs = (
+        shared_ngram_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("y"))
+    ed = sym.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    mom = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return mom.select(
+        F.col("n").alias("n_directed_edges"),
+        F.when((vx == 0) | (vy == 0), F.lit(None)).otherwise(
+            F.round(
+                cov.cast("double")
+                / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+                6,
+            )
+        ).alias("assortativity"),
+    )

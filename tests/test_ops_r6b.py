@@ -428,3 +428,71 @@ def test_psi_planted_shift(spark, monkeypatch):
     rows = prof.drift_psi_value_bins(spark, "x").collect()
     total = sum(r["psi_contrib"] for r in rows)
     assert total > 0.25  # the classic "drifted" threshold
+
+
+def test_assortativity_planted_signs(spark, monkeypatch):
+    """A star (hub-leaf) must be maximally DISassortative (r = -1);
+    a clean 4-cycle is degree-regular -> correlation undefined (every
+    degree equal, zero variance -> NULL)."""
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+    import fortisiem_clickhouse_monitor_spark.operators.graph as graph
+
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(dd, "shared_ngram_pairs", lambda s, d: star)
+    r = graph.graph_degree_assortativity(spark, "x").collect()[0]
+    assert r["assortativity"] == -1.0
+    assert r["n_directed_edges"] == 8
+
+    cycle = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(dd, "shared_ngram_pairs", lambda s, d: cycle)
+    r = graph.graph_degree_assortativity(spark, "x").collect()[0]
+    assert r["assortativity"] is None  # zero degree variance
+
+
+def test_jackknife_se_matches_numpy(spark, monkeypatch):
+    """The bucket-summary jackknife must reproduce the textbook
+    leave-one-out computation run in plain Python from the same hash
+    bucket assignment (to the integer milli-cent truncation)."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    import fortisiem_clickhouse_monitor_spark.operators.advanced as adv
+
+    vals = [float(v) for v in range(1, 201)]  # values 1..200
+    rows = [
+        (i, dt.datetime(2024, 1, 1), 1, "A", v, "{}")
+        for i, v in enumerate(vals, start=1)
+    ]
+    monkeypatch.setattr(
+        adv,
+        "table",
+        lambda s, d, n: spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ),
+    )
+    got = adv.stats_jackknife_mean_se(spark, "x").collect()[0]
+
+    G = adv._JK_G
+    buckets = {g: [0, 0] for g in range(G)}  # n, cents
+    for i, v in enumerate(vals, start=1):
+        g = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % G
+        buckets[g][0] += 1
+        buckets[g][1] += math.floor(v * 100)
+    n = sum(b[0] for b in buckets.values())
+    s = sum(b[1] for b in buckets.values())
+    loo = [
+        (1000 * (s - sg)) // (n - ng) for ng, sg in buckets.values() if True
+    ]
+    S = sum(loo)
+    ssd = sum((G * x - S) ** 2 for x in loo)
+    want_se = round(math.sqrt((G - 1) * ssd / G**3) / 100000.0, 6)
+    assert got["n_events"] == n
+    assert got["se_jackknife"] == want_se
+    assert got["mean_value"] == round(s / (100.0 * n), 6)
