@@ -2420,3 +2420,69 @@ def behavior_markov_next_event_eval(
             F.col("n_correct").cast("double") / F.col("n_test"), 6
         ).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest daily-activity streak per user (gaps-and-islands leaderboard)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_longest_streak_top20",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id,
+             day_num - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day_num) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS streak_days
+      FROM isl GROUP BY user_id, grp
+    ),
+    best AS (
+      SELECT user_id, max(streak_days) AS longest_streak,
+             CAST(count(*) AS BIGINT) AS n_streaks
+      FROM streaks GROUP BY user_id
+    )
+    SELECT user_id, longest_streak, n_streaks
+    FROM best
+    ORDER BY longest_streak DESC, user_id LIMIT 20
+    """,
+    tags=("BEHAV",),
+)
+def behavior_longest_streak_top20(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Longest consecutive-day activity streak per user, top 20 — the
+    engagement leaderboard every consumer product ships, and the
+    canonical GAPS-AND-ISLANDS exercise: distinct active days minus
+    their per-user rank is CONSTANT exactly within a run of
+    consecutive days, so one subtraction turns streaks into groupBy
+    keys.  No self-join, no recursion: distinct + one window + two
+    rollups, all on the (user, day) frame (bounded by users x
+    calendar, far below events).  Integer epoch-day arithmetic keeps
+    day boundaries timezone-exact in both engines."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        (F.unix_micros("ts") / 86400000000).cast("long").alias("day_num"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_num")
+    isl = days.select(
+        "user_id",
+        (F.col("day_num") - F.row_number().over(w)).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_days")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("streak_days").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+    return best.orderBy(F.desc("longest_streak"), "user_id").limit(20)

@@ -1951,3 +1951,86 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _MIPS_K)
         .select("query_id", "vec_id", "label", "ip", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dead-dimension screen: per-coordinate variance of the embedding matrix
+# ---------------------------------------------------------------------------
+
+#: Quantization grid for exact per-dimension moments (1e-6 resolution).
+_DIM_Q = 1_000_000
+
+
+@register(
+    "sim_dead_dimension_screen",
+    oracle=f"""
+    WITH px AS (
+      SELECT u.i AS dim,
+             CAST(floor(CAST(u.x AS DOUBLE) * {_DIM_Q}) AS BIGINT) AS q
+      FROM (
+        SELECT unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+      ) u(x, i)
+    ),
+    mom AS (
+      SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS s,
+             CAST(sum(q * q) AS BIGINT) AS ss
+      FROM px GROUP BY dim
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           round(CAST(s AS DOUBLE) / n / {_DIM_Q}, 6) AS mean_q,
+           round((CAST(ss AS DOUBLE) * n - CAST(s AS DOUBLE) * s)
+                 / (CAST(n AS DOUBLE) * n)
+                 / ({_DIM_Q}::DOUBLE * {_DIM_Q}), 6) AS var_q,
+           (ss * n - s * s) = 0 AS is_dead
+    FROM mom
+    """,
+    tags=("ANN", "DQ"),
+)
+def sim_dead_dimension_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-coordinate mean/variance of the embedding matrix with a
+    dead-dimension flag — the screen run before ANY index build: a
+    coordinate with (near-)zero variance carries no information but
+    still costs memory and dot-product work in every GEMM; a nonzero
+    CONSTANT coordinate silently biases inner products (the MIPS
+    family) while cosine quietly absorbs it.  Truncation/PQ decisions
+    (sim_truncation_recall_eval, sim_pq_codes) should read this table
+    first.
+
+    Exactness: raw float32 coordinates are quantized onto a 1e-6 grid
+    (floor, exact for any float both engines parse identically), so
+    count/sum/sum-of-squares are exact BIGINTs per dimension and the
+    dead flag is an INTEGER zero-variance test (ss*n - s*s = 0), not
+    a float epsilon.  One posexplode pass (n x dim rows), one groupBy
+    on the dim domain — embarrassingly map-side at any scale."""
+    e = table(spark, sf_dir, "embeddings")
+    px = e.select(
+        F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.floor(F.col("x").cast("double") * _DIM_Q).cast("long").alias("q"),
+    )
+    mom = px.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("ss"),
+    )
+    return mom.select(
+        "dim",
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n") / _DIM_Q, 6).alias(
+            "mean_q"
+        ),
+        F.round(
+            (F.col("ss").cast("double") * F.col("n")
+             - F.col("s").cast("double") * F.col("s"))
+            / (F.col("n").cast("double") * F.col("n"))
+            / (float(_DIM_Q) * _DIM_Q),
+            6,
+        ).alias("var_q"),
+        ((F.col("ss") * F.col("n") - F.col("s") * F.col("s")) == 0).alias(
+            "is_dead"
+        ),
+    )

@@ -496,3 +496,75 @@ def test_jackknife_se_matches_numpy(spark, monkeypatch):
     assert got["n_events"] == n
     assert got["se_jackknife"] == want_se
     assert got["mean_value"] == round(s / (100.0 * n), 6)
+
+
+def test_dead_dimension_screen_planted(spark, monkeypatch):
+    """A constant coordinate must flag is_dead with the exact integer
+    zero-variance test; a varying one must not."""
+    import fortisiem_clickhouse_monitor_spark.operators.similarity as sim
+
+    rows = [
+        (1, [1.0, 0.5, 2.0], 0),
+        (2, [2.0, 0.5, 1.0], 0),
+        (3, [3.0, 0.5, 0.0], 1),
+    ]
+    monkeypatch.setattr(
+        sim,
+        "table",
+        lambda s, d, n: spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ),
+    )
+    got = {
+        r["dim"]: r for r in sim.sim_dead_dimension_screen(spark, "x").collect()
+    }
+    assert not got[1]["is_dead"] and got[2]["is_dead"] and not got[3]["is_dead"]
+    assert got[2]["mean_q"] == 0.5 and got[2]["var_q"] == 0.0
+    assert got[1]["mean_q"] == 2.0
+
+
+def test_longest_streak_gaps_and_islands(spark, monkeypatch):
+    """User with days {1,2,3, 7,8, 20} -> longest 3, n_streaks 3;
+    multiple events on one day collapse (distinct)."""
+    import datetime as dt
+
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    days = [1, 2, 2, 3, 7, 8, 20, 20]
+    rows = [
+        (i, dt.datetime(2024, 1, d, 12, 0, 0), 5, "view", 1.0, "{}")
+        for i, d in enumerate(days, start=1)
+    ]
+    monkeypatch.setattr(
+        bh,
+        "table",
+        lambda s, d, n: spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ),
+    )
+    r = bh.behavior_longest_streak_top20(spark, "x").collect()
+    assert len(r) == 1
+    assert (r[0]["longest_streak"], r[0]["n_streaks"]) == (3, 3)
+
+
+def test_clustering_coefficient_planted(spark, monkeypatch):
+    """A triangle plus one pendant edge: T=1, wedges = 3 from the
+    triangle corners + 2 extra through the attachment node; global_cc
+    = 3/5; the pendant (d=1) is excluded from the local average."""
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+    import fortisiem_clickhouse_monitor_spark.operators.graph as graph
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(dd, "shared_ngram_pairs", lambda s, d: pairs)
+    r = graph.graph_clustering_coefficient(spark, "x").collect()[0]
+    assert r["n_nodes"] == 4 and r["n_edges"] == 4
+    assert r["n_triangles"] == 1
+    assert r["n_wedges"] == 5
+    assert r["global_cc"] == 0.6
+    # locals: nodes 1,2 -> 1.0; node 3 (d=3) -> 1/3 ppm-floored; node 4 excluded
+    want = (1000000 + 1000000 + (2000000 * 1) // (3 * 2)) // 3
+    assert r["avg_local_ppm"] == want
