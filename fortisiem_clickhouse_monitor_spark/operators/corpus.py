@@ -1557,3 +1557,121 @@ def corpus_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("weight").cast("long").alias("weight_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Padding-waste report: arrival-order vs length-sorted batching
+# ---------------------------------------------------------------------------
+
+_PAD_B = 32
+
+
+@register(
+    "pack_padding_waste_report",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_toks
+      FROM documents
+    ),
+    naive AS (
+      SELECT n_toks,
+             (row_number() OVER (ORDER BY doc_id) - 1) // {_PAD_B} AS b
+      FROM lens
+    ),
+    srt AS (
+      SELECT n_toks,
+             (row_number() OVER (ORDER BY n_toks, doc_id) - 1) // {_PAD_B}
+               AS b
+      FROM lens
+    ),
+    nw AS (
+      SELECT CAST(sum(cnt * mx - s) AS BIGINT) AS waste
+      FROM (SELECT b, count(*) AS cnt, max(n_toks) AS mx,
+                   sum(n_toks) AS s FROM naive GROUP BY b)
+    ),
+    sw AS (
+      SELECT CAST(sum(cnt * mx - s) AS BIGINT) AS waste
+      FROM (SELECT b, count(*) AS cnt, max(n_toks) AS mx,
+                   sum(n_toks) AS s FROM srt GROUP BY b)
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS total_tokens
+      FROM lens
+    )
+    SELECT t.n_docs, t.total_tokens,
+           nw.waste AS naive_pad_tokens,
+           sw.waste AS sorted_pad_tokens,
+           round(CAST(nw.waste AS DOUBLE) / (t.total_tokens + nw.waste), 6)
+             AS naive_pad_frac,
+           round(CAST(sw.waste AS DOUBLE) / (t.total_tokens + sw.waste), 6)
+             AS sorted_pad_frac
+    FROM tot t, nw, sw
+    """,
+    tags=("PACK", "EVAL"),
+)
+def pack_padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many pad tokens does batch shape cost?  Fixed-size batches
+    of {_PAD_B} docs pad every member to the batch max length; this
+    report prices that waste under ARRIVAL order (doc_id) vs
+    LENGTH-SORTED order — the measured justification for bucketed
+    batching in a training loader (length-sorting routinely cuts pad
+    fraction several-fold; the residual is the within-batch length
+    spread that only packing, pack_token_sequences, removes).
+
+    Per-batch waste is count*max - sum over exact BIGINT token
+    counts; batch assignment is (rank-1) DIV {_PAD_B} with doc_id
+    tiebreaks, so both engines bucket identically.  The global
+    row_number is presentation-scale here; at 100 TB the sort becomes
+    a range-partitioned sort (the engine's default for orderBy) and
+    the report is unchanged."""
+    d = bind(table(spark, sf_dir, "documents"), toks=textfns.tokens("text"))
+    lens = d.select(
+        "doc_id", F.size("toks").cast("long").alias("n_toks")
+    )
+
+    def waste(ordered_rank) -> DataFrame:
+        b = ((ordered_rank - 1) / _PAD_B).cast("long").alias("b")
+        return (
+            lens.select("n_toks", b)
+            .groupBy("b")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.max("n_toks").alias("mx"),
+                F.sum("n_toks").alias("s"),
+            )
+            .agg(
+                F.sum(F.col("cnt") * F.col("mx") - F.col("s"))
+                .cast("long")
+                .alias("waste")
+            )
+        )
+
+    nw = waste(F.row_number().over(Window.orderBy("doc_id")))
+    sw = waste(F.row_number().over(Window.orderBy("n_toks", "doc_id")))
+    tot = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+    )
+    nw = nw.select(F.col("waste").alias("naive_pad_tokens"))
+    sw = sw.select(F.col("waste").alias("sorted_pad_tokens"))
+    return (
+        tot.crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(sw))
+        .select(
+            "n_docs",
+            "total_tokens",
+            "naive_pad_tokens",
+            "sorted_pad_tokens",
+            F.round(
+                F.col("naive_pad_tokens").cast("double")
+                / (F.col("total_tokens") + F.col("naive_pad_tokens")),
+                6,
+            ).alias("naive_pad_frac"),
+            F.round(
+                F.col("sorted_pad_tokens").cast("double")
+                / (F.col("total_tokens") + F.col("sorted_pad_tokens")),
+                6,
+            ).alias("sorted_pad_frac"),
+        )
+    )

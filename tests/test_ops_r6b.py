@@ -568,3 +568,32 @@ def test_clustering_coefficient_planted(spark, monkeypatch):
     # locals: nodes 1,2 -> 1.0; node 3 (d=3) -> 1/3 ppm-floored; node 4 excluded
     want = (1000000 + 1000000 + (2000000 * 1) // (3 * 2)) // 3
     assert r["avg_local_ppm"] == want
+
+
+def test_padding_waste_sorted_never_worse(spark, monkeypatch):
+    """Length-sorting can never pad MORE than arrival order when
+    lengths are adversarially interleaved; exact hand-check on two
+    batches of 2 (B is monkeypatched to 2)."""
+    import fortisiem_clickhouse_monitor_spark.operators.corpus as cor
+
+    rows = [
+        (1, "a " * 10, "en", "s", 20),   # 10 tokens
+        (2, "b", "en", "s", 1),          # 1 token
+        (3, "c " * 10, "en", "s", 20),   # 10 tokens
+        (4, "d", "en", "s", 1),          # 1 token
+    ]
+    monkeypatch.setattr(
+        cor,
+        "table",
+        lambda s, d, n: spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ),
+    )
+    monkeypatch.setattr(cor, "_PAD_B", 2)
+    r = cor.pack_padding_waste_report(spark, "x").collect()[0]
+    # arrival order batches (10,1) (10,1): waste 9+9=18
+    # sorted batches (1,1) (10,10): waste 0
+    assert r["naive_pad_tokens"] == 18
+    assert r["sorted_pad_tokens"] == 0
+    assert r["total_tokens"] == 22
