@@ -2486,3 +2486,117 @@ def behavior_longest_streak_top20(
         F.count(F.lit(1)).alias("n_streaks"),
     )
     return best.orderBy(F.desc("longest_streak"), "user_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_attribution_position_based",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             event_type = 'purchase' AS is_p,
+             coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS journey
+      FROM events
+    ),
+    converted AS (
+      SELECT DISTINCT user_id, journey FROM tagged WHERE is_p
+    ),
+    touches AS (
+      SELECT t.user_id, t.journey, t.event_type,
+             row_number() OVER (PARTITION BY t.user_id, t.journey
+                                ORDER BY t.ts, t.event_id) AS pos,
+             count(*) OVER (PARTITION BY t.user_id, t.journey) AS k
+      FROM tagged t JOIN converted c
+        ON c.user_id = t.user_id AND c.journey = t.journey
+      WHERE NOT t.is_p
+    ),
+    credited AS (
+      SELECT event_type,
+             CASE
+               WHEN k = 1 THEN 10000
+               WHEN k = 2 THEN 5000
+               WHEN pos = 1 THEN 4000 + (2000 - (k - 2) * (2000 // (k - 2)))
+               WHEN pos = k THEN 4000
+               ELSE 2000 // (k - 2)
+             END AS bp
+      FROM touches
+    )
+    SELECT event_type AS channel,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(sum(bp) AS BIGINT) AS credit_bp
+    FROM credited GROUP BY event_type
+    """,
+    tags=("BEHAV", "ATTRIBUTION"),
+)
+def behavior_attribution_position_based(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    converting JOURNEY (the touches since the user's previous
+    purchase) splits 10000 basis points — 40% to the first touch,
+    40% to the last, 20% across the middles — per-channel credit
+    the marketing-mix answer last-touch attribution systematically
+    biases toward bottom-of-funnel channels.
+
+    Exactness: credits are integer basis points; the middle share
+    uses truncating division with the remainder folded into the
+    first touch, so every journey's credits sum to exactly 10000 in
+    both engines (no float weights).  Journey segmentation is a
+    running purchase count per user (one window over the ONE user_id
+    exchange all the behavior operators share); journeys without a
+    purchase are dropped by the converted semi-join.  Work is
+    |events| rows through two windows plus a broadcast-sized join —
+    no per-(purchase x touch) pair frame."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_p = F.col("event_type") == "purchase"
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        is_p.alias("is_p"),
+        F.coalesce(
+            F.sum(F.when(is_p, 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    converted = (
+        tagged.filter(F.col("is_p")).select("user_id", "journey").distinct()
+    )
+    wj = Window.partitionBy("user_id", "journey").orderBy("ts", "event_id")
+    wk = Window.partitionBy("user_id", "journey")
+    touches = (
+        tagged.filter(~F.col("is_p"))
+        .join(converted, ["user_id", "journey"])
+        .select(
+            "event_type",
+            F.row_number().over(wj).alias("pos"),
+            F.count(F.lit(1)).over(wk).alias("k"),
+        )
+    )
+    mid = F.expr("2000 DIV (k - 2)")
+    bp = (
+        F.when(F.col("k") == 1, F.lit(10000))
+        .when(F.col("k") == 2, F.lit(5000))
+        .when(F.col("pos") == 1, F.lit(4000) + (2000 - (F.col("k") - 2) * mid))
+        .when(F.col("pos") == F.col("k"), F.lit(4000))
+        .otherwise(mid)
+    )
+    return (
+        touches.select("event_type", bp.alias("bp"))
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("bp").cast("long").alias("credit_bp"),
+        )
+    )

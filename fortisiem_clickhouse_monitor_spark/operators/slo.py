@@ -315,3 +315,116 @@ def availability_active_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("active_minutes") * 100.0 / F.col("span_minutes"), 4
         ).alias("active_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reliability: MTTR / MTBF from error-event incidents
+# ---------------------------------------------------------------------------
+
+#: Error events closer than this (seconds) belong to one incident.
+_INCIDENT_GAP_S = 300
+
+
+@register(
+    "reliability_mttr_mtbf",
+    oracle=f"""
+    WITH errs AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s
+      FROM events WHERE event_type = 'error'
+    ),
+    marked AS (
+      SELECT s, CASE WHEN s - lag(s) OVER (ORDER BY s) > {_INCIDENT_GAP_S}
+                     OR lag(s) OVER (ORDER BY s) IS NULL
+                THEN 1 ELSE 0 END AS new_inc
+      FROM errs
+    ),
+    grouped AS (
+      SELECT s, sum(new_inc) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS inc
+      FROM marked
+    ),
+    incidents AS (
+      SELECT inc, min(s) AS t0, max(s) AS t1,
+             CAST(count(*) AS BIGINT) AS n_errors
+      FROM grouped GROUP BY inc
+    ),
+    gaps AS (
+      SELECT t0 - lag(t1) OVER (ORDER BY t0) AS gap_s FROM incidents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_incidents,
+           CAST(sum(n_errors) AS BIGINT) AS n_error_events,
+           CAST(sum(t1 - t0) AS BIGINT) AS total_repair_s,
+           CAST(2 * sum(t1 - t0) // count(*) AS BIGINT) AS mttr2_s,
+           CAST((SELECT 2 * coalesce(sum(gap_s), 0) FROM gaps)
+                // greatest(count(*) - 1, 1) AS BIGINT) AS mtbf2_s
+    FROM incidents
+    """,
+    tags=("SLO", "TS"),
+)
+def reliability_mttr_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTTR / MTBF from the error stream: error events within
+    {_INCIDENT_GAP_S} s of each other merge into one INCIDENT
+    (gaps-and-islands over the global error timeline), an incident's
+    repair time is its first-to-last-error span, and time-between-
+    failures is the quiet gap between consecutive incidents — the two
+    numbers an on-call review opens with, and the natural companion
+    to the reference's replication-failure monitoring
+    (chStats.py:137-210 counts failures; a reliability review needs
+    them STRUCTURED into incidents).
+
+    Means are reported in the repo's doubled-integer convention
+    (mttr2_s = 2*sum/count, exact BIGINT — divide by 2 to read) so no
+    float touches the output.  The error stream is a filtered slice
+    (predicate pushed to the scan); the global ordering window is on
+    incidents' worth of rows, and at 100 TB the same query runs
+    per-shard first (incidents never span shards in the reference's
+    topology) with a bounded merge."""
+    ev = table(spark, sf_dir, "events")
+    errs = ev.filter(F.col("event_type") == "error").select(
+        (F.unix_micros("ts") / 1000000).cast("long").alias("s")
+    )
+    w = Window.orderBy("s")
+    marked = errs.select(
+        "s",
+        F.when(
+            (F.col("s") - F.lag("s").over(w) > _INCIDENT_GAP_S)
+            | F.lag("s").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_inc"),
+    )
+    grouped = marked.select(
+        "s",
+        F.sum("new_inc")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("inc"),
+    )
+    incidents = grouped.groupBy("inc").agg(
+        F.min("s").alias("t0"),
+        F.max("s").alias("t1"),
+        F.count(F.lit(1)).alias("n_errors"),
+    )
+    wi = Window.orderBy("t0")
+    gaps = incidents.select(
+        (F.col("t0") - F.lag("t1").over(wi)).alias("gap_s")
+    )
+    gsum = gaps.agg(
+        F.coalesce(F.sum("gap_s"), F.lit(0)).cast("long").alias("gap_total")
+    )
+    agg = incidents.agg(
+        F.count(F.lit(1)).alias("n_incidents"),
+        F.sum("n_errors").cast("long").alias("n_error_events"),
+        F.sum(F.col("t1") - F.col("t0")).cast("long").alias("total_repair_s"),
+    )
+    return agg.crossJoin(F.broadcast(gsum)).select(
+        "n_incidents",
+        "n_error_events",
+        "total_repair_s",
+        F.expr("2 * total_repair_s DIV n_incidents")
+        .cast("long")
+        .alias("mttr2_s"),
+        F.expr("2 * gap_total DIV greatest(n_incidents - 1, 1)")
+        .cast("long")
+        .alias("mtbf2_s"),
+    )

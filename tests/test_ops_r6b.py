@@ -597,3 +597,80 @@ def test_padding_waste_sorted_never_worse(spark, monkeypatch):
     assert r["naive_pad_tokens"] == 18
     assert r["sorted_pad_tokens"] == 0
     assert r["total_tokens"] == 22
+
+
+def test_position_attribution_credits_sum_exact(spark, monkeypatch):
+    """Every converting journey distributes exactly 10000 bp; k=1,
+    k=2, and k=5 journeys hand-checked (remainder folds into the
+    first touch)."""
+    import datetime as dt
+
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    rows, eid = [], 0
+
+    def add(u, day, t):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, dt.datetime(2024, 1, day), u, t, 1.0, "{}"))
+
+    # user 1: single touch then purchase (k=1)
+    add(1, 1, "view"); add(1, 2, "purchase")
+    # user 2: two touches then purchase (k=2)
+    add(2, 1, "view"); add(2, 2, "click"); add(2, 3, "purchase")
+    # user 3: five touches then purchase (k=5, middles 2000//3=666, rem 2)
+    for d, t in enumerate(["view", "click", "view", "click", "signup"], 1):
+        add(3, d, t)
+    add(3, 6, "purchase")
+    # user 4: touches but NO purchase -> no credit at all
+    add(4, 1, "view"); add(4, 2, "click")
+    monkeypatch.setattr(
+        bh,
+        "table",
+        lambda s, d, n: spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ),
+    )
+    got = {
+        r["channel"]: r["credit_bp"]
+        for r in bh.behavior_attribution_position_based(spark, "x").collect()
+    }
+    assert sum(got.values()) == 30000  # 3 journeys x 10000, user 4 none
+    # user 3 journey: first view 4000+2, last signup 4000, middles 666 each
+    # view total: u1 10000 + u2 5000 + u3 (4002 + 666)
+    assert got["view"] == 10000 + 5000 + 4002 + 666
+    assert got["signup"] == 4000
+    assert got["click"] == 5000 + 666 + 666
+
+
+def test_mttr_mtbf_planted_incidents(spark, monkeypatch):
+    """Two incidents: errors at t=0,60,120 (one incident, repair 120s)
+    and t=1000,1030 (repair 30s); gap between incidents 880s.
+    MTTR2 = 2*150/2 = 150, MTBF2 = 2*880/1 = 1760."""
+    import datetime as dt
+
+    import fortisiem_clickhouse_monitor_spark.operators.slo as slo
+
+    base = dt.datetime(2024, 1, 1)
+    secs = [0, 60, 120, 1000, 1030]
+    rows = [
+        (i, base + dt.timedelta(seconds=s), 1, "error", 0.0, "{}")
+        for i, s in enumerate(secs, start=1)
+    ] + [(99, base, 2, "view", 0.0, "{}")]
+    monkeypatch.setattr(
+        slo,
+        "table",
+        lambda s, d, n: spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ),
+    )
+    r = slo.reliability_mttr_mtbf(spark, "x").collect()[0]
+    assert r["n_incidents"] == 2
+    assert r["n_error_events"] == 5
+    assert r["total_repair_s"] == 150
+    assert r["mttr2_s"] == 150
+    assert r["mtbf2_s"] == 1760
