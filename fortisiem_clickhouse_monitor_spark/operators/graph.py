@@ -2198,3 +2198,125 @@ def graph_clustering_coefficient(
         ).alias("global_cc"),
         F.expr("sum_local_ppm DIV n_eligible").alias("avg_local_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random-walk corpus (DeepWalk/node2vec data prep)
+# ---------------------------------------------------------------------------
+
+_WALK_LEN = 4  # steps per walk (nodes emitted = _WALK_LEN + 1)
+
+
+def _walk_hash_sql(seed: str, step: int, node: str) -> str:
+    return (
+        f"(('0x' || substr(md5(CAST({seed} AS VARCHAR) || ':' || "
+        f"CAST({step} AS VARCHAR) || ':' || CAST({node} AS VARCHAR)), "
+        f"1, 15))::BIGINT)"
+    )
+
+
+def _random_walk_oracle() -> str:
+    from .dedup import _CC_PAIRS_SQL
+
+    steps = []
+    prev = "w0"
+    for s in range(1, _WALK_LEN + 1):
+        h = _walk_hash_sql("p.seed", s, "p.node")
+        steps.append(
+            f"""w{s} AS (
+      SELECT p.seed, {s} AS step, a.v AS node
+      FROM {prev} p
+      JOIN adj a ON a.u = p.node
+               AND a.rnk = {h} % a.deg)"""
+        )
+        prev = f"w{s}"
+    joined = ",\n    ".join(steps)
+    unioned = "\n      UNION ALL\n      ".join(
+        f"SELECT seed, step, node FROM w{s}" for s in range(_WALK_LEN + 1)
+    )
+    return f"""
+    {_CC_PAIRS_SQL},
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    adj AS (
+      SELECT u, v,
+             row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,
+             count(*) OVER (PARTITION BY u) AS deg
+      FROM sym
+    ),
+    w0 AS (
+      SELECT DISTINCT u AS seed, 0 AS step, u AS node FROM sym
+    ),
+    {joined}
+    SELECT seed, CAST(step AS BIGINT) AS step, node
+    FROM ({unioned})
+    """
+
+
+@register(
+    "graph_random_walk_corpus",
+    oracle=_random_walk_oracle(),
+    tags=("GRAPH", "ITER"),
+)
+def graph_random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style walk corpus over the near-dup graph: one
+    {_WALK_LEN}-step walk per node, the (seed, step, node) triples a
+    skip-gram embedding trainer consumes.  The walk is DETERMINISTIC —
+    step s from node n in seed's walk picks neighbor
+    rank = hash60(seed:s:n) % deg(n) over the id-ordered adjacency —
+    which is exactly how you make walk generation reproducible AND
+    shardable at scale (any worker can regenerate any walk segment
+    from the hash alone; no RNG state to coordinate, the same
+    hash-in-place-of-RNG discipline as sample_content_hash /
+    corpus_negative_samples).
+
+    Each step is ONE equi-join of the walk frontier against the
+    ranked adjacency (|nodes| rows x {_WALK_LEN} steps — linear), the
+    rank match pushed into the join condition; no per-walk state
+    beyond the frontier row.  Walks at a dead end (deg = 0 never
+    happens on this symmetric edge list) would simply stop emitting —
+    inner-join semantics, stated in the oracle too."""
+    from ..functions.textfns import hash60
+    from .dedup import shared_ngram_pairs
+
+    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    wadj = Window.partitionBy("u").orderBy("v")
+    adj = sym.select(
+        "u",
+        "v",
+        (F.row_number().over(wadj) - 1).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy("u")).alias("deg"),
+    ).localCheckpoint(eager=True)
+    cur = (
+        sym.select(F.col("u").alias("seed"))
+        .distinct()
+        .select("seed", F.lit(0).alias("step"), F.col("seed").alias("node"))
+    )
+    out = cur
+    for s in range(1, _WALK_LEN + 1):
+        h = hash60(
+            F.concat_ws(
+                ":",
+                F.col("seed").cast("string"),
+                F.lit(str(s)),
+                F.col("node").cast("string"),
+            )
+        )
+        nxt = (
+            cur.join(adj, cur["node"] == adj["u"])
+            .filter(F.pmod(h, F.col("deg")) == F.col("rnk"))
+            .select("seed", F.lit(s).alias("step"), F.col("v").alias("node"))
+        )
+        out = out.unionByName(nxt)
+        cur = nxt
+    return out.select("seed", F.col("step").cast("long").alias("step"), "node")

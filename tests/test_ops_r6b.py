@@ -674,3 +674,34 @@ def test_mttr_mtbf_planted_incidents(spark, monkeypatch):
     assert r["total_repair_s"] == 150
     assert r["mttr2_s"] == 150
     assert r["mtbf2_s"] == 1760
+
+
+def test_random_walks_deterministic_and_adjacent(spark, monkeypatch):
+    """Every consecutive (step s -> s+1) pair in a walk must be an
+    edge of the graph; walks are reproducible run-to-run; every node
+    seeds exactly one walk of full length on a connected graph."""
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+    import fortisiem_clickhouse_monitor_spark.operators.graph as graph
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (2, 4)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(dd, "shared_ngram_pairs", lambda s, d: pairs)
+    edges = {(1, 2), (2, 3), (3, 4), (1, 4), (2, 4)}
+    edges |= {(b, a) for a, b in edges}
+    rows1 = sorted(
+        map(tuple, graph.graph_random_walk_corpus(spark, "x").collect())
+    )
+    rows2 = sorted(
+        map(tuple, graph.graph_random_walk_corpus(spark, "x").collect())
+    )
+    assert rows1 == rows2  # deterministic
+    walks = {}
+    for seed, step, node in rows1:
+        walks.setdefault(seed, {})[step] = node
+    assert set(walks) == {1, 2, 3, 4}
+    for seed, path in walks.items():
+        assert len(path) == graph._WALK_LEN + 1  # connected: no dead ends
+        assert path[0] == seed
+        for s in range(1, graph._WALK_LEN + 1):
+            assert (path[s - 1], path[s]) in edges
