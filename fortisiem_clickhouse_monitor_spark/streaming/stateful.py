@@ -510,3 +510,63 @@ def first_seen(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful funnel: per-user stage machine (signup -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = "user_id LONG, stage LONG, stage_ts TIMESTAMP"
+FUNNEL_STATE_SCHEMA = "stage LONG, last_us LONG"
+
+_FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def funnel_fn(
+    key, pdf_iter: "Iterator[pd.DataFrame]", state
+) -> Iterator[pd.DataFrame]:
+    """Advance the user's funnel stage on each qualifying event that
+    is STRICTLY LATER than the previous stage's event (the batch
+    funnel's semantics), emitting one row per stage completion.
+    State is two longs per user — current stage and its event time —
+    the minimum for a strictly-ordered funnel."""
+    (user_id,) = key
+    stage, last_us = state.get if state.exists else (0, -1)
+    out_stage, out_ts = [], []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+            if stage >= len(_FUNNEL_STAGES):
+                break
+            us = int(ts.value // 1000)
+            if etype == _FUNNEL_STAGES[stage] and us > last_us:
+                stage += 1
+                last_us = us
+                out_stage.append(stage)
+                out_ts.append(ts)
+    state.update((stage, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(out_stage),
+            "stage": out_stage,
+            "stage_ts": out_ts,
+        }
+    )
+
+
+def funnel(stream: DataFrame) -> DataFrame:
+    """Streaming twin of funnel_signup_click_purchase: per-user stage
+    machine over applyInPandasWithState.  Each stage completion is
+    emitted exactly once, append-mode, the moment it happens — the
+    real-time form of the batch funnel counts (count rows per stage
+    downstream).  Same cross-batch caveat as first_seen: stage
+    ordering is exact when the source preserves event-time order
+    across micro-batches (the replay harness does); within a batch
+    events are explicitly sorted."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        funnel_fn,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

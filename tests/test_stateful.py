@@ -589,3 +589,37 @@ def test_stateful_first_seen_matches_batch(spark, tmp_path):
     for r in rows:
         got[r["first_day"]] = got.get(r["first_day"], 0) + 1
     assert got == {d: n for d, n in batch.items() if n > 0}
+
+
+def test_stateful_funnel_matches_batch(spark, tmp_path):
+    """Streaming funnel differential: replaying sf0.001 events in ts
+    order, the per-stage user counts must equal the batch
+    funnel_signup_click_purchase row exactly, and no user may skip a
+    stage (stage k emitted only after stage k-1)."""
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    b = bh.funnel_signup_click_purchase(spark, SF_SMALL).collect()[0]
+    ev = table(spark, SF_SMALL, "events")
+    out = str(tmp_path / "funnel_events")
+    ev.orderBy("ts", "event_id").coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    stream = jobs.events_stream(spark, out, max_files_per_trigger=1)
+    q = (
+        stateful.funnel(stream)
+        .writeStream.format("memory")
+        .queryName("t_funnel")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM t_funnel").collect()
+    per_stage: dict = {1: set(), 2: set(), 3: set()}
+    for r in rows:
+        per_stage[r["stage"]].add(r["user_id"])
+    assert len(per_stage[1]) == b["n_signup"]
+    assert len(per_stage[2]) == b["n_click_after_signup"]
+    assert len(per_stage[3]) == b["n_purchase_after_click"]
+    assert per_stage[3] <= per_stage[2] <= per_stage[1]
