@@ -1675,3 +1675,75 @@ def pack_padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sorted_pad_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-epoch shuffle plan (training-loader ordering)
+# ---------------------------------------------------------------------------
+
+_SHUF_EPOCHS = 3
+_SHUF_SHARDS = 8
+
+
+@register(
+    "corpus_epoch_shuffle_plan",
+    oracle=f"""
+    WITH ep AS (SELECT unnest(generate_series(0, {_SHUF_EPOCHS - 1})) AS epoch),
+    keyed AS (
+      SELECT e.epoch, d.doc_id,
+             (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                                  CAST(e.epoch AS VARCHAR)), 1, 15))::BIGINT)
+               AS h
+      FROM documents d, ep e
+    )
+    SELECT epoch, doc_id,
+           CAST(h % {_SHUF_SHARDS} AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY epoch, h % {_SHUF_SHARDS}
+                                   ORDER BY h, doc_id) AS BIGINT)
+             AS pos_in_shard
+    FROM keyed
+    """,
+    tags=("CORPUS", "MIX"),
+)
+def corpus_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch training shuffle WITHOUT RNG state: epoch e's order
+    for a doc is hash60(doc_id:e) — every worker can compute any
+    doc's shard and position independently, resuming mid-epoch needs
+    no shuffle file, and each epoch is a fresh permutation (the
+    hash-in-place-of-RNG discipline shared with the walk corpus and
+    the negative sampler).  Output is the loader's plan: (epoch, doc,
+    shard, position), shard = h % {_SHUF_SHARDS}, position = rank of
+    h within the shard.
+
+    The {_SHUF_EPOCHS}-row epoch dim broadcasts; position ranking
+    exchanges on (epoch, shard) — {_SHUF_EPOCHS}x{_SHUF_SHARDS}
+    balanced partitions (hash-uniform by construction, measured by
+    profile_join_key_skew's methodology), never a global sort."""
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    ep = spark.range(_SHUF_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("doc_id").cast("string"),
+                    F.col("epoch").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = d.crossJoin(F.broadcast(ep)).select(
+        "epoch", "doc_id", h.alias("h")
+    )
+    shard = F.pmod(F.col("h"), F.lit(_SHUF_SHARDS)).cast("long")
+    w = Window.partitionBy("epoch", shard).orderBy("h", "doc_id")
+    return keyed.select(
+        "epoch",
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )

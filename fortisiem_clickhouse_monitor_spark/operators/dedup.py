@@ -2576,3 +2576,81 @@ def report_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         F.sum("n_pairs").over(w).cast("long").alias("n_pairs_at_least"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup contamination rate per source
+# ---------------------------------------------------------------------------
+
+
+def _neardup_rate_oracle() -> str:
+    return f"""
+    {_CC_PAIRS_SQL},
+    -- DISTINCT over UNION ALL, not bare UNION: under WITH RECURSIVE
+    -- DuckDB skips the dedup of UNION in non-recursive CTEs (the
+    -- seed-ball lesson, graph.py) — observed here as 4 duplicated
+    -- docs fanning out the LEFT JOIN.
+    members AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b FROM pairs
+      )
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_dup,
+           round(CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS near_dup_rate
+    FROM documents d LEFT JOIN members m ON m.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@register(
+    "quality_near_dup_rate_by_source",
+    oracle=_neardup_rate_oracle(),
+    tags=("DQ", "DEDUP"),
+)
+def quality_near_dup_rate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Which sources are feeding us duplicates?  Per-source count and
+    rate of documents that participate in at least one verified
+    near-dup pair — the procurement-facing rollup of the dedup
+    pipeline (a source whose rate trends up is recrawling itself or
+    mirroring another source; cross-source structure lives in
+    corpus_source_overlap_matrix, this is the per-source budget
+    number).
+
+    The member set is a UNION-distinct over the verified pairs frame
+    (edge-count-sized), joined back to the documents dim as a
+    broadcast; one groupBy on the source domain.  All counting exact;
+    the single rate division is the only float."""
+    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        d.join(F.broadcast(members), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+            .cast("long")
+            .alias("n_near_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_near_dup",
+            F.round(
+                F.col("n_near_dup").cast("double") / F.col("n_docs"), 6
+            ).alias("near_dup_rate"),
+        )
+    )
