@@ -2000,3 +2000,84 @@ def stats_jackknife_mean_se(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("se_jackknife"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D Pareto frontier (skyline) with bucketed carry/scan
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rank_pareto_frontier_parts",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey, p_retailprice, p_size FROM part
+    )
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size)
+    )
+    """,
+    tags=("A-ext", "RANK"),
+)
+def rank_pareto_frontier_parts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pareto frontier (skyline) of the part catalog minimizing
+    (p_retailprice, p_size): a part is on the frontier iff no other
+    part is <= on both axes and strictly < on one — "cheapest part at
+    every size class", the canonical multi-criteria shortlist query.
+
+    The oracle is the quadratic NOT EXISTS dominance test; the Spark
+    plan is the O(n log n) sorted-scan formulation made distributed
+    with the same two-level carry/scan used by
+    interval_peak_concurrency: dedupe to distinct (price, size)
+    points, bucket by a fixed price width (the price domain is a
+    property of the schema, not the scale factor, so buckets stay
+    balanced as rows grow), compute each bucket's prefix-min of size
+    in (price, size) order with a window PARTITIONED BY bucket, and
+    carry the min-size of all strictly-cheaper buckets in via a
+    prefix-min over the tiny bucket-summary frame.  A point is
+    dominated iff either running min is <= its size (equal-price
+    predecessors sort first and always carry a strictly smaller size
+    after dedup, so <= is exact — strictness falls out of the
+    ordering, no epsilon games).  Survivors (a frame bounded by the
+    frontier, which is tiny by definition) join back to part ids on
+    the two value columns."""
+    p = table(spark, sf_dir, "part")
+    pts = p.select("p_retailprice", "p_size").distinct()
+    bucket = F.floor(F.col("p_retailprice") / 50).cast("long")
+    pts = pts.withColumn("bucket", bucket)
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("p_retailprice", "p_size")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    big = F.lit(2**31 - 1)
+    local = pts.withColumn(
+        "prev_min", F.coalesce(F.min("p_size").over(w_in), big)
+    )
+    bmins = pts.groupBy("bucket").agg(F.min("p_size").alias("bmin"))
+    w_carry = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bmins.select(
+        "bucket",
+        F.coalesce(F.min("bmin").over(w_carry), big).alias("carry_min"),
+    )
+    frontier = (
+        local.join(F.broadcast(carry), "bucket")
+        .filter(
+            F.least(F.col("prev_min"), F.col("carry_min"))
+            > F.col("p_size")
+        )
+        .select("p_retailprice", "p_size")
+    )
+    return p.join(
+        F.broadcast(frontier), ["p_retailprice", "p_size"]
+    ).select("p_partkey", "p_retailprice", "p_size")

@@ -2600,3 +2600,196 @@ def behavior_attribution_position_based(
             F.sum("bp").cast("long").alias("credit_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-split A/B lift: Welch's unequal-variance t-test
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_ab_lift_welch",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+               % 2 = 0 AS grp_a,
+             round(sum(value), 2) AS user_value
+      FROM events GROUP BY user_id
+    ),
+    g AS (
+      SELECT grp_a,
+             CAST(count(*) AS BIGINT) AS n,
+             avg(user_value) AS mu,
+             var_samp(user_value) AS v
+      FROM per_user GROUP BY grp_a
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mu, 4) AS mean_a, round(b.mu, 4) AS mean_b,
+           round(a.mu - b.mu, 4) AS lift,
+           round((a.mu - b.mu) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+           round(pow(a.v / a.n + b.v / b.n, 2)
+                 / (pow(a.v / a.n, 2) / (a.n - 1)
+                    + pow(b.v / b.n, 2) / (b.n - 1)), 2) AS df
+    FROM g a JOIN g b ON a.grp_a AND NOT b.grp_a
+    """,
+    tags=("BEHAV", "STATS"),
+)
+def behavior_ab_lift_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B lift readout with Welch's unequal-variance t statistic:
+    users are deterministically hash-assigned (md5 first byte, the
+    same engine-portable bucketing as corpus_train_val_test_split, so
+    assignment is stable across runs and corpus growth — never
+    ``rand()``), the metric is per-user total event value (rounded to
+    centi-units so the per-user double sum is rounding-stable across
+    engines), and the output is one row: group sizes, means, lift,
+    Welch t, and the Welch–Satterthwaite degrees of freedom.
+
+    Under a null split (no real treatment) t should hover near 0 —
+    the screen doubles as an A/A sanity check of the bucketing.
+
+    Scale shape: one map-side-combined exchange to the user domain
+    (per-user sums), then moments aggregate onto TWO rows — no
+    window, no fact-sized shuffle; the final two-row self-join is a
+    driver-trivial broadcast."""
+    ev = table(spark, sf_dir, "events")
+    grp_a = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 2),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("user_value")
+    ).withColumn("grp_a", grp_a)
+    g = per_user.groupBy("grp_a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("user_value").alias("mu"),
+        F.var_samp("user_value").alias("v"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    se2_a = F.col("a.v") / F.col("a.n")
+    se2_b = F.col("b.v") / F.col("b.n")
+    se2 = se2_a + se2_b
+    return a.join(
+        b, F.col("a.grp_a") & ~F.col("b.grp_a")
+    ).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(F.col("a.mu"), 4).alias("mean_a"),
+        F.round(F.col("b.mu"), 4).alias("mean_b"),
+        F.round(F.col("a.mu") - F.col("b.mu"), 4).alias("lift"),
+        F.round(
+            (F.col("a.mu") - F.col("b.mu")) / F.sqrt(se2), 4
+        ).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(se2_a, 2) / (F.col("a.n") - 1)
+                + F.pow(se2_b, 2) / (F.col("b.n") - 1)
+            ),
+            2,
+        ).alias("df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative-filtering cosine (co-purchase similarity)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rec_item_item_cosine_topk",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    item_n AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n
+      FROM baskets GROUP BY l_partkey
+    ),
+    co AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS co_orders
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT c.part_a, c.part_b, c.co_orders,
+           na.n AS n_a, nb.n AS n_b,
+           round(c.co_orders / sqrt(CAST(na.n * nb.n AS DOUBLE)), 6)
+             AS cosine
+    FROM co c
+    JOIN item_n na ON na.l_partkey = c.part_a
+    JOIN item_n nb ON nb.l_partkey = c.part_b
+    ORDER BY c.co_orders / sqrt(CAST(na.n * nb.n AS DOUBLE)) DESC,
+             c.part_a, c.part_b
+    LIMIT 20
+    """,
+    tags=("BEHAV", "REC"),
+)
+def rec_item_item_cosine_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Item-item collaborative filtering over co-purchase baskets —
+    the classic Amazon-style "customers who bought X also bought Y"
+    kernel: each order is a basket of distinct parts, similarity is
+    the cosine of the binary order-incidence vectors, computed
+    exactly as co_orders / sqrt(n_a * n_b) from three integers.
+
+    Scale shape: the pair fan-out self-joins on l_orderkey, so the
+    blowup per order is (lines per order choose 2) — bounded by the
+    order-size cap (7 lines in this schema → ≤21 pairs), NEVER by
+    catalog size; the co >= 2 support floor prunes the singleton tail
+    before the per-item-count joins.  Per-item counts join on the
+    part key (equi-joins on the co-pair frame, already support-
+    pruned).  The integer triple makes the cosine bit-identical in
+    both engines, and (part_a, part_b) breaks limit-boundary ties
+    deterministically."""
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    item_n = baskets.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co_orders"))
+        .filter(F.col("co_orders") >= 2)
+    )
+    na = item_n.select(
+        F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a")
+    )
+    nb = item_n.select(
+        F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b")
+    )
+    cos = (
+        F.col("co_orders")
+        / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+    )
+    return (
+        co.join(na, "part_a")
+        .join(nb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "co_orders",
+            "n_a",
+            "n_b",
+            F.round(cos, 6).alias("cosine"),
+        )
+        .orderBy(F.desc(cos), "part_a", "part_b")
+        .limit(20)
+    )

@@ -1495,3 +1495,119 @@ def drift_psi_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_l").alias("n_late"),
         F.round((p - q) * F.log(p / q), 6).alias("psi_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U drift screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "drift_mannwhitney_values",
+    oracle=f"""
+    WITH mid AS ({_DUCK_MID}),
+    halved AS (
+      SELECT event_type, value, {_DUCK_T} <= m.mid AS early
+      FROM events CROSS JOIN mid m
+    ),
+    cnt AS (
+      SELECT event_type, value,
+             CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS c_e,
+             CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS c_l
+      FROM halved GROUP BY event_type, value
+    ),
+    ranked AS (
+      SELECT event_type, c_e, c_l, c_e + c_l AS c,
+             coalesce(CAST(sum(c_e + c_l) OVER (
+               PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS k_prev
+      FROM cnt
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(sum(c_e) AS BIGINT) AS n_e,
+             CAST(sum(c_l) AS BIGINT) AS n_l,
+             CAST(sum(c_e * (2 * k_prev + c + 1)) AS BIGINT) AS r2,
+             CAST(sum(c * c * c - c) AS BIGINT) AS tie
+      FROM ranked GROUP BY event_type
+    )
+    SELECT event_type, n_e AS n_early, n_l AS n_late,
+           round((r2 - n_e * (n_e + 1)) / 2.0, 1) AS u_early,
+           round((r2 - n_e * (n_e + 1) - n_e * n_l)
+                 / (2.0 * sqrt(n_e * n_l / 12.0
+                    * ((n_e + n_l + 1)
+                       - tie / (CAST(n_e + n_l AS DOUBLE)
+                                * (n_e + n_l - 1))))), 4) AS z
+    FROM stats
+    """,
+    tags=("DQ", "DRIFT"),
+)
+def drift_mannwhitney_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) between the
+    stream's first and second half per event_type — the rank-based
+    location-shift screen that complements drift_ks_event_values'
+    max-gap statistic: KS reacts to any CDF divergence, U asks
+    specifically "did the distribution MOVE up or down", which is the
+    question before a retrain-or-rollback call.
+
+    Exact-arithmetic rank trick: average tied ranks are half-integers,
+    so everything is carried as 2x (``2*avgrank = 2*k_prev + c + 1``,
+    all BIGINT) until the final two divisions — both engines perform
+    the identical integer pipeline and one identical double z-step
+    (normal approximation with the standard tie-corrected variance,
+    no continuity correction).  U_early = (r2 - n_e(n_e+1)) / 2.
+
+    Scale shape identical to KS: one map-side-combined exchange onto
+    the (type, value) distinct domain; the rank window runs on that
+    domain, never the fact; per-type totals fold in the same pass."""
+    cnt = (
+        _halved(spark, sf_dir)
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("c_e"),
+            F.sum(F.when(F.col("early"), 0).otherwise(1)).alias("c_l"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = F.col("c_e") + F.col("c_l")
+    ranked = cnt.select(
+        "event_type",
+        "c_e",
+        "c_l",
+        c.alias("c"),
+        F.coalesce(F.sum(c).over(w_prev), F.lit(0)).alias("k_prev"),
+    )
+    stats = ranked.groupBy("event_type").agg(
+        F.sum("c_e").alias("n_e"),
+        F.sum("c_l").alias("n_l"),
+        F.sum(
+            F.col("c_e") * (2 * F.col("k_prev") + F.col("c") + 1)
+        ).alias("r2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias(
+            "tie"
+        ),
+    )
+    n_e, n_l = F.col("n_e"), F.col("n_l")
+    u2 = F.col("r2") - n_e * (n_e + 1)  # 2 * U_early, exact integer
+    var = (
+        n_e
+        * n_l
+        / F.lit(12.0)
+        * (
+            (n_e + n_l + 1)
+            - F.col("tie")
+            / ((n_e + n_l).cast("double") * (n_e + n_l - 1))
+        )
+    )
+    return stats.select(
+        "event_type",
+        n_e.alias("n_early"),
+        n_l.alias("n_late"),
+        F.round(u2 / 2.0, 1).alias("u_early"),
+        F.round((u2 - n_e * n_l) / (2.0 * F.sqrt(var)), 4).alias("z"),
+    )

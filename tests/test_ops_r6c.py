@@ -1,0 +1,153 @@
+"""Planted-fixture tests for the third round-6 operator batch:
+Mann-Whitney U drift screen, Welch A/B lift, item-item cosine
+recommendations, and the 2-D Pareto frontier.  Each pins hand-computed
+semantics on constructed data; the sf0.01 oracle gate covers the
+hash-exact cross-engine contract."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import fortisiem_clickhouse_monitor_spark.operators.advanced as adv
+import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+import fortisiem_clickhouse_monitor_spark.operators.profiling as prof
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, f"2024-01-01 00:00:{t:02d}", u, et, float(v))
+            for i, (t, u, et, v) in enumerate(rows)
+        ],
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id",
+        "CAST(ts_s AS TIMESTAMP) AS ts",
+        "user_id",
+        "event_type",
+        "value",
+        "'{}' AS props",
+    )
+
+
+def test_mannwhitney_separated_and_tied_groups(spark, monkeypatch):
+    """Type 'x': early {1,2,3} strictly below late {10,20,30} -> U=0,
+    z = -4.5/sqrt(5.25).  Type 'y': early {1,1}, late {1,2} -> the
+    3-way tie at value 1 gives tie term 24, U=1, var=1, z=-1 exactly
+    (hand-computed tie-corrected normal approximation)."""
+    # mid = 0 + (51 - 0) div 2 = 25; early is t <= 25
+    ev = _events(
+        spark,
+        [
+            (0, 1, "x", 1),
+            (1, 1, "x", 2),
+            (2, 1, "x", 3),
+            (49, 1, "x", 10),
+            (50, 1, "x", 20),
+            (51, 1, "x", 30),
+            (0, 1, "y", 1),
+            (1, 1, "y", 1),
+            (49, 1, "y", 1),
+            (50, 1, "y", 2),
+        ],
+    )
+    monkeypatch.setattr(prof, "table", lambda s, d, n: ev)
+    rows = {
+        r["event_type"]: r
+        for r in prof.drift_mannwhitney_values(spark, "x").collect()
+    }
+    x = rows["x"]
+    assert (x["n_early"], x["n_late"], x["u_early"]) == (3, 3, 0.0)
+    assert x["z"] == round(-4.5 / math.sqrt(5.25), 4)
+    y = rows["y"]
+    assert (y["n_early"], y["n_late"], y["u_early"]) == (2, 2, 1.0)
+    assert y["z"] == -1.0
+
+
+def test_mannwhitney_symmetric_null(spark, monkeypatch):
+    """Identical early/late samples -> U at its mean, z = 0."""
+    ev = _events(
+        spark,
+        [(t, 1, "x", v) for t, v in [(0, 1), (1, 2), (50, 1), (51, 2)]],
+    )
+    monkeypatch.setattr(prof, "table", lambda s, d, n: ev)
+    (r,) = prof.drift_mannwhitney_values(spark, "x").collect()
+    assert r["z"] == 0.0 and r["u_early"] == 2.0
+
+
+def _md5_group_a(user_id: int) -> bool:
+    return int(hashlib.md5(str(user_id).encode()).hexdigest()[:2], 16) % 2 == 0
+
+
+def test_welch_lift_hand_computed(spark, monkeypatch):
+    """Users are hash-assigned; pick ids so both groups are non-empty,
+    then recompute means/t/df in plain Python from the same md5 spec."""
+    users = list(range(20))
+    ga = [u for u in users if _md5_group_a(u)]
+    gb = [u for u in users if not _md5_group_a(u)]
+    assert len(ga) >= 2 and len(gb) >= 2
+    # one event per user: value = user_id + 100 for group A (planted lift)
+    rows = [(u % 50, u, "purchase", u + (100 if _md5_group_a(u) else 0))
+            for u in users]
+    ev = _events(spark, rows)
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    (r,) = bh.behavior_ab_lift_welch(spark, "x").collect()
+    va = [u + 100 for u in ga]
+    vb = list(map(float, gb))
+    ma, mb = sum(va) / len(va), sum(vb) / len(vb)
+    sa = sum((v - ma) ** 2 for v in va) / (len(va) - 1)
+    sb = sum((v - mb) ** 2 for v in vb) / (len(vb) - 1)
+    se2 = sa / len(va) + sb / len(vb)
+    t = (ma - mb) / math.sqrt(se2)
+    df = se2**2 / (
+        (sa / len(va)) ** 2 / (len(va) - 1)
+        + (sb / len(vb)) ** 2 / (len(vb) - 1)
+    )
+    assert (r["n_a"], r["n_b"]) == (len(ga), len(gb))
+    assert r["mean_a"] == round(ma, 4) and r["mean_b"] == round(mb, 4)
+    assert r["lift"] == round(ma - mb, 4)
+    assert r["t_stat"] == round(t, 4)
+    assert r["df"] == round(df, 2)
+
+
+def test_item_item_cosine_planted_baskets(spark, monkeypatch):
+    """Baskets {1,2}, {1,2}, {1,2,3}, {3}: pair (1,2) co-occurs 3x with
+    n1=n2=3 -> cosine exactly 1.0; (1,3)/(2,3) co-occur once and fall
+    below the support floor."""
+    li = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 2), (3, 3), (4, 3)],
+        "l_orderkey long, l_partkey long",
+    )
+    monkeypatch.setattr(bh, "table", lambda s, d, n: li)
+    rows = bh.rec_item_item_cosine_topk(spark, "x").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["part_a"], r["part_b"], r["co_orders"]) == (1, 2, 3)
+    assert (r["n_a"], r["n_b"], r["cosine"]) == (3, 3, 1.0)
+
+
+def test_pareto_frontier_planted(spark, monkeypatch):
+    """Frontier of {(1,5),(2,3),(3,1),(2.5,4)} is the staircase
+    {(1,5),(2,3),(3,1)}; a duplicate (2,3) part keeps BOTH ids; a
+    far-bucket point (100,5) is killed by the cross-bucket carry
+    ((10,5) dominates it on price at equal size)."""
+    part = spark.createDataFrame(
+        [
+            (1, 1.0, 5),
+            (2, 2.0, 3),
+            (3, 3.0, 1),
+            (4, 2.5, 4),
+            (10, 2.0, 3),
+            (5, 10.0, 5),
+            (6, 100.0, 5),
+        ],
+        "p_partkey long, p_retailprice double, p_size int",
+    )
+    monkeypatch.setattr(adv, "table", lambda s, d, n: part)
+    got = {
+        (r["p_partkey"], r["p_retailprice"], r["p_size"])
+        for r in adv.rank_pareto_frontier_parts(spark, "x").collect()
+    }
+    assert got == {(1, 1.0, 5), (2, 2.0, 3), (10, 2.0, 3), (3, 3.0, 1)}
