@@ -2081,3 +2081,147 @@ def rank_pareto_frontier_parts(
     return p.join(
         F.broadcast(frontier), ["p_retailprice", "p_size"]
     ).select("p_partkey", "p_retailprice", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with exact-error eval
+# ---------------------------------------------------------------------------
+
+#: KMV sketch size: k smallest 60-bit hashes are kept.  60 bits = the
+#: first 15 hex chars of md5, the largest prefix that fits a BIGINT in
+#: both engines without sign trouble (16^15 = 2^60).
+_KMV_K = 256
+_KMV_M = float(2**60)
+
+
+@register(
+    "sketch_kmv_distinct_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM events
+    ),
+    kept AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_kept, max(hv) AS kth FROM kept
+    ),
+    e AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM h)
+    SELECT e.n_exact, s.n_kept,
+           round(CASE WHEN s.n_kept < {_KMV_K}
+                      THEN CAST(s.n_kept AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * {_KMV_M!r} / s.kth
+                 END, 2) AS kmv_estimate,
+           round((CASE WHEN s.n_kept < {_KMV_K}
+                       THEN CAST(s.n_kept AS DOUBLE)
+                       ELSE ({_KMV_K} - 1) * {_KMV_M!r} / s.kth
+                  END - e.n_exact) / e.n_exact, 4) AS rel_error
+    FROM s CROSS JOIN e
+    """,
+    tags=("SKETCH",),
+)
+def sketch_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / theta distinct-count sketch over users, evaluated against
+    the exact count: keep the k smallest 60-bit hashes; the kth order
+    statistic estimates cardinality as (k-1) * M / h_k.  The sketch
+    family HLL can't give you: KMV supports set INTERSECTION estimates
+    natively (theta sketches), and its kept-hash set is a uniform
+    sample of the key space.
+
+    Scale shape: the k-smallest step is a TakeOrdered — every
+    partition keeps its local k minima and the driver merges k-sized
+    lists (exactly the sketch's own mergeability, expressed as a Spark
+    physical operator); nothing fact-sized moves.  When the domain has
+    fewer than k distinct hashes the estimator degenerates, so both
+    engines fall back to the exact kept-count (standard KMV).  All
+    arithmetic on the estimate path is one integer-to-double divide —
+    bit-identical across engines."""
+    ev = table(spark, sf_dir, "events")
+    h = ev.select(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("hv")
+    ).distinct()
+    kept = h.orderBy("hv").limit(_KMV_K)
+    s = kept.agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("hv").alias("kth")
+    )
+    e = h.agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.when(
+        F.col("n_kept") < _KMV_K, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(_KMV_K - 1) * F.lit(_KMV_M) / F.col("kth"))
+    return s.crossJoin(F.broadcast(e)).select(
+        "n_exact",
+        "n_kept",
+        F.round(est, 2).alias("kmv_estimate"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_error"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day median (RANGE frame, calendar-correct over gaps)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_rolling_median_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day_num, n,
+           round(median(n) OVER (
+             PARTITION BY event_type ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ), 1) AS med7
+    FROM daily
+    """,
+    tags=("TS", "W"),
+)
+def timeseries_rolling_median_7d(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling 7-day median of daily event counts per type — the
+    robust companion to the rolling mean every SLO dashboard plots
+    (a single spike day moves the mean for a week but never the
+    median).  The frame is a RANGE over integer epoch-days, so a
+    missing calendar day SHRINKS the window instead of silently
+    stretching it across the gap (the ROWS-frame bug).
+
+    Medians over even windows interpolate as the mean of the two
+    middle values in both engines; counts are integers, so every
+    reachable median is an exact half-integer and the 1dp round is
+    representation-stable.
+
+    Scale shape: the fact collapses to the (type, day) domain with one
+    map-side-combined exchange; the percentile window then sorts
+    7-element frames on the daily summary — at 100 TB the window input
+    is |types| x |days| rows regardless of event volume."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / 86400000000).cast("long").alias("day_num"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return daily.select(
+        "event_type",
+        "day_num",
+        "n",
+        F.round(
+            F.expr(
+                "percentile(n, 0.5) OVER (PARTITION BY event_type"
+                " ORDER BY day_num"
+                " RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)"
+            ),
+            1,
+        ).alias("med7"),
+    )

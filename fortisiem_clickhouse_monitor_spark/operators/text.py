@@ -1095,3 +1095,111 @@ def text_lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language perplexity buckets (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS term FROM documents
+    ),
+    tc AS (
+      SELECT lang, term, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS vocab
+      FROM tc GROUP BY lang
+    ),
+    ce AS (
+      SELECT t.doc_id, t.lang,
+             round(-avg(ln((tc.c + 1.0) / (tot.total + tot.vocab))), 4)
+               AS doc_ce
+      FROM toks t
+      JOIN tc ON tc.lang = t.lang AND tc.term = t.term
+      JOIN tot ON tot.lang = t.lang
+      GROUP BY 1, 2
+    ),
+    bucketed AS (
+      SELECT lang, doc_ce,
+             CASE ntile(3) OVER (PARTITION BY lang
+                                 ORDER BY doc_ce, doc_id)
+               WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+             END AS bucket
+      FROM ce
+    )
+    SELECT lang, bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(doc_ce), 4) AS min_ce,
+           round(max(doc_ce), 4) AS max_ce,
+           round(avg(doc_ce), 4) AS avg_ce
+    FROM bucketed GROUP BY 1, 2
+    """,
+    tags=("TXT", "quality"),
+)
+def text_ccnet_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus split, per language: score every
+    document's cross-entropy under its OWN language's add-one-smoothed
+    unigram LM, rank within the language, and cut into perplexity
+    tertiles — the standard recipe for turning a raw web crawl into
+    quality tiers before mixing (head = most fluent, tail = candidate
+    discard).  Output is the per-(lang, bucket) profile: doc count and
+    the ce range each bucket spans.
+
+    Determinism: per-doc cross-entropy is rounded to 4dp BEFORE
+    ranking and ties break on doc_id, so the tertile assignment is a
+    pure function of the data in both engines (no float-boundary
+    flips); min/max are order-insensitive.
+
+    Scale shape: one explode pass feeds the per-lang LM (map-side
+    partials onto the (lang, term) domain) and the scoring join; term
+    log-probs broadcast at |lang|*|vocab|.  The ntile window
+    partitions by lang over the DOC-level frame — at 100 TB replace
+    the exact rank with per-lang approx thresholds (the screen is the
+    same); documented as this operator's scale note rather than
+    silently pretending the window is free."""
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select(
+        "doc_id", "lang", F.explode(textfns.tokens("text")).alias("term")
+    )
+    tc = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    tot = tc.groupBy("lang").agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    probs = tc.join(tot, "lang").select(
+        "lang",
+        "term",
+        F.log(
+            (F.col("c") + 1.0) / (F.col("total") + F.col("vocab"))
+        ).alias("lp"),
+    )
+    ce = (
+        toks.join(F.broadcast(probs), ["lang", "term"])
+        .groupBy("doc_id", "lang")
+        .agg(F.round(-F.avg("lp"), 4).alias("doc_ce"))
+    )
+    tile = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy("doc_ce", "doc_id")
+    )
+    bucketed = ce.select(
+        "lang",
+        "doc_ce",
+        F.when(tile == 1, "head")
+        .when(tile == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("doc_ce"), 4).alias("min_ce"),
+        F.round(F.max("doc_ce"), 4).alias("max_ce"),
+        F.round(F.avg("doc_ce"), 4).alias("avg_ce"),
+    )

@@ -151,3 +151,100 @@ def test_pareto_frontier_planted(spark, monkeypatch):
         for r in adv.rank_pareto_frontier_parts(spark, "x").collect()
     }
     assert got == {(1, 1.0, 5), (2, 2.0, 3), (10, 2.0, 3), (3, 3.0, 1)}
+
+
+def test_kmv_exact_below_k(spark, monkeypatch):
+    """Fewer distinct users than k: the sketch degenerates to the
+    exact count and reports zero error."""
+    ev = _events(spark, [(i % 50, i, "x", 1) for i in range(40)])
+    monkeypatch.setattr(adv, "table", lambda s, d, n: ev)
+    (r,) = adv.sketch_kmv_distinct_users(spark, "x").collect()
+    assert (r["n_exact"], r["n_kept"]) == (40, 40)
+    assert r["kmv_estimate"] == 40.0 and r["rel_error"] == 0.0
+
+
+def test_kmv_estimator_matches_spec_above_k(spark, monkeypatch):
+    """More distinct users than k: recompute (k-1)*M/h_k in plain
+    Python from the same md5 spec and check the relative error is in
+    the ~1/sqrt(k) band."""
+    n_users = 1000
+    rows = [(i % 50, u, "x", 1) for i, u in enumerate(range(n_users))]
+    ev = _events(spark, rows)
+    monkeypatch.setattr(adv, "table", lambda s, d, n: ev)
+    (r,) = adv.sketch_kmv_distinct_users(spark, "x").collect()
+    hs = sorted(
+        int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        for u in range(n_users)
+    )
+    kth = hs[adv._KMV_K - 1]
+    want = (adv._KMV_K - 1) * adv._KMV_M / kth
+    assert r["n_exact"] == n_users and r["n_kept"] == adv._KMV_K
+    assert r["kmv_estimate"] == round(want, 2)
+    assert abs(r["rel_error"]) < 4 / math.sqrt(adv._KMV_K)
+
+
+def test_rolling_median_range_frame_respects_gaps(spark, monkeypatch):
+    """Counts 1,2,3 on days 0-2 then 7 on day 10: the RANGE frame
+    never reaches across the gap, so day 10's window is itself alone;
+    day 1's even window interpolates 1.5."""
+    rows = []
+    eid = 0
+    for day, cnt in [(0, 1), (1, 2), (2, 3), (10, 7)]:
+        for _ in range(cnt):
+            rows.append((eid, day))
+            eid += 1
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-{1 + d:02d} 00:00:00") for i, d in rows],
+        "event_id long, ts_s string",
+    ).selectExpr(
+        "event_id",
+        "CAST(ts_s AS TIMESTAMP) AS ts",
+        "event_id AS user_id",
+        "'x' AS event_type",
+        "1.0 AS value",
+        "'{}' AS props",
+    )
+    monkeypatch.setattr(adv, "table", lambda s, d, n: ev)
+    out = {
+        r["day_num"]: (r["n"], r["med7"])
+        for r in adv.timeseries_rolling_median_7d(spark, "x").collect()
+    }
+    days = sorted(out)
+    base = days[0]
+    assert out[base] == (1, 1.0)
+    assert out[base + 1] == (2, 1.5)
+    assert out[base + 2] == (3, 2.0)
+    assert out[base + 10] == (7, 7.0)
+
+
+def test_ccnet_buckets_rank_by_fluency(spark, monkeypatch):
+    """Six docs in one lang: two made of the corpus-dominant token
+    (lowest cross-entropy -> head), two mixed, two of corpus-unique
+    tokens (highest -> tail).  Tertiles are 2/2/2 and the bucket ce
+    ranges are disjoint and ordered."""
+    import fortisiem_clickhouse_monitor_spark.operators.text as tx
+
+    texts = [
+        "common common common common",
+        "common common common",
+        "common mixed1 common mixed2",
+        "common mixed3 mixed4 common",
+        "rare1 rare2 rare3 rare4",
+        "rare5 rare6 rare7 rare8",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    monkeypatch.setattr(tx, "table", lambda s, d, n: docs)
+    rows = {
+        r["bucket"]: r
+        for r in tx.text_ccnet_perplexity_buckets(spark, "x").collect()
+    }
+    assert {b: rows[b]["n_docs"] for b in rows} == {
+        "head": 2, "middle": 2, "tail": 2
+    }
+    assert rows["head"]["max_ce"] <= rows["middle"]["min_ce"]
+    assert rows["middle"]["max_ce"] <= rows["tail"]["min_ce"]
+    assert rows["head"]["min_ce"] <= rows["head"]["avg_ce"] <= rows["head"]["max_ce"]
