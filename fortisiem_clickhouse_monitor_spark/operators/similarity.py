@@ -2034,3 +2034,141 @@ def sim_dead_dimension_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_dead"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance: diversified top-k retrieval
+# ---------------------------------------------------------------------------
+
+#: MMR relevance/diversity trade-off and sizes.  Candidates are the
+#: brute-force top-N for the query; the greedy reranks within them.
+_MMR_LAMBDA = 0.7
+_MMR_CAND = 50
+_MMR_K = 10
+
+
+def _py_cosine(a: list, b: list) -> float:
+    """Bit-exact Python mirror of functions.vectors.cosine: sequential
+    left-to-right double accumulation, then d / (sqrt(na) * sqrt(nb)).
+    The collected float32 components upcast to Python floats exactly,
+    so this reproduces the JVM expression's doubles bit-for-bit."""
+    import math
+
+    d = na = nb = 0.0
+    for x, y in zip(a, b):
+        d += x * y
+        na += x * x
+        nb += y * y
+    return d / (math.sqrt(na) * math.sqrt(nb))
+
+
+@register(
+    "sim_mmr_diversified_topk",
+    oracle=f"""
+    WITH RECURSIVE q AS (
+      SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+    ),
+    cand AS (
+      SELECT vec_id,
+             round(list_cosine_similarity(embedding::DOUBLE[],
+                                          (SELECT qe FROM q)), 6) AS simq,
+             embedding
+      FROM embeddings WHERE vec_id <> 0
+      ORDER BY simq DESC, vec_id LIMIT {_MMR_CAND}
+    ),
+    pair AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS s
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel(rank, vid, score, picked) AS (
+      (SELECT 1 AS rank, vec_id AS vid, {_MMR_LAMBDA!r} * simq AS score,
+              [vec_id] AS picked
+       FROM cand ORDER BY simq DESC, vec_id LIMIT 1)
+      UNION ALL
+      (SELECT s.rank + 1, t.vid, t.score, list_append(s.picked, t.vid)
+       FROM sel s, LATERAL (
+         SELECT c.vec_id AS vid,
+                {_MMR_LAMBDA!r} * c.simq
+                  - {1 - _MMR_LAMBDA!r} * max(p.s) AS score
+         FROM cand c JOIN pair p
+           ON p.ia = c.vec_id AND list_contains(s.picked, p.ib)
+         WHERE NOT list_contains(s.picked, c.vec_id)
+         GROUP BY c.vec_id, c.simq
+         ORDER BY score DESC, vid LIMIT 1
+       ) t
+       WHERE s.rank < {_MMR_K})
+    )
+    SELECT s.rank, s.vid AS vec_id, c.simq, round(s.score, 6) AS mmr_score
+    FROM sel s JOIN cand c ON c.vec_id = s.vid
+    """,
+    tags=("ANN", "RERANK"),
+)
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance reranking — the standard diversity
+    pass between "nearest neighbors" and "what you actually show/feed
+    the model" (dedup-aware retrieval, diverse few-shot selection):
+    greedily pick argmax of lambda*sim(query, d) - (1-lambda)*max
+    sim(d, already_picked) over a brute-force top-N candidate pool.
+
+    Architecture: the candidate pool is a DISTRIBUTED broadcast-query
+    cosine scan + TakeOrdered top-N (identical shape to
+    sim_cosine_topk, linear in corpus size); the greedy itself is
+    inherently sequential in k and runs driver-side on the BOUNDED
+    N-row pool (N=50 — the same "bounded k x dim collect" exemption as
+    the k-means centroid loop).  Pairwise candidate similarities are
+    computed in Python mirroring vectors.cosine's exact double
+    sequence, and both engines round sims to 6dp BEFORE the greedy so
+    argmax ordering is a pure function of the data; scores order on
+    raw doubles of those identical 6dp inputs.  The oracle replays the
+    greedy as a recursive CTE carrying the picked-list.
+
+    At 100 TB only the candidate scan grows; the rerank stays O(N*k)
+    on 50 rows — the canonical two-stage retrieve-then-rerank split."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    simq = F.round(vectors.cosine(F.col("embedding"), F.col("qe")), 6)
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", simq.alias("simq"), "embedding")
+        .orderBy(F.desc("simq"), F.asc("vec_id"))
+        .limit(_MMR_CAND)
+    )
+    rows = cand.collect()  # bounded: _MMR_CAND rows
+    emb = {r["vec_id"]: list(r["embedding"]) for r in rows}
+    simq_by_id = {r["vec_id"]: r["simq"] for r in rows}
+    ids = sorted(emb)
+    sim = {
+        (a, b): round(_py_cosine(emb[a], emb[b]), 6)
+        for a in ids
+        for b in ids
+        if a != b
+    }
+    picked: list[int] = []
+    out = []
+    for rank in range(1, min(_MMR_K, len(ids)) + 1):
+        best = None
+        for c in ids:
+            if c in picked:
+                continue
+            if picked:
+                div = max(sim[(c, p)] for p in picked)
+                score = _MMR_LAMBDA * simq_by_id[c] - (1 - _MMR_LAMBDA) * div
+            else:
+                score = _MMR_LAMBDA * simq_by_id[c]
+            # argmax with deterministic vec_id tiebreak, mirroring the
+            # oracle's ORDER BY score DESC, vid LIMIT 1
+            if best is None or score > best[0] or (
+                score == best[0] and c < best[1]
+            ):
+                best = (score, c)
+        picked.append(best[1])
+        out.append((rank, best[1], simq_by_id[best[1]], best[0]))
+    res = spark.createDataFrame(
+        out, "rank int, vec_id long, simq double, raw_score double"
+    )
+    return res.select(
+        "rank", "vec_id", "simq", F.round("raw_score", 6).alias("mmr_score")
+    )

@@ -248,3 +248,29 @@ def test_ccnet_buckets_rank_by_fluency(spark, monkeypatch):
     assert rows["head"]["max_ce"] <= rows["middle"]["min_ce"]
     assert rows["middle"]["max_ce"] <= rows["tail"]["min_ce"]
     assert rows["head"]["min_ce"] <= rows["head"]["avg_ce"] <= rows["head"]["max_ce"]
+
+
+def test_mmr_prefers_diverse_over_duplicate(spark, monkeypatch):
+    """Query (1,1); v1=(1,0), v2=(2,0) (exact duplicate direction of
+    v1), v3=(0,1).  Plain cosine top-2 is [v1, v2] (tie broken by id);
+    MMR picks the orthogonal v3 second because the duplicate's
+    diversity penalty (0.3 * 1.0) exceeds its zero relevance edge."""
+    import fortisiem_clickhouse_monitor_spark.operators.similarity as sim
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 1.0], 0),
+            (1, [1.0, 0.0], 0),
+            (2, [2.0, 0.0], 0),
+            (3, [0.0, 1.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(sim, "table", lambda s, d, n: emb)
+    rows = sim.sim_mmr_diversified_topk(spark, "x").collect()
+    order = [r["vec_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert order == [1, 3, 2]
+    by_id = {r["vec_id"]: r for r in rows}
+    assert by_id[1]["simq"] == by_id[3]["simq"] == 0.707107
+    assert by_id[1]["mmr_score"] == by_id[3]["mmr_score"] == 0.494975
+    assert by_id[2]["mmr_score"] == 0.194975
