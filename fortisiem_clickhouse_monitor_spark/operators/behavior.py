@@ -2793,3 +2793,127 @@ def rec_item_item_cosine_topk(
         .orderBy(F.desc(cos), "part_a", "part_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier retention curve (right-censored user lifetimes)
+# ---------------------------------------------------------------------------
+
+#: A user whose last event is further than this from the observation
+#: end is an observed churn; later users are right-censored.
+_KM_HORIZON_DAYS = 14
+
+
+@register(
+    "behavior_kaplan_meier_retention",
+    oracle=f"""
+    WITH users AS (
+      SELECT user_id,
+             epoch_us(min(CAST(ts AS TIMESTAMP))) // 86400000000
+               AS first_day,
+             epoch_us(max(CAST(ts AS TIMESTAMP))) // 86400000000
+               AS last_day
+      FROM events GROUP BY user_id
+    ),
+    obs AS (
+      SELECT max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+               AS end_day
+      FROM events
+    ),
+    lif AS (
+      SELECT u.last_day - u.first_day AS t_days,
+             u.last_day < o.end_day - {_KM_HORIZON_DAYS} AS died
+      FROM users u CROSS JOIN obs o
+    ),
+    grp AS (
+      SELECT t_days,
+             CAST(sum(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_deaths,
+             CAST(sum(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_censored
+      FROM lif GROUP BY t_days
+    ),
+    risk AS (
+      SELECT t_days, n_deaths, n_censored,
+             CAST(sum(n_deaths + n_censored) OVER () AS BIGINT)
+             - coalesce(CAST(sum(n_deaths + n_censored) OVER (
+                 ORDER BY t_days
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS BIGINT), 0) AS n_at_risk
+      FROM grp
+    )
+    SELECT t_days, n_at_risk, n_deaths, n_censored,
+           round(exp(sum(ln(1.0 - n_deaths / CAST(n_at_risk AS DOUBLE)))
+                     OVER (ORDER BY t_days ROWS UNBOUNDED PRECEDING)), 6)
+             AS survival
+    FROM risk
+    """,
+    tags=("BEHAV", "SURVIVAL"),
+)
+def behavior_kaplan_meier_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier retention curve over user lifetimes with honest
+    right-censoring — the survival-analysis answer to "how long do
+    users stay", immune to the classic retention-table bias where
+    recently-acquired users look like churners: a user whose last
+    event is within {_KM_HORIZON_DAYS} days of the observation end is
+    CENSORED at their observed lifetime (they leave the risk set
+    without counting as a death).
+
+    S(t) = prod over death times <= t of (1 - d_i / n_i), computed as
+    exp of a RUNNING sum of logs: the window's frame order fixes the
+    double-summation order identically in both engines, so the 6dp
+    round is stable (the one non-deterministic-order sum in the
+    pipeline would be a plain aggregate — which is exactly why it's a
+    window here).
+
+    Scale shape: the fact collapses per-user (one map-side-combined
+    exchange), then onto the lifetime-day domain (~days, constant in
+    row count); the unpartitioned windows run on that tiny domain —
+    the same justified-global-window case as the carry/scan frames."""
+    ev = table(spark, sf_dir, "events")
+    day = (F.unix_micros("ts") / 86400000000).cast("long")
+    users = ev.groupBy("user_id").agg(
+        F.min(day).alias("first_day"), F.max(day).alias("last_day")
+    )
+    obs = ev.agg(F.max(day).alias("end_day"))
+    lif = users.crossJoin(F.broadcast(obs)).select(
+        (F.col("last_day") - F.col("first_day")).alias("t_days"),
+        (
+            F.col("last_day") < F.col("end_day") - _KM_HORIZON_DAYS
+        ).alias("died"),
+    )
+    grp = lif.groupBy("t_days").agg(
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).alias("n_deaths"),
+        F.sum(F.when(F.col("died"), 0).otherwise(1)).alias("n_censored"),
+    )
+    leavers = F.col("n_deaths") + F.col("n_censored")
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = grp.select(
+        "t_days",
+        "n_deaths",
+        "n_censored",
+        (
+            F.sum(leavers).over(w_all)
+            - F.coalesce(F.sum(leavers).over(w_prev), F.lit(0))
+        ).alias("n_at_risk"),
+    )
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    logterm = F.log(
+        1.0 - F.col("n_deaths") / F.col("n_at_risk").cast("double")
+    )
+    return risk.select(
+        "t_days",
+        "n_at_risk",
+        "n_deaths",
+        "n_censored",
+        F.round(F.exp(F.sum(logterm).over(w_cum)), 6).alias("survival"),
+    )

@@ -1747,3 +1747,73 @@ def corpus_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled multilingual sampling mixture
+# ---------------------------------------------------------------------------
+
+#: Sampling temperature: weights proportional to corpus_size^TAU.
+#: tau=1 reproduces natural frequency; tau->0 approaches uniform.
+_MIX_TAU = 0.7
+
+
+@register(
+    "corpus_temperature_mixture",
+    oracle=f"""
+    WITH sz AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n_chars) AS BIGINT) AS total,
+             sum(pow(n_chars, {_MIX_TAU!r})) AS z
+      FROM sz
+    )
+    SELECT s.lang, s.n_docs, s.n_chars,
+           round(s.n_chars / CAST(t.total AS DOUBLE), 6) AS natural_share,
+           round(pow(s.n_chars, {_MIX_TAU!r}) / t.z, 6) AS sample_weight,
+           round(pow(s.n_chars, {_MIX_TAU!r}) / t.z
+                 * t.total / s.n_chars, 4) AS effective_epochs
+    FROM sz s CROSS JOIN tot t
+    """,
+    tags=("CORPUS", "SAMPLE"),
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (the multilingual-LM
+    standard from mBERT/XLM-R onward): sampling weight proportional to
+    corpus_size^tau with tau={_MIX_TAU}, which upsamples small
+    languages and damps the head without ever inverting the order.
+    Reports, per language: natural share, temperature weight, and the
+    effective epoch count (weight * total / size — how many times the
+    language's data is seen per pass of the mixed corpus; >1 means
+    repetition, flagging overfit risk on tiny languages).
+
+    Scale shape: one map-side-combined rollup onto the |langs| domain
+    plus a 1-row broadcast total — no fact-sized exchange; pow runs on
+    the summary frame.  Round-6 absorbs libm pow ULP variation across
+    engines."""
+    d = table(spark, sf_dir, "documents")
+    sz = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    tot = sz.agg(
+        F.sum("n_chars").alias("total"),
+        F.sum(F.pow("n_chars", F.lit(_MIX_TAU))).alias("z"),
+    )
+    w = F.pow("n_chars", F.lit(_MIX_TAU)) / F.col("z")
+    return sz.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.round(
+            F.col("n_chars") / F.col("total").cast("double"), 6
+        ).alias("natural_share"),
+        F.round(w, 6).alias("sample_weight"),
+        F.round(
+            w * F.col("total") / F.col("n_chars"), 4
+        ).alias("effective_epochs"),
+    )

@@ -1611,3 +1611,100 @@ def drift_mannwhitney_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u2 / 2.0, 1).alias("u_early"),
         F.round((u2 - n_e * n_l) / (2.0 * F.sqrt(var)), 4).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (earth-mover) drift distance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "drift_wasserstein_values",
+    oracle=f"""
+    WITH mid AS ({_DUCK_MID}),
+    halved AS (
+      SELECT event_type, value, {_DUCK_T} <= m.mid AS early
+      FROM events CROSS JOIN mid m
+    ),
+    cnt AS (
+      SELECT event_type, value,
+             CAST(sum(CASE WHEN early THEN 1 ELSE 0 END) AS BIGINT) AS c_e,
+             CAST(sum(CASE WHEN early THEN 0 ELSE 1 END) AS BIGINT) AS c_l
+      FROM halved GROUP BY event_type, value
+    ),
+    cum AS (
+      SELECT event_type, value,
+             lead(value) OVER (PARTITION BY event_type ORDER BY value)
+               AS next_value,
+             CAST(sum(c_e) OVER (PARTITION BY event_type ORDER BY value
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k_e,
+             CAST(sum(c_l) OVER (PARTITION BY event_type ORDER BY value
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k_l,
+             CAST(sum(c_e) OVER (PARTITION BY event_type) AS BIGINT) AS n_e,
+             CAST(sum(c_l) OVER (PARTITION BY event_type) AS BIGINT) AS n_l
+      FROM cnt
+    )
+    SELECT event_type,
+           CAST(max(n_e) AS BIGINT) AS n_early,
+           CAST(max(n_l) AS BIGINT) AS n_late,
+           round(sum(abs(k_e / CAST(n_e AS DOUBLE)
+                         - k_l / CAST(n_l AS DOUBLE))
+                     * (next_value - value)), 6) AS w1
+    FROM cum WHERE next_value IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("DQ", "DRIFT"),
+)
+def drift_wasserstein_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between the value
+    distributions of the stream's first and second half, per
+    event_type — the third leg of the drift tripod: KS gives the max
+    CDF gap (shape-sensitive, location-blind), Mann-Whitney gives
+    direction, W1 gives MAGNITUDE in the metric's own units ("the
+    distribution moved by ~0.8 units"), which is what thresholds and
+    alerts want to be written in.
+
+    Exact closed form for empirical distributions: W1 = integral of
+    |ECDF_early - ECDF_late| = sum over consecutive pooled distinct
+    values of |F_e - F_l| * gap.  Counts stay BIGINT through the
+    cumulative windows; per-segment terms are two exact divisions, one
+    subtraction and one multiply — identical IEEE sequences in both
+    engines; the final sum is rounded 6dp (order noise is ~1e-15 on a
+    <=1-magnitude integrand).
+
+    Scale shape identical to KS/U: one map-side-combined exchange onto
+    the (type, value) distinct domain; windows run there, never on the
+    fact."""
+    cnt = (
+        _halved(spark, sf_dir)
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("early"), 1).otherwise(0)).alias("c_e"),
+            F.sum(F.when(F.col("early"), 0).otherwise(1)).alias("c_l"),
+        )
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("value")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("event_type")
+    cum = cnt.select(
+        "event_type",
+        "value",
+        F.lead("value").over(w_ord).alias("next_value"),
+        F.sum("c_e").over(w_cum).alias("k_e"),
+        F.sum("c_l").over(w_cum).alias("k_l"),
+        F.sum("c_e").over(w_all).alias("n_e"),
+        F.sum("c_l").over(w_all).alias("n_l"),
+    )
+    seg = F.abs(
+        F.col("k_e") / F.col("n_e").cast("double")
+        - F.col("k_l") / F.col("n_l").cast("double")
+    ) * (F.col("next_value") - F.col("value"))
+    return (
+        cum.filter(F.col("next_value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.max("n_e").alias("n_early"),
+            F.max("n_l").alias("n_late"),
+            F.round(F.sum(seg), 6).alias("w1"),
+        )
+    )

@@ -2172,3 +2172,110 @@ def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "rank", "vec_id", "simq", F.round("raw_score", 6).alias("mmr_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center / farthest-point diverse subset selection
+# ---------------------------------------------------------------------------
+
+#: Number of diverse representatives the farthest-point greedy picks.
+_KCENTER_K = 8
+
+
+@register(
+    "sim_kcenter_farthest_points",
+    oracle=f"""
+    WITH RECURSIVE sel(rank, vid, picked, fsim) AS (
+      (SELECT 1 AS rank, vec_id AS vid, [vec_id] AS picked,
+              NULL::DOUBLE AS fsim
+       FROM embeddings WHERE vec_id = 0)
+      UNION ALL
+      (SELECT s.rank + 1, t.vid, list_append(s.picked, t.vid), t.fsim
+       FROM sel s, LATERAL (
+         SELECT e.vec_id AS vid,
+                max(round(list_cosine_similarity(
+                      e.embedding::DOUBLE[], p.embedding::DOUBLE[]), 6))
+                  AS fsim
+         FROM embeddings e JOIN embeddings p
+           ON list_contains(s.picked, p.vec_id)
+         WHERE NOT list_contains(s.picked, e.vec_id)
+         GROUP BY e.vec_id
+         ORDER BY fsim ASC, vid LIMIT 1
+       ) t
+       WHERE s.rank < {_KCENTER_K})
+    )
+    SELECT rank, vid AS vec_id, fsim AS max_sim_to_selected
+    FROM sel
+    """,
+    tags=("ANN", "SAMPLE"),
+)
+def sim_kcenter_farthest_points(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Farthest-point (k-center greedy) diverse subset selection: seed
+    at vec_id 0, then repeatedly pick the vector whose maximum cosine
+    similarity to everything already selected is SMALLEST — the
+    2-approximation to the k-center cover, and the standard way to
+    pull a maximally-spread probe set / annotation batch / coreset
+    seed out of an embedding corpus.  Complements MMR: MMR reranks a
+    relevance-bounded candidate pool; k-center sweeps the WHOLE
+    corpus with no query.
+
+    Architecture: each of the k-1 rounds is ONE map-only pass over the
+    corpus — the selected vectors ride along as a single broadcast
+    array-of-structs row, the per-vector score is a higher-order
+    transform + array_max (no join, no shuffle), and the argmin is a
+    TakeOrdered(1) — so nothing fact-sized ever reaches the driver
+    (the greedy's sequential k is irreducible: each pick conditions
+    the next).  The corpus is persisted once for the k rounds instead
+    of re-scanned.  At 100 TB you'd carry best-sim-so-far as a
+    checkpointed column (one new cosine per round instead of i); the
+    rebuild-from-selected form is chosen here for its statelessness,
+    k being small.  Sims are rounded 6dp before argmin in both
+    engines, ties break on vec_id, so selection is a pure function of
+    the data."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = e.persist()
+    try:
+        seed = e.filter(F.col("vec_id") == 0).collect()[0]
+        picked = [(seed["vec_id"], list(seed["embedding"]))]
+        out = [(1, seed["vec_id"], None)]
+        fsim = F.array_max(
+            F.transform(
+                "sels",
+                lambda s: F.round(
+                    vectors.cosine(F.col("embedding"), s), 6
+                ),
+            )
+        )
+        for rank in range(2, _KCENTER_K + 1):
+            # the selected set travels as DATA (two broadcast frames),
+            # not as literals, so every round shares ONE plan shape and
+            # whole-stage codegen compiles once, not per round
+            sel = spark.createDataFrame(
+                [(int(v), emb) for v, emb in picked],
+                "sel_id long, sel_emb array<float>",
+            )
+            sels = sel.agg(F.collect_list("sel_emb").alias("sels"))
+            nxt = (
+                e.join(
+                    F.broadcast(sel),
+                    F.col("vec_id") == F.col("sel_id"),
+                    "left_anti",
+                )
+                .crossJoin(F.broadcast(sels))
+                .select("vec_id", "embedding", fsim.alias("fsim"))
+                .orderBy(F.asc("fsim"), F.asc("vec_id"))
+                .limit(1)
+                .collect()  # bounded: one row per round, k rounds
+            )
+            if not nxt:  # corpus exhausted before k picks
+                break
+            nxt = nxt[0]
+            picked.append((nxt["vec_id"], list(nxt["embedding"])))
+            out.append((rank, nxt["vec_id"], nxt["fsim"]))
+    finally:
+        e.unpersist()
+    return spark.createDataFrame(
+        out, "rank int, vec_id long, max_sim_to_selected double"
+    )

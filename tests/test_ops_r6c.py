@@ -274,3 +274,124 @@ def test_mmr_prefers_diverse_over_duplicate(spark, monkeypatch):
     assert by_id[1]["simq"] == by_id[3]["simq"] == 0.707107
     assert by_id[1]["mmr_score"] == by_id[3]["mmr_score"] == 0.494975
     assert by_id[2]["mmr_score"] == 0.194975
+
+
+def _day_events(spark, rows):
+    """rows: (event_id, user_id, day) -> minimal events frame."""
+    return spark.createDataFrame(
+        [(i, u, d) for i, u, d in rows],
+        "event_id long, user_id long, day int",
+    ).selectExpr(
+        "event_id",
+        "CAST(timestampadd(DAY, day, TIMESTAMP '2024-01-01') AS TIMESTAMP)"
+        " AS ts",
+        "user_id",
+        "'x' AS event_type",
+        "1.0 AS value",
+        "'{}' AS props",
+    )
+
+
+def test_kaplan_meier_hand_computed(spark, monkeypatch):
+    """Five users, observation end day 30, horizon 14: deaths at
+    lifetimes 0/5/10, censoring at 5 and 20.  S = 0.8, 0.6, 0.3, 0.3
+    with risk sets 5/4/2/1 — the censored-at-5 user leaves the risk
+    set WITHOUT reducing survival."""
+    rows = [
+        (1, 1, 0),            # u1: t=0, died
+        (2, 2, 0), (3, 2, 5),  # u2: t=5, died
+        (4, 3, 0), (5, 3, 20),  # u3: t=20, censored (within horizon)
+        (6, 4, 25), (7, 4, 30),  # u4: t=5, censored; defines end=30
+        (8, 5, 0), (9, 5, 10),  # u5: t=10, died
+    ]
+    ev = _day_events(spark, rows)
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    out = {
+        r["t_days"]: r
+        for r in bh.behavior_kaplan_meier_retention(spark, "x").collect()
+    }
+    assert set(out) == {0, 5, 10, 20}
+    assert (out[0]["n_at_risk"], out[0]["n_deaths"], out[0]["n_censored"],
+            out[0]["survival"]) == (5, 1, 0, 0.8)
+    assert (out[5]["n_at_risk"], out[5]["n_deaths"], out[5]["n_censored"],
+            out[5]["survival"]) == (4, 1, 1, 0.6)
+    assert (out[10]["n_at_risk"], out[10]["n_deaths"],
+            out[10]["survival"]) == (2, 1, 0.3)
+    assert (out[20]["n_at_risk"], out[20]["n_deaths"],
+            out[20]["survival"]) == (1, 0, 0.3)
+
+
+def test_wasserstein_shifted_uniform(spark, monkeypatch):
+    """Early {0,1} vs late {2,3}: W1 is exactly the mean shift 2.0;
+    an identical pair of halves gives W1 = 0."""
+    ev = _events(
+        spark,
+        [(0, 1, "x", 0), (1, 1, "x", 1), (50, 1, "x", 2), (51, 1, "x", 3)]
+        + [(0, 1, "y", 5), (1, 1, "y", 7), (50, 1, "y", 5), (51, 1, "y", 7)],
+    )
+    monkeypatch.setattr(prof, "table", lambda s, d, n: ev)
+    out = {
+        r["event_type"]: r
+        for r in prof.drift_wasserstein_values(spark, "x").collect()
+    }
+    assert out["x"]["w1"] == 2.0
+    assert (out["x"]["n_early"], out["x"]["n_late"]) == (2, 2)
+    assert out["y"]["w1"] == 0.0
+
+
+def test_temperature_mixture_upsamples_small_lang(spark, monkeypatch):
+    """Two langs, 100 vs 10000 chars at tau=0.7: the small lang's
+    sample weight exceeds its natural share, the big lang's effective
+    epochs drop below 1; weights recomputed in plain Python."""
+    import fortisiem_clickhouse_monitor_spark.operators.corpus as cp
+
+    docs = spark.createDataFrame(
+        [(1, "t", "small", "s", 100), (2, "t", "big", "s", 10000)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    monkeypatch.setattr(cp, "table", lambda s, d, n: docs)
+    out = {
+        r["lang"]: r
+        for r in cp.corpus_temperature_mixture(spark, "x").collect()
+    }
+    z = 100**0.7 + 10000**0.7
+    total = 10100
+    for lang, c in [("small", 100), ("big", 10000)]:
+        assert out[lang]["natural_share"] == round(c / total, 6)
+        assert out[lang]["sample_weight"] == round(c**0.7 / z, 6)
+        assert out[lang]["effective_epochs"] == round(
+            c**0.7 / z * total / c, 4
+        )
+    assert out["small"]["sample_weight"] > out["small"]["natural_share"]
+    assert out["big"]["effective_epochs"] < 1.0
+
+
+def test_kcenter_picks_spread_and_stops_when_exhausted(spark, monkeypatch):
+    """Plane vectors seed=(1,0), dup=(1,0), orth=(0,1), opp=(-1,0):
+    farthest-point picks the opposite first (sim -1), the orthogonal
+    next (max-sim 0), the duplicate last (max-sim 1) — and stops at 4
+    rows although k=8."""
+    import fortisiem_clickhouse_monitor_spark.operators.similarity as sim
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [1.0, 0.0], 0),
+            (2, [0.0, 1.0], 0),
+            (3, [-1.0, 0.0], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(sim, "table", lambda s, d, n: emb)
+    rows = sorted(
+        sim.sim_kcenter_farthest_points(spark, "x").collect(),
+        key=lambda r: r["rank"],
+    )
+    assert [(r["rank"], r["vec_id"]) for r in rows] == [
+        (1, 0), (2, 3), (3, 2), (4, 1)
+    ]
+    assert rows[0]["max_sim_to_selected"] is None
+    assert rows[1]["max_sim_to_selected"] == -1.0
+    assert rows[2]["max_sim_to_selected"] == 0.0
+    assert rows[3]["max_sim_to_selected"] == 1.0
