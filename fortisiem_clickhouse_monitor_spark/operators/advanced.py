@@ -2225,3 +2225,176 @@ def timeseries_rolling_median_7d(
             1,
         ).alias("med7"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AMS second-frequency-moment sketch (exact-integer end to end)
+# ---------------------------------------------------------------------------
+
+#: Number of independent AMS estimators; the output takes their median.
+_AMS_D = 5
+
+
+@register(
+    "sketch_ams_f2_moment",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    f2 AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM cnt),
+    est AS (
+      SELECT j.j,
+             CAST(sum((2 * (('0x' || substr(md5(CAST(j.j AS VARCHAR)
+                          || ':' || CAST(user_id AS VARCHAR)), 1, 1))::BIGINT
+                          % 2) - 1) * c) AS BIGINT) AS s
+      FROM cnt CROSS JOIN (SELECT unnest(range(1, {_AMS_D} + 1)) AS j) j
+      GROUP BY j.j
+    ),
+    med AS (
+      SELECT CAST(s * s AS BIGINT) AS ams_f2,
+             row_number() OVER (ORDER BY s * s, j) AS rn
+      FROM est
+    )
+    SELECT f.exact_f2, m.ams_f2,
+           round((m.ams_f2 - f.exact_f2) / CAST(f.exact_f2 AS DOUBLE), 4)
+             AS rel_error
+    FROM med m CROSS JOIN f2 f
+    WHERE m.rn = {(_AMS_D + 1) // 2}
+    """,
+    tags=("SKETCH",),
+)
+def sketch_ams_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) sketch of the second frequency moment
+    F2 = sum of squared per-user counts — the classic one-pass
+    estimator of self-join size / collision mass that query planners
+    and skew detectors run where the exact quadratic rollup is too
+    wide to keep.  Each estimator sums +/-1-signed counts (sign = a
+    deterministic md5 parity of (estimator, key)) and squares the
+    total; the output is the MEDIAN estimator next to the exact F2
+    and the relative error.
+
+    Every value in the pipeline is a BIGINT — the sketch is exactly
+    reproducible across engines with no float rounding anywhere
+    except the final error ratio.
+
+    Scale shape: one map-side-combined exchange to per-key counts,
+    then a {_AMS_D}x fanout onto the (estimator, key) domain that
+    immediately collapses to {_AMS_D} rows — at 100 TB the sketch
+    state is d running integers, merged associatively (the streaming
+    form is the same expression over partial counts)."""
+    ev = table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    f2 = cnt.agg(F.sum(F.col("c") * F.col("c")).alias("exact_f2"))
+    j = F.explode(F.sequence(F.lit(1), F.lit(_AMS_D))).alias("j")
+    sign = 2 * (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("j").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    ) - 1
+    est = (
+        cnt.select("user_id", "c", j)
+        .groupBy("j")
+        .agg(F.sum(sign * F.col("c")).alias("s"))
+    )
+    med = est.select(
+        (F.col("s") * F.col("s")).alias("ams_f2"),
+        F.row_number()
+        .over(Window.orderBy(F.col("s") * F.col("s"), F.col("j")))
+        .alias("rn"),
+    ).filter(F.col("rn") == (_AMS_D + 1) // 2)
+    return med.crossJoin(F.broadcast(f2)).select(
+        "exact_f2",
+        "ams_f2",
+        F.round(
+            (F.col("ams_f2") - F.col("exact_f2"))
+            / F.col("exact_f2").cast("double"),
+            4,
+        ).alias("rel_error"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily OHLC candles (open/high/low/close)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_daily_ohlc",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+             value,
+             row_number() OVER (
+               PARTITION BY event_type,
+                            epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+               ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (
+               PARTITION BY event_type,
+                            epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+               ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT event_type, day_num,
+           CAST(count(*) AS BIGINT) AS n,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close
+    FROM ordered GROUP BY 1, 2
+    """,
+    tags=("TS",),
+)
+def timeseries_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candles per event type — open/high/low/close of
+    `value` within each day, the fixed-interval downsample every
+    monitoring UI and financial chart draws.  "First"/"last" are
+    defined by the total (ts, event_id) order, so the candle is a pure
+    function of the data (never first() over an unordered shuffle).
+
+    Scale shape: both row-number windows and the final rollup cluster
+    on (event_type, day) — one exchange feeds all three; no value
+    arithmetic at all, so there is nothing to round (the candle fields
+    are copies of stored doubles)."""
+    ev = table(spark, sf_dir, "events")
+    day = (F.unix_micros("ts") / 86400000000).cast("long")
+    w_a = Window.partitionBy("event_type", "day_num").orderBy(
+        "ts", "event_id"
+    )
+    w_d = Window.partitionBy("event_type", "day_num").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ordered = ev.select(
+        "event_type",
+        day.alias("day_num"),
+        "value",
+        "ts",
+        "event_id",
+    ).select(
+        "event_type",
+        "day_num",
+        "value",
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return ordered.groupBy("event_type", "day_num").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+    )

@@ -1817,3 +1817,105 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             w * F.col("total") / F.col("n_chars"), 4
         ).alias("effective_epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Split/label independence screen (chi-square per split)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_label_balance_by_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT label,
+             CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+                  WHEN bucket < {_SPLIT_VAL} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT label,
+                   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 2))
+                     ::BIGINT AS bucket
+            FROM embeddings)
+    ),
+    obs AS (
+      SELECT split, label, CAST(count(*) AS BIGINT) AS o
+      FROM b GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT split, CAST(sum(o) AS BIGINT) AS n_split FROM obs GROUP BY 1
+    ),
+    labels AS (
+      SELECT label, CAST(sum(o) AS BIGINT) AS n_label FROM obs GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    grid AS (
+      SELECT m.split, m.n_split, l.label,
+             CAST(m.n_split * l.n_label AS DOUBLE) / t.n AS e,
+             coalesce(o.o, 0) AS o
+      FROM margins m CROSS JOIN labels l CROSS JOIN tot t
+      LEFT JOIN obs o ON o.split = m.split AND o.label = l.label
+    )
+    SELECT split, n_split AS n_vecs,
+           CAST(count(*) AS BIGINT) AS n_labels,
+           round(sum((o - e) * (o - e) / e), 4) AS chi2
+    FROM grid GROUP BY 1, 2
+    """,
+    tags=("DQ", "SPLIT"),
+)
+def quality_label_balance_by_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Are the train/val/test splits label-balanced?  Applies the same
+    md5-bucket split as corpus_train_val_test_split to the embeddings
+    table's labels and reports, per split, the chi-square statistic
+    against the corpus-wide label marginals (expected = split_size *
+    label_share).  A healthy hash split should sit near the chi2
+    distribution's bulk; a large value means the split is confounded
+    with the label — the eval set isn't measuring what you think.
+
+    The contingency grid is densified (margins x labels, missing cells
+    o=0) so absent combinations still contribute their full expected
+    mass instead of silently shrinking the statistic.
+
+    Scale shape: one map-side-combined rollup onto the (split, label)
+    domain; every later frame is domain-sized (3 x |labels|) — the
+    screen costs one fact scan regardless of corpus size."""
+    e = table(spark, sf_dir, "embeddings")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    split = (
+        F.when(bucket < _SPLIT_TRAIN, F.lit("train"))
+        .when(bucket < _SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    obs = (
+        e.select(split.alias("split"), "label")
+        .groupBy("split", "label")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    margins = obs.groupBy("split").agg(F.sum("o").alias("n_split"))
+    labels = obs.groupBy("label").agg(F.sum("o").alias("n_label"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    grid = (
+        margins.crossJoin(F.broadcast(labels))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(obs), ["split", "label"], "left")
+        .select(
+            "split",
+            "n_split",
+            "label",
+            (
+                (F.col("n_split") * F.col("n_label")).cast("double")
+                / F.col("n")
+            ).alias("e"),
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+    )
+    chi = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return grid.groupBy(
+        "split", F.col("n_split").alias("n_vecs")
+    ).agg(
+        F.count(F.lit(1)).alias("n_labels"),
+        F.round(F.sum(chi), 4).alias("chi2"),
+    )

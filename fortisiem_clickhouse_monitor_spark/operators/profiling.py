@@ -1708,3 +1708,94 @@ def drift_wasserstein_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(seg), 6).alias("w1"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Column entropy profile (categorical concentration screen)
+# ---------------------------------------------------------------------------
+
+
+def _entropy_branch_duck(table: str, col: str) -> str:
+    return f"""
+      SELECT '{table}.{col}' AS col_name,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             round(-sum(p * ln(p)), 6) AS entropy
+      FROM (
+        SELECT c, c / CAST(sum(c) OVER () AS DOUBLE) AS p
+        FROM (SELECT {col} AS v, CAST(count(*) AS BIGINT) AS c
+              FROM {table} GROUP BY 1)
+      )
+      GROUP BY 1
+    """
+
+
+@register(
+    "profile_column_entropy",
+    oracle=f"""
+    WITH uni AS (
+      {_entropy_branch_duck('documents', 'lang')}
+      UNION ALL
+      {_entropy_branch_duck('documents', 'source')}
+      UNION ALL
+      {_entropy_branch_duck('events', 'event_type')}
+    )
+    SELECT col_name, n_rows, n_distinct, entropy,
+           CASE WHEN n_distinct > 1
+                THEN round(entropy / ln(n_distinct), 6)
+           END AS norm_entropy
+    FROM uni
+    """,
+    tags=("DQ", "PROFILE"),
+)
+def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the categorical profile columns (documents'
+    lang and source, events' event_type), plus the entropy normalized
+    by ln(cardinality): the one-number answer to "is this dimension
+    balanced or is one value eating the table" — the screen that
+    decides partition keys, stratification columns, and whether a
+    mixture needs rebalancing.  norm_entropy = 1 is perfectly uniform;
+    near 0 means one dominant value.
+
+    Scale shape: each branch is one map-side-combined rollup onto the
+    column's value domain followed by a |domain|-row aggregation; the
+    three branches union AFTER aggregation, so the exchange payload is
+    three value-domains, never a fact."""
+
+    def branch(tbl: str, col: str) -> DataFrame:
+        vc = (
+            table(spark, sf_dir, tbl)
+            .groupBy(F.col(col).alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        tot = F.sum("c").over(Window.partitionBy())
+        p = F.col("c") / tot.cast("double")
+        return vc.select(
+            F.lit(f"{tbl}.{col}").alias("col_name"),
+            "c",
+            (-p * F.log(p)).alias("term"),
+        ).groupBy("col_name").agg(
+            F.sum("c").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.sum("term"), 6).alias("entropy"),
+        )
+
+    uni = (
+        branch("documents", "lang")
+        .unionByName(branch("documents", "source"))
+        .unionByName(branch("events", "event_type"))
+    )
+    return uni.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        "entropy",
+        F.when(
+            F.col("n_distinct") > 1,
+            F.round(
+                F.col("entropy")
+                / F.log(F.col("n_distinct").cast("double")),
+                6,
+            ),
+        ).alias("norm_entropy"),
+    )

@@ -395,3 +395,107 @@ def test_kcenter_picks_spread_and_stops_when_exhausted(spark, monkeypatch):
     assert rows[1]["max_sim_to_selected"] == -1.0
     assert rows[2]["max_sim_to_selected"] == 0.0
     assert rows[3]["max_sim_to_selected"] == 1.0
+
+
+def test_ams_f2_exact_and_estimator_spec(spark, monkeypatch):
+    """Two users with counts 3 and 2: exact F2 = 13; the median AMS
+    estimator is recomputed in plain Python from the same md5-parity
+    sign spec."""
+    rows = [(i, 1, "x", 1) for i in range(3)] + [
+        (10 + i, 2, "x", 1) for i in range(2)
+    ]
+    ev = _events(spark, rows)
+    monkeypatch.setattr(adv, "table", lambda s, d, n: ev)
+    (r,) = adv.sketch_ams_f2_moment(spark, "x").collect()
+    assert r["exact_f2"] == 13
+
+    def sign(j, u):
+        h = hashlib.md5(f"{j}:{u}".encode()).hexdigest()
+        return 2 * (int(h[0], 16) % 2) - 1
+
+    ests = sorted(
+        (sign(j, 1) * 3 + sign(j, 2) * 2) ** 2
+        for j in range(1, adv._AMS_D + 1)
+    )
+    assert r["ams_f2"] == ests[adv._AMS_D // 2]
+    assert r["rel_error"] == round((r["ams_f2"] - 13) / 13.0, 4)
+
+
+def test_daily_ohlc_orders_by_ts_then_event_id(spark, monkeypatch):
+    """Values 5,1,9,2 in time order -> open 5, high 9, low 1, close 2;
+    two events on the same timestamp break the tie by event_id."""
+    ev = _events(
+        spark,
+        [(0, 1, "x", 5), (1, 1, "x", 1), (2, 1, "x", 9), (3, 1, "x", 2)],
+    )
+    monkeypatch.setattr(adv, "table", lambda s, d, n: ev)
+    (r,) = adv.timeseries_daily_ohlc(spark, "x").collect()
+    assert (r["open"], r["high"], r["low"], r["close"], r["n"]) == (
+        5.0, 9.0, 1.0, 2.0, 4,
+    )
+    # same-ts tie: event_id 10 before 11 at t=0, 11 holds the close
+    ev2 = _events(spark, [(0, 1, "y", 7), (0, 1, "y", 3)])
+    monkeypatch.setattr(adv, "table", lambda s, d, n: ev2)
+    (r2,) = adv.timeseries_daily_ohlc(spark, "x").collect()
+    assert (r2["open"], r2["close"]) == (7.0, 3.0)
+
+
+def test_column_entropy_uniform_and_degenerate(spark, monkeypatch):
+    """Uniform 2-value lang -> entropy ln(2), norm 1.0; single-value
+    source -> entropy 0 with NULL norm (no 0/0)."""
+    docs = spark.createDataFrame(
+        [(1, "t", "en", "s", 1), (2, "t", "fr", "s", 1)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    ev = _events(spark, [(0, 1, "x", 1)])
+
+    def tbl(s, d, n):
+        return docs if n == "documents" else ev
+
+    monkeypatch.setattr(prof, "table", tbl)
+    out = {
+        r["col_name"]: r
+        for r in prof.profile_column_entropy(spark, "x").collect()
+    }
+    lang = out["documents.lang"]
+    assert (lang["n_rows"], lang["n_distinct"]) == (2, 2)
+    assert lang["entropy"] == round(math.log(2), 6)
+    assert lang["norm_entropy"] == 1.0
+    src = out["documents.source"]
+    assert (src["entropy"], src["norm_entropy"]) == (0.0, None)
+    assert out["events.event_type"]["norm_entropy"] is None
+
+
+def test_label_balance_chi2_proportional_split_is_zero(spark, monkeypatch):
+    """Construct embeddings where every split's label mix equals the
+    global mix exactly -> chi2 = 0 for every split.  Assignment is the
+    real md5 bucketing, so vec_ids are chosen per split in Python
+    first."""
+    import fortisiem_clickhouse_monitor_spark.operators.corpus as cp
+
+    def split_of(vid):
+        b = int(hashlib.md5(str(vid).encode()).hexdigest()[:2], 16)
+        return "train" if b < cp._SPLIT_TRAIN else (
+            "val" if b < cp._SPLIT_VAL else "test"
+        )
+
+    by_split = {"train": [], "val": [], "test": []}
+    vid = 0
+    while any(len(v) < 4 for v in by_split.values()):
+        s = split_of(vid)
+        if len(by_split[s]) < 4:
+            by_split[s].append(vid)
+        vid += 1
+    rows = []
+    for ids in by_split.values():
+        for i, v in enumerate(ids):
+            rows.append((v, [0.0], i % 2))  # labels 0,1 balanced 2/2
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    monkeypatch.setattr(cp, "table", lambda s, d, n: emb)
+    out = cp.quality_label_balance_by_split(spark, "x").collect()
+    assert {r["split"] for r in out} == {"train", "val", "test"}
+    for r in out:
+        assert (r["n_vecs"], r["n_labels"], r["chi2"]) == (4, 2, 0.0)
