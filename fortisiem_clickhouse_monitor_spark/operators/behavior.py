@@ -2917,3 +2917,166 @@ def behavior_kaplan_meier_retention(
         "n_censored",
         F.round(F.exp(F.sum(logterm).over(w_cum)), 6).alias("survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent 3-step paths (event trigrams per user timeline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "path_trigram_topk",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS e1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, e1, e2, e3
+    LIMIT 20
+    """,
+    tags=("BEHAV", "PATH"),
+)
+def path_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioral paths — the length-3 extension of
+    path_transition_matrix's bigrams: sliding trigrams over each
+    user's (ts, event_id)-ordered timeline, counted corpus-wide.
+    Three-step paths are where funnels start to show INTENT (view ->
+    click -> purchase vs view -> click -> view), which bigrams
+    structurally cannot distinguish.
+
+    Scale shape: one exchange clustering each user's timeline (the two
+    leads share a single window sort), map-side-combined rollup onto
+    the |types|^3 domain, TakeOrdered top-20 — per-user work is linear
+    in that user's history, and the pattern domain is a constant."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration point (who generates 80% of the volume)
+# ---------------------------------------------------------------------------
+
+_PARETO_TARGET_PCT = 80
+
+
+@register(
+    "behavior_power_users_pareto",
+    oracle=f"""
+    WITH uc AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    hist AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS n_users
+      FROM uc GROUP BY c
+    ),
+    cum AS (
+      SELECT c, n_users,
+             coalesce(CAST(sum(c * n_users) OVER (
+               ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS ev_before,
+             coalesce(CAST(sum(n_users) OVER (
+               ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS users_before,
+             CAST(sum(c * n_users) OVER () AS BIGINT) AS total_events,
+             CAST(sum(n_users) OVER () AS BIGINT) AS total_users
+      FROM hist
+    ),
+    hit AS (
+      SELECT *,
+             users_before
+             + CAST(ceil((total_events * {_PARETO_TARGET_PCT} / 100.0
+                          - ev_before) / c) AS BIGINT) AS users_needed
+      FROM cum
+      WHERE ev_before < total_events * {_PARETO_TARGET_PCT} / 100.0
+        AND ev_before + c * n_users
+              >= total_events * {_PARETO_TARGET_PCT} / 100.0
+    )
+    SELECT total_users, total_events, users_needed,
+           round(users_needed / CAST(total_users AS DOUBLE), 6)
+             AS user_share
+    FROM hit
+    """,
+    tags=("BEHAV",),
+)
+def behavior_power_users_pareto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The Pareto concentration point: how many of the heaviest users
+    it takes to cover {_PARETO_TARGET_PCT}% of all events — the
+    "80/20" number product and capacity teams quote, and the
+    complement to behavior_activity_gini's scalar (Gini says HOW
+    concentrated; this says WHO you'd have to rate-limit).
+
+    Scale honesty: the naive form ranks USERS (a fact-scale window);
+    this one aggregates onto the count-VALUE histogram first — users
+    sharing an activity level are interchangeable, so the crossing
+    point is derived exactly on the tiny distinct-count domain
+    (integer ceil arithmetic inside the straddling bucket; windows run
+    over |distinct activity levels| rows, bounded by max events per
+    user, regardless of user count)."""
+    ev = table(spark, sf_dir, "events")
+    uc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    hist = uc.groupBy("c").agg(F.count(F.lit(1)).alias("n_users"))
+    w_prev = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_all = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ev_mass = F.col("c") * F.col("n_users")
+    cum = hist.select(
+        "c",
+        "n_users",
+        F.coalesce(F.sum(ev_mass).over(w_prev), F.lit(0)).alias(
+            "ev_before"
+        ),
+        F.coalesce(F.sum("n_users").over(w_prev), F.lit(0)).alias(
+            "users_before"
+        ),
+        F.sum(ev_mass).over(w_all).alias("total_events"),
+        F.sum("n_users").over(w_all).alias("total_users"),
+    )
+    target = F.col("total_events") * _PARETO_TARGET_PCT / 100.0
+    hit = cum.filter(
+        (F.col("ev_before") < target)
+        & (F.col("ev_before") + ev_mass >= target)
+    ).select(
+        "total_users",
+        "total_events",
+        (
+            F.col("users_before")
+            + F.ceil((target - F.col("ev_before")) / F.col("c")).cast(
+                "long"
+            )
+        ).alias("users_needed"),
+    )
+    return hit.select(
+        "total_users",
+        "total_events",
+        "users_needed",
+        F.round(
+            F.col("users_needed") / F.col("total_users").cast("double"), 6
+        ).alias("user_share"),
+    )

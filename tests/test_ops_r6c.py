@@ -499,3 +499,43 @@ def test_label_balance_chi2_proportional_split_is_zero(spark, monkeypatch):
     assert {r["split"] for r in out} == {"train", "val", "test"}
     for r in out:
         assert (r["n_vecs"], r["n_labels"], r["chi2"]) == (4, 2, 0.0)
+
+
+def test_path_trigrams_planted_timeline(spark, monkeypatch):
+    """One user with timeline a,b,c,a,b,c yields trigrams abc, bca,
+    cab, abc -> (a,b,c) counted twice and ranked first."""
+    seq = ["a", "b", "c", "a", "b", "c"]
+    ev = _events(spark, [(t, 1, et, 1) for t, et in enumerate(seq)])
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    rows = bh.path_trigram_topk(spark, "x").collect()
+    got = {(r["e1"], r["e2"], r["e3"]): r["n"] for r in rows}
+    assert got == {
+        ("a", "b", "c"): 2,
+        ("b", "c", "a"): 1,
+        ("c", "a", "b"): 1,
+    }
+    assert rows[0]["n"] == 2  # ordering: most frequent first
+
+
+def test_pareto_point_hand_computed(spark, monkeypatch):
+    """Counts 8,1,1 over three users (10 events): 80% = 8 events is
+    covered by exactly the one heavy user.  Counts 5,5 (10 events):
+    target 8 straddles the second bucket -> 2 users."""
+    rows = [(t, 1, "x", 1) for t in range(8)] + [
+        (8, 2, "x", 1), (9, 3, "x", 1)
+    ]
+    ev = _events(spark, rows)
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    (r,) = bh.behavior_power_users_pareto(spark, "x").collect()
+    assert (r["total_users"], r["total_events"], r["users_needed"]) == (
+        3, 10, 1,
+    )
+    assert r["user_share"] == round(1 / 3, 6)
+
+    rows2 = [(t, 1, "x", 1) for t in range(5)] + [
+        (10 + t, 2, "x", 1) for t in range(5)
+    ]
+    ev2 = _events(spark, rows2)
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev2)
+    (r2,) = bh.behavior_power_users_pareto(spark, "x").collect()
+    assert (r2["total_users"], r2["users_needed"]) == (2, 2)
