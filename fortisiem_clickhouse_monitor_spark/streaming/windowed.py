@@ -501,3 +501,70 @@ def streaming_hll_daily_registers(stream: DataFrame) -> DataFrame:
         .groupBy("day", "bucket")
         .agg(F.max("rho").alias("m_rho"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming daily OHLC candles (min_by / max_by state)
+# ---------------------------------------------------------------------------
+
+
+def daily_ohlc_candles(ev: DataFrame) -> DataFrame:
+    """Daily OHLC per event type as a WINDOWED AGGREGATION: open/close
+    are min_by/max_by over the total (ts, event_id) order — declarative
+    aggregates, so on a stream the state per open candle is exactly
+    five numbers and an ordering key (no row buffer, no sort), and on
+    a batch frame the same expression is one hash aggregate.  This is
+    the downsampling shape every metrics pipeline runs continuously;
+    the batch twin timeseries_daily_ohlc computes the identical candle
+    via row-number windows — two plans, one definition."""
+    w = F.window("ts", "1 day")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
+
+
+@register(
+    "stream_daily_ohlc",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '1 day', {_DUCK_TS}) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           arg_min(value, epoch_us({_DUCK_TS})::HUGEINT * 1000000000000
+                          + event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, epoch_us({_DUCK_TS})::HUGEINT * 1000000000000
+                          + event_id) AS close
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("T", "TS"),
+)
+def stream_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming OHLC candles.  The oracle's argmin
+    key is epoch_us * 1e12 + event_id — order-equivalent to the
+    struct (ts, event_id) key (event ids are far below 1e12), because
+    DuckDB's arg_min takes scalar keys only."""
+    return daily_ohlc_candles(table(spark, sf_dir, "events"))
+
+
+def streaming_ohlc_query(
+    stream: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    return daily_ohlc_candles(stream.withWatermark("ts", watermark))

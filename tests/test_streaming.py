@@ -457,3 +457,38 @@ def test_streaming_hll_registers_match_batch(spark, events_stream):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_streaming_ohlc_matches_batch(spark, events_stream):
+    """Complete-mode replay of the min_by/max_by OHLC candles equals
+    the batch twin exactly — including open/close, which exercise
+    ordered-argmin STATE rather than plain monotone max; and the
+    candle definition equals timeseries_daily_ohlc's row-number form
+    (two plans, one definition)."""
+    got = _run_stream_to_memory(
+        spark,
+        windowed.streaming_ohlc_query(events_stream),
+        "t_ohlc_complete",
+        mode="complete",
+    )
+    batch = windowed.daily_ohlc_candles(table(spark, SF_SMALL, "events"))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+    from fortisiem_clickhouse_monitor_spark.operators import advanced as adv
+
+    rn_form = {
+        (r["event_type"], r["day_num"]): (
+            r["n"], r["open"], r["high"], r["low"], r["close"]
+        )
+        for r in adv.timeseries_daily_ohlc(spark, SF_SMALL).collect()
+    }
+    window_form = {
+        (
+            r["event_type"],
+            int(r["window_start"].timestamp()) // 86400,
+        ): (r["n"], r["open"], r["high"], r["low"], r["close"])
+        for r in batch.collect()
+    }
+    assert rn_form == window_form
