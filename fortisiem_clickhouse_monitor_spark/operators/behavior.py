@@ -3080,3 +3080,69 @@ def behavior_power_users_pareto(
             F.col("users_needed") / F.col("total_users").cast("double"), 6
         ).alias("user_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Run-length encoding of consecutive error events
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pattern_error_run_lengths",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             event_type = 'error' AS is_err,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id,
+                                             event_type = 'error'
+                                ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS run_len
+      FROM flagged WHERE is_err
+      GROUP BY user_id, rn - rn_t
+    )
+    SELECT run_len,
+           CAST(count(*) AS BIGINT) AS n_runs,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM runs GROUP BY run_len
+    """,
+    tags=("BEHAV", "PATTERN"),
+)
+def pattern_error_run_lengths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Run-length encoding of consecutive error events per user
+    timeline — the distribution of failure-burst lengths (how often
+    do errors come alone vs in streaks), which is the monitoring
+    question behind retry storms and crash loops, and the
+    MATCH_RECOGNIZE pattern class (A+ runs) expressed with the
+    two-row-number gaps-and-islands identity: rn_overall − rn_within
+    (same ordering) is constant exactly inside a maximal run of equal
+    flag values.
+
+    Scale shape: both row-numbers share ONE user_id-clustered window
+    sort; runs aggregate per (user, island) and the final histogram
+    lands on the tiny run-length domain — per-user work linear in
+    that user's history, no self-join, no fact-wide window."""
+    ev = table(spark, sf_dir, "events")
+    is_err = F.col("event_type") == "error"
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_t = Window.partitionBy("user_id", is_err).orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        is_err.alias("is_err"),
+        (F.row_number().over(w) - F.row_number().over(w_t)).alias("isl"),
+    )
+    runs = (
+        flagged.filter(F.col("is_err"))
+        .groupBy("user_id", "isl")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("run_len").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -539,3 +539,19 @@ def test_pareto_point_hand_computed(spark, monkeypatch):
     monkeypatch.setattr(bh, "table", lambda s, d, n: ev2)
     (r2,) = bh.behavior_power_users_pareto(spark, "x").collect()
     assert (r2["total_users"], r2["users_needed"]) == (2, 2)
+
+
+def test_error_run_lengths_planted(spark, monkeypatch):
+    """Timeline e,e,e,c,e,c,e,e for one user -> runs of 3, 1, 2; a
+    second user with a lone error adds one more length-1 run."""
+    seq = ["error", "error", "error", "click", "error", "click",
+           "error", "error"]
+    rows = [(t, 1, et, 1) for t, et in enumerate(seq)]
+    rows.append((0, 2, "error", 1))
+    ev = _events(spark, rows)
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    got = {
+        r["run_len"]: (r["n_runs"], r["n_users"])
+        for r in bh.pattern_error_run_lengths(spark, "x").collect()
+    }
+    assert got == {1: (2, 2), 2: (1, 1), 3: (1, 1)}
