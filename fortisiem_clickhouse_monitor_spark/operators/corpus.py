@@ -1919,3 +1919,128 @@ def quality_label_balance_by_split(
         F.count(F.lit(1)).alias("n_labels"),
         F.round(F.sum(chi), 4).alias("chi2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Packed-bin attention efficiency (block-diagonal mask utilization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_attention_mask_stats",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, lang, len({_DUCK_TOKENS}) AS n_tokens FROM documents
+    ),
+    cum AS (
+      SELECT lang, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS b
+      FROM sized
+    ),
+    seg AS (
+      SELECT c.lang, k.k AS bin_id,
+             least((k.k + 1) * {_BIN_BUDGET}, c.b + c.n_tokens)
+               - greatest(k.k * {_BIN_BUDGET}, c.b) AS seg_len
+      FROM cum c, LATERAL (
+        SELECT unnest(range(c.b // {_BIN_BUDGET},
+                            (c.b + c.n_tokens - 1) // {_BIN_BUDGET} + 1))
+          AS k
+      ) k
+      WHERE c.n_tokens > 0
+    ),
+    bins AS (
+      SELECT lang, bin_id,
+             CAST(count(*) AS BIGINT) AS n_segs,
+             CAST(sum(seg_len) AS BIGINT) AS fill,
+             CAST(sum(seg_len * (seg_len + 1) // 2) AS BIGINT) AS useful
+      FROM seg GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(sum(n_segs) AS BIGINT) AS n_segments,
+           round(sum(fill) / (count(*) * {_BIN_BUDGET} * 1.0), 4)
+             AS fill_ratio,
+           round(sum(useful)
+                 / CAST(sum(fill * (fill + 1) // 2) AS DOUBLE), 6)
+             AS attention_utilization
+    FROM bins GROUP BY lang
+    """,
+    tags=("TXT", "packing"),
+)
+def pack_attention_mask_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Block-diagonal attention efficiency of the packed training
+    bins: when documents are concatenated into fixed {budget}-token
+    samples and attention is masked to document boundaries (the
+    FlashAttention varlen / "packing with proper masking" setup), the
+    fraction of causal attention pairs that survive the mask is
+    sum(l_i*(l_i+1)/2) / (L*(L+1)/2) per bin — this reports it per
+    language next to raw fill.  Low utilization means many tiny
+    documents per bin (compute wasted re-deriving the mask's zeros is
+    gone, but so is context); it is THE metric for choosing sequence
+    length vs corpus length distribution.
+
+    Shares pack_greedy_bins' packing spec exactly (same running-sum
+    placement, documents straddle boundaries and are SPLIT into
+    per-bin segments here, the downstream chunker's view).  Every
+    quantity is integer until the two final ratios — cross-engine
+    exact.
+
+    Scale shape: the running-sum window is the packing op's inherent
+    sequential-per-stream shape (parallel unit = lang, finer shard key
+    at scale per pack_greedy_bins); the segment explode adds at most
+    ceil(n/B)+1 rows per doc; everything then collapses onto the
+    (lang, bin) domain map-side."""
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", F.size(textfns.tokens("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = sized.select(
+        "lang",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("b"),
+    ).filter(F.col("n_tokens") > 0)
+    k = F.explode(
+        F.sequence(
+            (F.col("b") / _BIN_BUDGET).cast("long"),
+            ((F.col("b") + F.col("n_tokens") - 1) / _BIN_BUDGET).cast(
+                "long"
+            ),
+        )
+    ).alias("bin_id")
+    seg_len = F.least(
+        (F.col("bin_id") + 1) * _BIN_BUDGET,
+        F.col("b") + F.col("n_tokens"),
+    ) - F.greatest(F.col("bin_id") * _BIN_BUDGET, F.col("b"))
+    seg = cum.select("lang", k, "b", "n_tokens").select(
+        "lang", "bin_id", seg_len.alias("seg_len")
+    )
+    bins = seg.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum("seg_len").alias("fill"),
+        F.sum(
+            (F.col("seg_len") * (F.col("seg_len") + 1) / 2).cast("long")
+        ).alias("useful"),
+    )
+    tot_pairs = (F.col("fill") * (F.col("fill") + 1) / 2).cast("long")
+    return bins.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("n_segs").alias("n_segments"),
+        F.round(
+            F.sum("fill")
+            / (F.count(F.lit(1)) * _BIN_BUDGET).cast("double"),
+            4,
+        ).alias("fill_ratio"),
+        F.round(
+            F.sum("useful") / F.sum(tot_pairs).cast("double"), 6
+        ).alias("attention_utilization"),
+    )

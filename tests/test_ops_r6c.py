@@ -555,3 +555,29 @@ def test_error_run_lengths_planted(spark, monkeypatch):
         for r in bh.pattern_error_run_lengths(spark, "x").collect()
     }
     assert got == {1: (2, 2), 2: (1, 1), 3: (1, 1)}
+
+
+def test_pack_attention_stats_hand_computed(spark, monkeypatch):
+    """One lang, budget 256: docs of 200 and 100 tokens -> bin 0 holds
+    [200, 56-token head of doc2], bin 1 holds the 44-token tail.
+    Utilization and fill recomputed by hand."""
+    import fortisiem_clickhouse_monitor_spark.operators.corpus as cp
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["w"] * 200), "en", "s", 0),
+            (2, " ".join(["w"] * 100), "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    monkeypatch.setattr(cp, "table", lambda s, d, n: docs)
+    (r,) = cp.pack_attention_mask_stats(spark, "x").collect()
+    assert (r["n_bins"], r["n_segments"]) == (2, 3)
+    fill0, fill1 = 256, 44
+    useful = (
+        200 * 201 // 2 + 56 * 57 // 2 + 44 * 45 // 2
+    )
+    total = fill0 * (fill0 + 1) // 2 + fill1 * (fill1 + 1) // 2
+    assert r["fill_ratio"] == round((fill0 + fill1) / (2 * 256), 4)
+    assert r["attention_utilization"] == round(useful / total, 6)
