@@ -3146,3 +3146,134 @@ def pattern_error_run_lengths(
         F.count(F.lit(1)).alias("n_runs"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# windowFunnel: max funnel level reached within a time horizon
+# ---------------------------------------------------------------------------
+
+#: Funnel horizon: the whole signup->click->purchase chain must fit in
+#: this many days from the anchor signup.
+_WFUNNEL_DAYS = 7
+
+
+@register(
+    "funnel_window_levels",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase')
+    ),
+    marked AS (
+      SELECT *,
+             min(CASE WHEN event_type = 'click' THEN rn END) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_click_rn,
+             min(CASE WHEN event_type = 'purchase' THEN rn END) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS next_purchase_rn
+      FROM t
+    ),
+    anchors AS (
+      SELECT s.user_id,
+             1
+             + CASE WHEN c.rn IS NOT NULL
+                     AND c.ts <= s.ts + INTERVAL {_WFUNNEL_DAYS} DAY
+                    THEN 1 ELSE 0 END
+             + CASE WHEN c.rn IS NOT NULL
+                     AND c.ts <= s.ts + INTERVAL {_WFUNNEL_DAYS} DAY
+                     AND p.rn IS NOT NULL
+                     AND p.ts <= s.ts + INTERVAL {_WFUNNEL_DAYS} DAY
+                    THEN 1 ELSE 0 END AS level
+      FROM marked s
+      LEFT JOIN marked c
+        ON c.user_id = s.user_id AND c.rn = s.next_click_rn
+      LEFT JOIN marked p
+        ON p.user_id = c.user_id AND p.rn = c.next_purchase_rn
+      WHERE s.event_type = 'signup'
+    ),
+    per_user AS (
+      SELECT user_id, max(level) AS level FROM anchors GROUP BY user_id
+    )
+    SELECT level, CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY level
+    """,
+    tags=("BEHAV", "FUNNEL"),
+)
+def funnel_window_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel`` semantics (chStats.py's engine is
+    the system this analytics dialect comes from): for each user, the
+    MAXIMUM funnel level (signup -> click -> purchase, in order)
+    completable within {_WFUNNEL_DAYS} days of some anchor signup,
+    histogrammed over users.  The earliest-next-step chain is exact
+    for this reachability question: any purchase following a later
+    click also follows the earliest click, and the deadline binds on
+    the ANCHOR, so greedy-first never misses a deeper level.
+
+    Scale shape: one user-clustered window sort produces rn and both
+    next-step pointers; the two step joins key on (user, rn) — equi-
+    joins on the SAME clustering, so the whole funnel is one exchange;
+    anchors collapse per-user then onto the 3-row level domain."""
+    ev = table(spark, sf_dir, "events")
+    t = ev.filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    ).select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_f = Window.partitionBy("user_id").orderBy("rn").rowsBetween(
+        1, Window.unboundedFollowing
+    )
+    marked = t.withColumn("rn", F.row_number().over(w)).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "rn",
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("rn"))
+        ).over(w_f).alias("next_click_rn"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("rn"))
+        ).over(w_f).alias("next_purchase_rn"),
+    )
+    s = marked.filter(F.col("event_type") == "signup").alias("s")
+    c = marked.alias("c")
+    p = marked.alias("p")
+    deadline = F.col("s.ts") + F.expr(f"INTERVAL {_WFUNNEL_DAYS} DAY")
+    step2 = F.col("c.rn").isNotNull() & (F.col("c.ts") <= deadline)
+    step3 = (
+        step2
+        & F.col("p.rn").isNotNull()
+        & (F.col("p.ts") <= deadline)
+    )
+    anchors = (
+        s.join(
+            c,
+            (F.col("c.user_id") == F.col("s.user_id"))
+            & (F.col("c.rn") == F.col("s.next_click_rn")),
+            "left",
+        )
+        .join(
+            p,
+            (F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("p.rn") == F.col("c.next_purchase_rn")),
+            "left",
+        )
+        .select(
+            F.col("s.user_id").alias("user_id"),
+            (
+                F.lit(1)
+                + F.when(step2, 1).otherwise(0)
+                + F.when(step3, 1).otherwise(0)
+            ).alias("level"),
+        )
+    )
+    per_user = anchors.groupBy("user_id").agg(
+        F.max("level").alias("level")
+    )
+    return per_user.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -1203,3 +1203,96 @@ def text_ccnet_perplexity_buckets(
         F.round(F.max("doc_ce"), 4).alias("max_ce"),
         F.round(F.avg("doc_ce"), 4).alias("avg_ce"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional entropy rate per language
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_ngram_entropy_rate",
+    oracle=f"""
+    WITH grams AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1]))
+               AS gram
+      FROM (SELECT lang, {_DUCK_TOKENS} AS toks FROM documents) t
+    ),
+    c12 AS (
+      SELECT lang, gram, CAST(count(*) AS BIGINT) AS c
+      FROM grams GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT lang, string_split(gram, ' ')[1] AS w1,
+             CAST(sum(c) AS BIGINT) AS c1
+      FROM c12 GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT b.lang, b.c, m.c1,
+             CAST(sum(b.c) OVER (PARTITION BY b.lang) AS BIGINT) AS n
+      FROM c12 b JOIN c1 m
+        ON m.lang = b.lang AND m.w1 = string_split(b.gram, ' ')[1]
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS vocab_bigrams,
+           round(-sum((c / CAST(n AS DOUBLE))
+                      * ln(c / CAST(c1 AS DOUBLE))), 6) AS entropy_rate,
+           round(exp(-sum((c / CAST(n AS DOUBLE))
+                          * ln(c / CAST(c1 AS DOUBLE)))), 4)
+             AS perplexity
+    FROM joined GROUP BY lang
+    """,
+    tags=("TXT", "vocab"),
+)
+def text_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional entropy rate per language, H(w2 | w1) =
+    -sum p(w1,w2) ln p(w2|w1), with its exp() as perplexity — the
+    corpus-level "how predictable is the next token" number that
+    separates natural prose from boilerplate/templated text (low
+    entropy rate = generated/repetitive; the complement of the
+    per-document logprob scores, which rank docs, where this
+    characterizes the LANGUAGE).
+
+    All probabilities are ratios of exact BIGINT counts (the w1
+    marginal sums the bigram counts, so conditionals are consistent by
+    construction); the entropy sum's order noise is absorbed by the
+    6dp round.
+
+    Scale shape: the bigram explode is map-local (shingles over the
+    token array) and both count rollups combine map-side onto
+    (lang, gram) / (lang, w1) domains; the marginal join keys on the
+    (lang, w1) prefix of the bigram domain — vocabulary-sized frames
+    only after the first aggregation."""
+    d = bind(
+        fanout(table(spark, sf_dir, "documents")),
+        toks=textfns.tokens("text"),
+    )
+    grams = d.select(
+        "lang", F.explode(textfns.shingles(F.col("toks"), 2)).alias("gram")
+    )
+    c12 = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    w1 = F.element_at(F.split(F.col("gram"), " "), 1).alias("w1")
+    c1 = c12.select("lang", w1, "c").groupBy("lang", "w1").agg(
+        F.sum("c").alias("c1")
+    )
+    joined = c12.select("lang", "gram", "c", w1).join(c1, ["lang", "w1"])
+    n = F.sum("c").over(Window.partitionBy("lang"))
+    terms = joined.select(
+        "lang",
+        "c",
+        "c1",
+        n.alias("n"),
+    )
+    h = -F.sum(
+        (F.col("c") / F.col("n").cast("double"))
+        * F.log(F.col("c") / F.col("c1").cast("double"))
+    )
+    return terms.groupBy("lang").agg(
+        F.max("n").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("vocab_bigrams"),
+        F.round(h, 6).alias("entropy_rate"),
+        F.round(F.exp(h), 4).alias("perplexity"),
+    )

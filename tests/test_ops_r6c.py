@@ -581,3 +581,67 @@ def test_pack_attention_stats_hand_computed(spark, monkeypatch):
     total = fill0 * (fill0 + 1) // 2 + fill1 * (fill1 + 1) // 2
     assert r["fill_ratio"] == round((fill0 + fill1) / (2 * 256), 4)
     assert r["attention_utilization"] == round(useful / total, 6)
+
+
+def test_window_funnel_levels_planted(spark, monkeypatch):
+    """A completes all 3 steps in-window; B's click misses the 7-day
+    horizon (level 1); C's purchase misses it (level 2); D has the
+    steps in the WRONG order (level 1); E shows greedy-first is exact
+    (two clicks, purchase beyond horizon either way -> level 2)."""
+    day = 86400
+    rows = []
+    eid = 0
+
+    def add(u, et, d):
+        nonlocal eid
+        rows.append((eid, u, et, d))
+        eid += 1
+
+    add(1, "signup", 0); add(1, "click", 1); add(1, "purchase", 2)
+    add(2, "signup", 0); add(2, "click", 10)
+    add(3, "signup", 0); add(3, "click", 1); add(3, "purchase", 9)
+    add(4, "purchase", 0); add(4, "click", 1); add(4, "signup", 2)
+    add(5, "signup", 0); add(5, "click", 1); add(5, "click", 2)
+    add(5, "purchase", 8)
+    ev = spark.createDataFrame(
+        [(i, u, et, d) for i, u, et, d in rows],
+        "event_id long, user_id long, event_type string, day int",
+    ).selectExpr(
+        "event_id",
+        "CAST(timestampadd(SECOND, day * 86400, TIMESTAMP '2024-01-01')"
+        " AS TIMESTAMP) AS ts",
+        "user_id",
+        "event_type",
+        "1.0 AS value",
+        "'{}' AS props",
+    )
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    got = {
+        r["level"]: r["n_users"]
+        for r in bh.funnel_window_levels(spark, "x").collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 1}
+
+
+def test_ngram_entropy_rate_hand_computed(spark, monkeypatch):
+    """'a b a b a' is perfectly predictable -> H = 0, perplexity 1;
+    'a b a c' has a 50/50 branch after 'a' -> H = (2/3) ln 2."""
+    import fortisiem_clickhouse_monitor_spark.operators.text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a", "det", "s", 9), (2, "a b a c", "mix", "s", 7)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    monkeypatch.setattr(tx, "table", lambda s, d, n: docs)
+    out = {
+        r["lang"]: r
+        for r in tx.text_ngram_entropy_rate(spark, "x").collect()
+    }
+    det = out["det"]
+    assert (det["n_bigrams"], det["vocab_bigrams"]) == (4, 2)
+    assert det["entropy_rate"] == 0.0 and det["perplexity"] == 1.0
+    mix = out["mix"]
+    assert (mix["n_bigrams"], mix["vocab_bigrams"]) == (3, 3)
+    assert mix["entropy_rate"] == round(2 / 3 * math.log(2), 6)
+    assert mix["perplexity"] == round(math.exp(2 / 3 * math.log(2)), 4)
