@@ -3277,3 +3277,98 @@ def funnel_window_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.groupBy("level").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# sequenceCount: non-overlapping click->purchase matches per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pattern_sequence_count_ab",
+    oracle="""
+    WITH t AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_b,
+             CAST(ts AS TIMESTAMP) AS ts, event_id
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    cum AS (
+      SELECT user_id, is_b,
+             CAST(sum(is_b - is_a) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS d
+      FROM t
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(sum(is_b) AS BIGINT)
+             - greatest(CAST(max(d) AS BIGINT), 0) AS n_matches
+      FROM cum GROUP BY user_id
+    )
+    SELECT n_matches, CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user GROUP BY n_matches
+    """,
+    tags=("BEHAV", "PATTERN"),
+)
+def pattern_sequence_count_ab(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``sequenceCount``-style matching: the number of
+    NON-OVERLAPPING click -> purchase occurrences in each user's
+    timeline (each purchase consumes one earlier unconsumed click —
+    greedy, which is maximal for two-symbol patterns), histogrammed
+    over users.
+
+    The naive form is a per-key counter machine (an "available
+    clicks" register — a data-dependent recursion windows cannot
+    express), but for a two-symbol pattern the ballot-problem
+    identity closes it: unmatched purchases = the maximum prefix
+    excess of purchases over clicks, so matches = total purchases -
+    max(0, max_p cum(purchase - click)).  One cumulative window and
+    one rollup — exact integers end to end, and strictly more
+    scalable than the fold (no per-user array materialization).
+
+    A DuckDB 1.0 list_reduce vectorization fault was found while
+    building the fold form (per-row lambda folds cross-contaminate
+    within a chunk: the same list folds correctly alone and wrongly
+    next to other rows); the closed form sidesteps the function
+    entirely.
+
+    Scale shape: one exchange clustering each user's (filtered)
+    timeline shared by the window and the rollup; output lands on the
+    tiny match-count domain."""
+    ev = table(spark, sf_dir, "events")
+    t = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+            "is_a"
+        ),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_b"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = t.select(
+        "user_id",
+        "is_b",
+        F.sum(F.col("is_b") - F.col("is_a")).over(w).alias("d"),
+    )
+    per_user = cum.groupBy("user_id").agg(
+        (
+            F.sum("is_b") - F.greatest(F.max("d"), F.lit(0))
+        ).alias("n_matches")
+    )
+    return per_user.groupBy("n_matches").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

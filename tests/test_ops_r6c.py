@@ -645,3 +645,42 @@ def test_ngram_entropy_rate_hand_computed(spark, monkeypatch):
     assert (mix["n_bigrams"], mix["vocab_bigrams"]) == (3, 3)
     assert mix["entropy_rate"] == round(2 / 3 * math.log(2), 6)
     assert mix["perplexity"] == round(math.exp(2 / 3 * math.log(2)), 4)
+
+
+def test_sequence_count_ballot_identity(spark, monkeypatch):
+    """Greedy non-overlapping click->purchase counts, pinned against a
+    plain-Python counter machine for several planted timelines
+    (the ballot-identity closed form must equal the fold)."""
+    timelines = {
+        1: ["click", "purchase", "purchase", "click", "purchase"],  # 2
+        2: ["purchase", "click"],                                   # 0
+        3: ["click", "click", "purchase"],                          # 1
+        4: ["purchase", "purchase", "purchase"],                    # 0
+        5: ["click", "purchase", "click", "purchase"],              # 2
+    }
+    rows, eid = [], 0
+    for u, seq in timelines.items():
+        for t, et in enumerate(seq):
+            rows.append((eid, u, et, t))
+            eid += 1
+    ev = _events(spark, [(t, u, et, 1) for (_, u, et, t) in rows])
+
+    def greedy(seq):
+        avail = matches = 0
+        for s in seq:
+            if s == "click":
+                avail += 1
+            elif avail > 0:
+                avail -= 1
+                matches += 1
+        return matches
+
+    want = {}
+    for u, seq in timelines.items():
+        want[greedy(seq)] = want.get(greedy(seq), 0) + 1
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    got = {
+        r["n_matches"]: r["n_users"]
+        for r in bh.pattern_sequence_count_ab(spark, "x").collect()
+    }
+    assert got == want == {2: 2, 0: 2, 1: 1}
