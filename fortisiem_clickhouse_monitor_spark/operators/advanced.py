@@ -2398,3 +2398,45 @@ def timeseries_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily latency-style percentile bands per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_daily_percentiles",
+    oracle="""
+    SELECT event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("TS", "A-ext"),
+)
+def timeseries_daily_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily p50/p95/p99 bands of `value` per event type — the SLO
+    dashboard's bread and butter (tail latency per day), exact
+    percentile_cont semantics in both engines.  At 100 TB swap for
+    percentile_approx (mergeable t-digest, no per-group sort) — the
+    same drop-in noted on percentiles_order_price; the day
+    partitioning already bounds each group's sort.
+
+    One exchange onto the (type, day) domain; the three percentiles
+    share a single sorted pass per group."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / 86400000000).cast("long").alias("day_num"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )

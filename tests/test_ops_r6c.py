@@ -684,3 +684,27 @@ def test_sequence_count_ballot_identity(spark, monkeypatch):
         for r in bh.pattern_sequence_count_ab(spark, "x").collect()
     }
     assert got == want == {2: 2, 0: 2, 1: 1}
+
+
+def test_daily_percentiles_interpolation(spark, monkeypatch):
+    """Four values 1,2,3,4 in one (type, day): p50 = 2.5 (linear
+    interpolation), p95 = 3.85, p99 = 3.97 — percentile_cont
+    semantics, recomputed by hand."""
+    ev = _events(
+        spark, [(t, 1, "x", v) for t, v in enumerate([1, 2, 3, 4])]
+    )
+    monkeypatch.setattr(adv, "table", lambda s, d, n: ev)
+    (r,) = adv.timeseries_daily_percentiles(spark, "x").collect()
+
+    def pc(vals, q):
+        vals = sorted(vals)
+        pos = (len(vals) - 1) * q
+        lo = int(pos)
+        frac = pos - lo
+        return vals[lo] + (vals[min(lo + 1, len(vals) - 1)] - vals[lo]) * frac
+
+    vals = [1, 2, 3, 4]
+    assert r["n"] == 4
+    assert r["p50"] == round(pc(vals, 0.5), 6) == 2.5
+    assert r["p95"] == round(pc(vals, 0.95), 6)
+    assert r["p99"] == round(pc(vals, 0.99), 6)
