@@ -3372,3 +3372,103 @@ def pattern_sequence_count_ab(
     return per_user.groupBy("n_matches").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# retention(): conditional retention array over users
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_retention_conditions",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                      THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ),
+    flags AS (
+      SELECT p.user_id,
+             (p.first_signup IS NOT NULL)::INTEGER AS r1,
+             max(CASE WHEN e.event_type = 'click'
+                       AND CAST(e.ts AS TIMESTAMP) > p.first_signup
+                      THEN 1 ELSE 0 END) AS r2,
+             max(CASE WHEN e.event_type = 'purchase'
+                       AND CAST(e.ts AS TIMESTAMP) > p.first_signup
+                      THEN 1 ELSE 0 END) AS r3
+      FROM per_user p JOIN events e ON e.user_id = p.user_id
+      GROUP BY p.user_id, p.first_signup
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(r1) AS BIGINT) AS r1,
+           CAST(sum(r1 * r2) AS BIGINT) AS r2,
+           CAST(sum(r1 * r3) AS BIGINT) AS r3,
+           round(sum(r1 * r2) / CAST(sum(r1) AS DOUBLE), 6) AS r2_ratio,
+           round(sum(r1 * r3) / CAST(sum(r1) AS DOUBLE), 6) AS r3_ratio
+    FROM flags
+    """,
+    tags=("BEHAV", "FUNNEL"),
+)
+def behavior_retention_conditions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse ``retention()`` semantics: an array of chained
+    conditions per user — r1 = signed up, r2 = clicked strictly AFTER
+    the first signup, r3 = purchased strictly after it — where later
+    flags only count when r1 holds, aggregated to cohort totals and
+    ratios.  The condition-based complement to
+    retention_weekly_cohorts' calendar triangle: this one asks "of
+    everyone who ever signed up, who came back and DID something",
+    independent of week boundaries.
+
+    Scale shape: one user-clustered aggregation computes the first-
+    signup anchor; the flag pass re-joins events on the SAME user key
+    (one exchange, reused clustering) and collapses immediately; the
+    output is a single row of exact BIGINTs plus two final
+    divisions."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("first_signup")
+    )
+    flags = (
+        ev.join(per_user, "user_id")
+        .groupBy("user_id", "first_signup")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("first_signup")),
+                    1,
+                ).otherwise(0)
+            ).alias("r2"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("first_signup")),
+                    1,
+                ).otherwise(0)
+            ).alias("r3"),
+        )
+        .select(
+            F.when(F.col("first_signup").isNotNull(), 1)
+            .otherwise(0)
+            .alias("r1"),
+            "r2",
+            "r3",
+        )
+    )
+    r1 = F.sum("r1")
+    r2 = F.sum(F.col("r1") * F.col("r2"))
+    r3 = F.sum(F.col("r1") * F.col("r3"))
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        r1.alias("r1"),
+        r2.alias("r2"),
+        r3.alias("r3"),
+        F.round(r2 / r1.cast("double"), 6).alias("r2_ratio"),
+        F.round(r3 / r1.cast("double"), 6).alias("r3_ratio"),
+    )

@@ -708,3 +708,20 @@ def test_daily_percentiles_interpolation(spark, monkeypatch):
     assert r["p50"] == round(pc(vals, 0.5), 6) == 2.5
     assert r["p95"] == round(pc(vals, 0.95), 6)
     assert r["p99"] == round(pc(vals, 0.99), 6)
+
+
+def test_retention_conditions_planted(spark, monkeypatch):
+    """u1 signup->click->purchase (all flags); u2 signup then nothing
+    after; u3 click/purchase BEFORE their signup (r2=r3=0); u4 never
+    signed up (excluded from ratios, counted in n_users)."""
+    rows = [
+        (0, 1, "signup", 1), (1, 1, "click", 1), (2, 1, "purchase", 1),
+        (0, 2, "signup", 1),
+        (0, 3, "click", 1), (1, 3, "purchase", 1), (2, 3, "signup", 1),
+        (0, 4, "view", 1),
+    ]
+    ev = _events(spark, rows)
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    (r,) = bh.behavior_retention_conditions(spark, "x").collect()
+    assert (r["n_users"], r["r1"], r["r2"], r["r3"]) == (4, 3, 1, 1)
+    assert r["r2_ratio"] == r["r3_ratio"] == round(1 / 3, 6)
