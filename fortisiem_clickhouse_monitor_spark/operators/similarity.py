@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import vectors
-from ..registry import register
+from ..registry import register, register_probe
 from ..sources.tables import bind, fanout, table
 
 _DIM = 64
@@ -2279,3 +2279,13 @@ def sim_kcenter_farthest_points(
     return spark.createDataFrame(
         out, "rank int, vec_id long, max_sim_to_selected double"
     )
+
+
+@register_probe("sim_kcenter_farthest_points")
+def _probe_kcenter(spark: SparkSession, sf_dir: str) -> int:
+    """Work = cosine evaluations the greedy performs: (k-1) rounds x
+    (corpus - picked) candidates each — linear in corpus size for
+    fixed k, which is what the wall curve's sublinear alpha (fixed
+    ~1 s round latency amortizing) should be read against."""
+    n = table(spark, sf_dir, "embeddings").count()
+    return sum(n - i for i in range(1, _KCENTER_K))
