@@ -2440,3 +2440,123 @@ def timeseries_daily_percentiles(
         F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
         F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta/KMV sketch intersection (click-users x purchase-users)
+# ---------------------------------------------------------------------------
+
+
+def _duck_kmv_set(event_type: str) -> str:
+    return f"""
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM events WHERE event_type = '{event_type}'
+    """
+
+
+@register(
+    "sketch_kmv_intersection_eval",
+    oracle=f"""
+    WITH ha AS ({_duck_kmv_set('click')}),
+    hb AS ({_duck_kmv_set('purchase')}),
+    ka AS (SELECT hv FROM ha ORDER BY hv LIMIT {_KMV_K}),
+    kb AS (SELECT hv FROM hb ORDER BY hv LIMIT {_KMV_K}),
+    ta AS (
+      SELECT CASE WHEN count(*) < {_KMV_K} THEN {2**60}
+                  ELSE max(hv) END AS theta FROM ka
+    ),
+    tb AS (
+      SELECT CASE WHEN count(*) < {_KMV_K} THEN {2**60}
+                  ELSE max(hv) END AS theta FROM kb
+    ),
+    th AS (
+      SELECT least(ta.theta, tb.theta) AS theta FROM ta CROSS JOIN tb
+    ),
+    inter AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_inter
+      FROM ka JOIN kb USING (hv) CROSS JOIN th
+      WHERE ka.hv <= th.theta
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact
+      FROM ha JOIN hb USING (hv)
+    )
+    SELECT e.n_exact, i.n_inter,
+           round(i.n_inter * {_KMV_M!r} / t.theta, 2) AS kmv_estimate,
+           round((i.n_inter * {_KMV_M!r} / t.theta - e.n_exact)
+                 / e.n_exact, 4) AS rel_error
+    FROM inter i CROSS JOIN exact e CROSS JOIN th t
+    """,
+    tags=("SKETCH",),
+)
+def sketch_kmv_intersection_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theta-sketch set INTERSECTION — the operation HLL can only
+    reach through error-amplifying inclusion-exclusion
+    (sketch_hll_intersection_eval measures that; this is the sketch
+    family built for it): keep each set's k smallest 60-bit hashes,
+    cut both at theta = min(theta_a, theta_b), intersect the kept
+    hashes below theta (a uniform sample of the true intersection at
+    rate theta/M), and scale by M/theta.  Evaluated against the exact
+    click-user x purchase-user overlap.
+
+    Everything except the two final divisions is integer: kept sets
+    via TakeOrdered (mergeable, as in sketch_kmv_distinct_users),
+    thresholds are order statistics, the sample intersection is an
+    equi-join of two k-row frames.  The under-k degenerate case sets
+    theta = M (the sketch IS the set), collapsing the estimate to the
+    exact sample count — both engines take the identical branch."""
+    ev = table(spark, sf_dir, "events")
+
+    def kmv(event_type: str):
+        h = (
+            ev.filter(F.col("event_type") == event_type)
+            .select(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 15
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("hv")
+            )
+            .distinct()
+        )
+        kept = h.orderBy("hv").limit(_KMV_K)
+        theta = kept.agg(
+            F.when(F.count(F.lit(1)) < _KMV_K, F.lit(2**60))
+            .otherwise(F.max("hv"))
+            .alias("theta")
+        )
+        return h, kept, theta
+
+    ha, ka, ta = kmv("click")
+    hb, kb, tb = kmv("purchase")
+    th = ta.crossJoin(tb.withColumnRenamed("theta", "theta_b")).select(
+        F.least("theta", "theta_b").alias("theta")
+    )
+    inter = (
+        ka.join(kb, "hv")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("hv") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact = ha.join(hb, "hv").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = F.col("n_inter") * F.lit(_KMV_M) / F.col("theta")
+    return (
+        inter.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(th))
+        .select(
+            "n_exact",
+            "n_inter",
+            F.round(est, 2).alias("kmv_estimate"),
+            F.round(
+                (est - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_error"),
+        )
+    )

@@ -725,3 +725,44 @@ def test_retention_conditions_planted(spark, monkeypatch):
     (r,) = bh.behavior_retention_conditions(spark, "x").collect()
     assert (r["n_users"], r["r1"], r["r2"], r["r3"]) == (4, 3, 1, 1)
     assert r["r2_ratio"] == r["r3_ratio"] == round(1 / 3, 6)
+
+
+def test_kmv_intersection_under_k_is_exact(spark, monkeypatch):
+    """Both sets below k: theta = M, the 'sample' is the whole
+    intersection, estimate == exact, rel_error 0.  Users 0-29 click,
+    users 20-49 purchase -> overlap exactly 10."""
+    rows = [(i % 50, u, "click", 1) for i, u in enumerate(range(30))]
+    rows += [(i % 50, u, "purchase", 1) for i, u in enumerate(range(20, 50))]
+    ev = _events(spark, rows)
+    monkeypatch.setattr(adv, "table", lambda s, d, n: ev)
+    (r,) = adv.sketch_kmv_intersection_eval(spark, "x").collect()
+    assert (r["n_exact"], r["n_inter"]) == (10, 10)
+    assert r["kmv_estimate"] == 10.0 and r["rel_error"] == 0.0
+
+
+def test_kmv_intersection_estimator_spec_above_k(spark, monkeypatch):
+    """Sets larger than k: recompute the theta cut and scaled estimate
+    in plain Python from the md5 spec and check the band."""
+    n = 600
+    rows = [(i % 50, u, "click", 1) for i, u in enumerate(range(n))]
+    rows += [
+        (i % 50, u, "purchase", 1)
+        for i, u in enumerate(range(n // 2, n + n // 2))
+    ]
+    ev = _events(spark, rows)
+    monkeypatch.setattr(adv, "table", lambda s, d, n_: ev)
+    (r,) = adv.sketch_kmv_intersection_eval(spark, "x").collect()
+
+    def hs(users):
+        return sorted(
+            int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+            for u in users
+        )
+    a, b = hs(range(n)), hs(range(n // 2, n + n // 2))
+    ka, kb = set(a[: adv._KMV_K]), set(b[: adv._KMV_K])
+    theta = min(a[adv._KMV_K - 1], b[adv._KMV_K - 1])
+    inter = sum(1 for h in ka & kb if h <= theta)
+    want = inter * adv._KMV_M / theta
+    assert r["n_exact"] == n // 2
+    assert r["n_inter"] == inter
+    assert r["kmv_estimate"] == round(want, 2)
