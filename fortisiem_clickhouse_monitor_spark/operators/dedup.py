@@ -2654,3 +2654,78 @@ def quality_near_dup_rate_by_source(
             ).alias("near_dup_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Component size histogram (dedup cluster-size distribution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_component_size_histogram",
+    oracle=f"""
+    {_CC_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a
+    ),
+    membership AS (
+      SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node
+    ),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS size
+      FROM membership GROUP BY component
+    )
+    SELECT size,
+           CAST(count(*) AS BIGINT) AS n_components,
+           CAST(size * count(*) AS BIGINT) AS n_docs,
+           CAST((size - 1) * count(*) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY size
+    """,
+    tags=("DD", "ITER"),
+)
+def dedup_component_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-cluster size distribution: how many near-dup
+    components exist at each size, the docs they hold, and the docs
+    keep-one-per-component dedup would remove — the one-page summary
+    a data-curation review reads before signing off a threshold
+    (a fat tail of giant clusters means the threshold is merging
+    unrelated docs; all-size-2 means it may be too strict).
+
+    Reuses the alternating large-star/small-star component labels
+    (same kernel as dedup_connected_components — in a bench session
+    the shared pairs subtree is cached once) and collapses them twice:
+    label -> size, size -> histogram; both rollups combine map-side
+    and the output domain is bounded by the largest cluster."""
+    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    stars, _ = alternating_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    membership = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(
+            stars.select(
+                F.col("v").alias("doc_id"), F.col("u").alias("component")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(F.coalesce("component", F.col("doc_id")).alias("component"))
+    )
+    sizes = membership.groupBy("component").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_components"),
+        (F.col("size") * F.count(F.lit(1))).alias("n_docs"),
+        ((F.col("size") - 1) * F.count(F.lit(1))).alias("n_removable"),
+    )

@@ -766,3 +766,23 @@ def test_kmv_intersection_estimator_spec_above_k(spark, monkeypatch):
     assert r["n_exact"] == n // 2
     assert r["n_inter"] == inter
     assert r["kmv_estimate"] == round(want, 2)
+
+
+def test_component_size_histogram_planted(spark, monkeypatch):
+    """Components {1,2,3} (chain), {4,5}, singleton 6 -> one component
+    of each size 3/2/1 with removable 2/1/0."""
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "doc_id long"
+    )
+    monkeypatch.setattr(dd, "shared_ngram_pairs", lambda s, d: pairs)
+    monkeypatch.setattr(dd, "table", lambda s, d, n: docs)
+    got = {
+        r["size"]: (r["n_components"], r["n_docs"], r["n_removable"])
+        for r in dd.dedup_component_size_histogram(spark, "x").collect()
+    }
+    assert got == {3: (1, 3, 2), 2: (1, 2, 1), 1: (1, 1, 0)}
