@@ -1526,6 +1526,7 @@ def drift_psi_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stats AS (
       SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_vals,
              CAST(sum(c_e) AS BIGINT) AS n_e,
              CAST(sum(c_l) AS BIGINT) AS n_l,
              CAST(sum(c_e * (2 * k_prev + c + 1)) AS BIGINT) AS r2,
@@ -1534,11 +1535,13 @@ def drift_psi_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n_e AS n_early, n_l AS n_late,
            round((r2 - n_e * (n_e + 1)) / 2.0, 1) AS u_early,
-           round((r2 - n_e * (n_e + 1) - n_e * n_l)
-                 / (2.0 * sqrt(n_e * n_l / 12.0
-                    * ((n_e + n_l + 1)
-                       - tie / (CAST(n_e + n_l AS DOUBLE)
-                                * (n_e + n_l - 1))))), 4) AS z
+           CASE WHEN n_vals > 1 THEN
+             round((r2 - n_e * (n_e + 1) - n_e * n_l)
+                   / (2.0 * sqrt(n_e * n_l / 12.0
+                      * ((n_e + n_l + 1)
+                         - tie / (CAST(n_e + n_l AS DOUBLE)
+                                  * (n_e + n_l - 1))))), 4)
+           END AS z
     FROM stats
     """,
     tags=("DQ", "DRIFT"),
@@ -1557,6 +1560,8 @@ def drift_mannwhitney_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical integer pipeline and one identical double z-step
     (normal approximation with the standard tie-corrected variance,
     no continuity correction).  U_early = (r2 - n_e(n_e+1)) / 2.
+    A fully-tied domain (one distinct pooled value) has zero
+    variance, so z is guarded to NULL in both engines.
 
     Scale shape identical to KS: one map-side-combined exchange onto
     the (type, value) distinct domain; the rank window runs on that
@@ -1583,6 +1588,7 @@ def drift_mannwhitney_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(c).over(w_prev), F.lit(0)).alias("k_prev"),
     )
     stats = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_vals"),
         F.sum("c_e").alias("n_e"),
         F.sum("c_l").alias("n_l"),
         F.sum(
@@ -1609,7 +1615,10 @@ def drift_mannwhitney_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_e.alias("n_early"),
         n_l.alias("n_late"),
         F.round(u2 / 2.0, 1).alias("u_early"),
-        F.round((u2 - n_e * n_l) / (2.0 * F.sqrt(var)), 4).alias("z"),
+        F.when(
+            F.col("n_vals") > 1,
+            F.round((u2 - n_e * n_l) / (2.0 * F.sqrt(var)), 4),
+        ).alias("z"),
     )
 
 
