@@ -3472,3 +3472,94 @@ def behavior_retention_conditions(
         F.round(r2 / r1.cast("double"), 6).alias("r2_ratio"),
         F.round(r3 / r1.cast("double"), 6).alias("r3_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hysteresis alert state machine over the daily error rate
+# ---------------------------------------------------------------------------
+
+#: Enter / exit thresholds: fire above HI, clear only below LO.  The
+#: band between them is what stops threshold flapping.
+_HYST_HI = 0.22
+_HYST_LO = 0.18
+
+
+@register(
+    "alert_hysteresis_error_rate",
+    oracle=f"""
+    WITH daily AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS errors
+      FROM events GROUP BY 1
+    ),
+    sig AS (
+      SELECT day_num, n, errors,
+             errors / CAST(n AS DOUBLE) AS rate,
+             CASE WHEN errors / CAST(n AS DOUBLE) > {_HYST_HI!r} THEN 1
+                  WHEN errors / CAST(n AS DOUBLE) < {_HYST_LO!r} THEN 0
+             END AS signal
+      FROM daily
+    )
+    SELECT day_num, n, errors, round(rate, 6) AS rate,
+           coalesce(last_value(signal IGNORE NULLS) OVER (
+             ORDER BY day_num ROWS UNBOUNDED PRECEDING), 0) = 1 AS alert
+    FROM sig
+    """,
+    tags=("BEHAV", "ALERT"),
+)
+def alert_hysteresis_error_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-threshold (hysteresis) alert over the daily error rate:
+    fire when the rate crosses {_HYST_HI}, clear only when it falls
+    below {_HYST_LO} — the dead band in between holds the PREVIOUS
+    state, which is what stops a rate hovering at one threshold from
+    flapping (the stateful cousin of alert_suppression_window, and
+    the alert semantics the reference's replication-failure monitor
+    would want at any real noise level).
+
+    The state machine looks like a recursion but forward-fill closes
+    it: emit +1 above HI, 0 below LO, NULL in the band, then
+    last_value(IGNORE NULLS) over the day order carries the most
+    recent decision forward — a pure window, identical in both
+    engines (the same trick as timeseries_forward_fill).
+
+    Scale shape: the fact collapses onto the day domain map-side; the
+    unpartitioned forward-fill window runs on |days| rows — the
+    justified-tiny-global-window case."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        (F.unix_micros("ts") / 86400000000).cast("long").alias("day_num")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("errors"),
+    )
+    rate = F.col("errors") / F.col("n").cast("double")
+    sig = daily.select(
+        "day_num",
+        "n",
+        "errors",
+        rate.alias("rate"),
+        F.when(rate > _HYST_HI, 1).when(rate < _HYST_LO, 0).alias(
+            "signal"
+        ),
+    )
+    w = Window.orderBy("day_num").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return sig.select(
+        "day_num",
+        "n",
+        "errors",
+        F.round("rate", 6).alias("rate"),
+        (
+            F.coalesce(
+                F.last("signal", ignorenulls=True).over(w), F.lit(0)
+            )
+            == 1
+        ).alias("alert"),
+    )

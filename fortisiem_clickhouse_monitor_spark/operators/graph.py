@@ -2320,3 +2320,111 @@ def graph_random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(nxt)
         cur = nxt
     return out.select("seed", F.col("step").cast("long").alias("step"), "node")
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient of the near-dup graph
+# ---------------------------------------------------------------------------
+
+#: Degree cutoffs the rich-club coefficient is evaluated at.
+_RICH_KS = (1, 2, 4, 8)
+
+
+def _rich_club_oracle() -> str:
+    from .dedup import _CC_PAIRS_SQL
+
+    ks = ", ".join(str(k) for k in _RICH_KS)
+    return f"""
+    {_CC_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM edges
+            UNION ALL SELECT b AS node FROM edges)
+      GROUP BY node
+    ),
+    ks AS (SELECT unnest([{ks}]) AS k),
+    club AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM ks JOIN deg ON deg.d > ks.k GROUP BY ks.k
+    ),
+    ce AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS n_edges
+      FROM ks
+      JOIN edges e ON TRUE
+      JOIN deg da ON da.node = e.a AND da.d > ks.k
+      JOIN deg db ON db.node = e.b AND db.d > ks.k
+      GROUP BY ks.k
+    )
+    SELECT c.k, c.n_nodes,
+           coalesce(e.n_edges, 0) AS n_edges,
+           CASE WHEN c.n_nodes > 1 THEN
+             round(2.0 * coalesce(e.n_edges, 0)
+                   / (c.n_nodes * (c.n_nodes - 1)), 6)
+           END AS phi
+    FROM club c LEFT JOIN ce e ON e.k = c.k
+    """
+
+
+@register(
+    "graph_rich_club_coefficient",
+    oracle=_rich_club_oracle(),
+    tags=("GRAPH",),
+)
+def graph_rich_club_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rich-club coefficient phi(k) of the near-dup graph at degree
+    cutoffs k in {_RICH_KS}: the edge density among nodes of degree
+    > k — do the heavy hubs connect to EACH OTHER (phi -> 1: a core
+    of templated near-identical docs all pairwise similar) or only to
+    the periphery (phi small: hub-and-spoke dedup families)?  The
+    structural read that decides whether cluster-level dedup will
+    collapse the hubs into one component or many.
+
+    Scale shape: degrees are one map-side rollup over the edge list;
+    the club membership joins are edge-keyed equi-joins against the
+    (broadcastable) high-degree node set — the k cutoffs make that
+    set small by construction; no wedges, no pair enumeration."""
+    from .dedup import shared_ngram_pairs
+
+    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _RICH_KS], "k int")
+    club = (
+        ks.join(deg, deg["d"] > ks["k"])
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    da = deg.select(F.col("node").alias("doc_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("doc_b"), F.col("d").alias("db"))
+    ce = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .crossJoin(F.broadcast(ks.withColumnRenamed("k", "kk")))
+        .filter((F.col("da") > F.col("kk")) & (F.col("db") > F.col("kk")))
+        .groupBy(F.col("kk").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    out = club.join(ce, "k", "left").select(
+        "k",
+        "n_nodes",
+        F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+        F.when(
+            F.col("n_nodes") > 1,
+            F.round(
+                2.0
+                * F.coalesce("n_edges", F.lit(0))
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                6,
+            ),
+        ).alias("phi"),
+    )
+    return out

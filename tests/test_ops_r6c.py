@@ -786,3 +786,52 @@ def test_component_size_histogram_planted(spark, monkeypatch):
         for r in dd.dedup_component_size_histogram(spark, "x").collect()
     }
     assert got == {3: (1, 3, 2), 2: (1, 2, 1), 1: (1, 1, 0)}
+
+
+def test_hysteresis_alert_state_machine(spark, monkeypatch):
+    """Rates 0.5, 0.2, 0.1, 0.2, 0.3 across five days: fire on day 0,
+    HOLD through the dead band, clear below LO, hold clear through the
+    band, re-fire above HI."""
+    days = [(0, 1, 2), (1, 1, 5), (2, 1, 10), (3, 1, 5), (4, 3, 10)]
+    rows, eid = [], 0
+    for day, errs, total in days:
+        for i in range(total):
+            et = "error" if i < errs else "view"
+            rows.append((eid, 1, et, day))
+            eid += 1
+    ev = spark.createDataFrame(
+        [(i, u, et, d) for i, u, et, d in rows],
+        "event_id long, user_id long, event_type string, day int",
+    ).selectExpr(
+        "event_id",
+        "CAST(timestampadd(DAY, day, TIMESTAMP '2024-01-01')"
+        " AS TIMESTAMP) AS ts",
+        "user_id", "event_type", "1.0 AS value", "'{}' AS props",
+    )
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    out = {
+        r["day_num"] - 19723: (r["rate"], r["alert"])
+        for r in bh.alert_hysteresis_error_rate(spark, "x").collect()
+    }
+    assert [out[d][1] for d in range(5)] == [True, True, False, False, True]
+    assert out[0][0] == 0.5 and out[4][0] == 0.3
+
+
+def test_rich_club_planted_core(spark, monkeypatch):
+    """Triangle {1,2,3} with pendants 4,5 on nodes 1,2: phi(1) = 1.0
+    over the 3-node club, phi(2) = 1.0 over {1,2}; k=4,8 clubs are
+    empty and emit no row."""
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+    import fortisiem_clickhouse_monitor_spark.operators.graph as gr
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 5)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(dd, "shared_ngram_pairs", lambda s, d: pairs)
+    monkeypatch.setattr(gr, "shared_ngram_pairs", lambda s, d: pairs,
+                        raising=False)
+    got = {
+        r["k"]: (r["n_nodes"], r["n_edges"], r["phi"])
+        for r in gr.graph_rich_club_coefficient(spark, "x").collect()
+    }
+    assert got == {1: (3, 3, 1.0), 2: (2, 1, 1.0)}
