@@ -160,3 +160,45 @@ def test_wasserstein_of_pure_shift_is_the_shift(
     else:
         (r,) = out
         assert r["w1"] == float(shift)
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier structural invariants on random lifetime layouts
+# ---------------------------------------------------------------------------
+
+_users = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),    # first day
+        st.integers(min_value=0, max_value=25),   # lifetime days
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(users=_users)
+def test_kaplan_meier_invariants(spark, monkeypatch, users):
+    rows, eid = [], 0
+    for uid, (first, life) in enumerate(users):
+        rows.append((eid, uid, "view", first * 86400, 1.0))
+        eid += 1
+        if life:
+            rows.append((eid, uid, "view", (first + life) * 86400, 1.0))
+            eid += 1
+    ev = _events_df(spark, rows)
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    out = sorted(
+        bh.behavior_kaplan_meier_retention(spark, "x").collect(),
+        key=lambda r: r["t_days"],
+    )
+    # risk sets partition the population; survival is a non-increasing
+    # probability starting at <= 1
+    n_total = len(users)
+    assert out[0]["n_at_risk"] == n_total
+    prev = 1.0
+    for r in out:
+        assert 0.0 <= r["survival"] <= prev + 1e-9
+        assert r["n_deaths"] + r["n_censored"] <= r["n_at_risk"]
+        prev = r["survival"]
+    assert sum(r["n_deaths"] + r["n_censored"] for r in out) == n_total
