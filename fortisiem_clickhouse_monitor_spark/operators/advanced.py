@@ -2560,3 +2560,72 @@ def sketch_kmv_intersection_eval(
             ).alias("rel_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Fano factor: burstiness of the daily arrival process
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_burstiness_fano",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_num,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(n) AS BIGINT) AS s1,
+             CAST(sum(n * n) AS BIGINT) AS s2
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           round(s1 / CAST(n_days AS DOUBLE), 4) AS mean_daily,
+           round((s2 - s1 * s1 / CAST(n_days AS DOUBLE))
+                 / (n_days - 1) / (s1 / CAST(n_days AS DOUBLE)), 4)
+             AS fano
+    FROM mom WHERE n_days > 1
+    """,
+    tags=("TS", "DQ"),
+)
+def timeseries_burstiness_fano(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Fano factor (variance-to-mean ratio of daily counts) per event
+    type — the dispersion screen on the arrival process: ~1 means
+    Poisson-like arrivals (independent events), >>1 means bursty
+    (retry storms, batch imports, thundering herds), <1 means
+    under-dispersed/paced (rate-limited producers).  The number that
+    says whether per-day alert thresholds can assume Poisson noise.
+
+    Sample variance from exact BIGINT moments (s1, s2) with the
+    identical division sequence in both engines — the same
+    exact-moment discipline as the drift screens.
+
+    Scale shape: fact -> (type, day) -> (type) — two map-side-combined
+    rollups, output bounded by |types|."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / 86400000000).cast("long").alias("day_num"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    nd = F.col("n_days").cast("double")
+    mean = F.col("s1") / nd
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / nd) / (
+        F.col("n_days") - 1
+    )
+    return mom.filter(F.col("n_days") > 1).select(
+        "event_type",
+        "n_days",
+        F.round(mean, 4).alias("mean_daily"),
+        F.round(var / mean, 4).alias("fano"),
+    )

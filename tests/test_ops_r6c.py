@@ -835,3 +835,34 @@ def test_rich_club_planted_core(spark, monkeypatch):
         for r in gr.graph_rich_club_coefficient(spark, "x").collect()
     }
     assert got == {1: (3, 3, 1.0), 2: (2, 1, 1.0)}
+
+
+def test_fano_factor_hand_computed(spark, monkeypatch):
+    """Daily counts 2,2,2 -> variance 0 -> fano 0; counts 1,5 ->
+    mean 3, var 8, fano 8/3 — both recomputed by hand; a type with a
+    single day is excluded (variance undefined)."""
+    rows, eid = [], 0
+    for day, cnt in [(0, 2), (1, 2), (2, 2)]:
+        for _ in range(cnt):
+            rows.append((eid, 1, "flat", day)); eid += 1
+    for day, cnt in [(0, 1), (1, 5)]:
+        for _ in range(cnt):
+            rows.append((eid, 1, "bursty", day)); eid += 1
+    rows.append((eid, 1, "lonely", 0))
+    ev = spark.createDataFrame(
+        [(i, u, et, d) for i, u, et, d in rows],
+        "event_id long, user_id long, event_type string, day int",
+    ).selectExpr(
+        "event_id",
+        "CAST(timestampadd(DAY, day, TIMESTAMP '2024-01-01')"
+        " AS TIMESTAMP) AS ts",
+        "user_id", "event_type", "1.0 AS value", "'{}' AS props",
+    )
+    monkeypatch.setattr(adv, "table", lambda s, d, n: ev)
+    got = {
+        r["event_type"]: (r["n_days"], r["mean_daily"], r["fano"])
+        for r in adv.timeseries_burstiness_fano(spark, "x").collect()
+    }
+    assert got["flat"] == (3, 2.0, 0.0)
+    assert got["bursty"] == (2, 3.0, round(8 / 3, 4))
+    assert "lonely" not in got
