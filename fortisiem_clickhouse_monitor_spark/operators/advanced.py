@@ -12,6 +12,8 @@ their partitions. Nothing here leaves the JVM.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2628,4 +2630,127 @@ def timeseries_burstiness_fano(
         "n_days",
         F.round(mean, 4).alias("mean_daily"),
         F.round(var / mean, 4).alias("fano"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ClickHouse argMin/argMax analog: single-pass extremes with their achiever
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_argminmax_extremes",
+    oracle="""
+    WITH ext AS (
+      SELECT event_type, max(value) AS vmax, min(value) AS vmin
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, ext.vmax, ext.vmin,
+           max(e.user_id) FILTER (WHERE e.value = ext.vmax) AS user_at_max,
+           min(e.user_id) FILTER (WHERE e.value = ext.vmin) AS user_at_min
+    FROM events e JOIN ext USING (event_type)
+    GROUP BY e.event_type, ext.vmax, ext.vmin
+    """,
+    tags=("AGG",),
+)
+def agg_argminmax_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``argMax(user_id, value)`` / ``argMin`` analog: per
+    event type, the extreme observed value together with WHICH user
+    produced it (ties broken deterministically: largest user at the
+    max, smallest at the min — the tie-break is part of the contract,
+    not an accident of scan order as in ClickHouse's own argMax).
+
+    Spark-first shape: the oracle needs a two-pass join (extremes,
+    then re-scan for the achievers); here ONE hash aggregate carries
+    ``max(struct(value, user_id))`` / ``min(struct(value, user_id))``
+    — struct ordering is lexicographic, so the first field decides and
+    user_id settles ties — and the achiever pops out of the struct
+    afterwards.  Partials combine map-side (two 16-byte structs per
+    group), so at 100 TB the fact table is read exactly once and the
+    shuffle carries |event_type| rows per map task."""
+    e = table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.max(F.struct(F.col("value"), F.col("user_id"))).alias("mx"),
+        F.min(F.struct(F.col("value"), F.col("user_id"))).alias("mn"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("mx.value").alias("vmax"),
+        F.col("mn.value").alias("vmin"),
+        F.col("mx.user_id").alias("user_at_max"),
+        F.col("mn.user_id").alias("user_at_min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Periodogram over the daily arrival series: DFT power at candidate periods
+# ---------------------------------------------------------------------------
+
+#: Candidate cycle lengths (days) to test for seasonality.  7 should
+#: dominate when the generator has day-of-week structure (the
+#: complement of seasonal_dow_residuals, which ASSUMES period 7; the
+#: periodogram DISCOVERS it).
+_PERIODS = tuple(range(2, 15))
+
+
+@register(
+    "timeseries_periodogram_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), anchored AS (
+      SELECT CAST(day - (SELECT min(day) FROM daily) AS BIGINT) AS d, c
+      FROM daily
+    ), centered AS (
+      SELECT d, c - (SELECT avg(c) FROM anchored) AS x FROM anchored
+    )
+    SELECT p.period,
+           round(pow(sum(x * cos(2 * pi() * d / p.period)), 2)
+               + pow(sum(x * sin(2 * pi() * d / p.period)), 2), 4)
+             AS power
+    FROM centered, (SELECT unnest({list(_PERIODS)!r}) AS period) p
+    GROUP BY p.period
+    """,
+    tags=("TS",),
+)
+def timeseries_periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schuster periodogram of the daily arrival-count series at
+    candidate periods 2..14 days: spectral power |Σ x_d e^{{-2πi d/p}}|²
+    of the MEAN-CENTERED counts (centering removes the DC term that
+    would otherwise dwarf every real cycle).  The frequency-domain
+    complement of timeseries_autocorrelation / seasonal_dow_residuals:
+    those assume a lag, this ranks them — a weekly-seasonal generator
+    puts the peak at period 7.
+
+    Plan: one groupBy(day) collapses the fact table to |days| rows;
+    the min-day anchor and mean are two scalar aggregates broadcast
+    back (three tiny exchanges over a |days|-row frame); the
+    13-period candidate frame cross-joins as a broadcast (|days| x 13
+    rows, still tiny) and one final 13-group aggregate.  Everything
+    after the first aggregate is independent of fact cardinality, so
+    at 100 TB the cost IS the daily rollup."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    anchors = daily.agg(
+        F.min("day").alias("day0"), F.avg("c").alias("mu")
+    )
+    centered = daily.crossJoin(F.broadcast(anchors)).select(
+        F.datediff("day", "day0").cast("long").alias("d"),
+        (F.col("c") - F.col("mu")).alias("x"),
+    )
+    periods = spark.range(2, 15).select(F.col("id").cast("int").alias("period"))
+    theta = F.lit(2.0 * math.pi) * F.col("d") / F.col("period")
+    return (
+        centered.crossJoin(F.broadcast(periods))
+        .groupBy("period")
+        .agg(
+            F.round(
+                F.pow(F.sum(F.col("x") * F.cos(theta)), 2)
+                + F.pow(F.sum(F.col("x") * F.sin(theta)), 2),
+                4,
+            ).alias("power")
+        )
     )

@@ -3563,3 +3563,56 @@ def alert_hysteresis_error_rate(
             == 1
         ).alias("alert"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially time-decayed activity scores (half-life weighting)
+# ---------------------------------------------------------------------------
+
+_DECAY_HALF_LIFE_DAYS = 7
+
+
+@register(
+    "trend_decayed_event_scores",
+    oracle=f"""
+    WITH a AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events)
+    SELECT event_type,
+           round(sum(pow(2.0,
+             -date_diff('day', CAST(ts AS DATE), a.anchor)
+               / {_DECAY_HALF_LIFE_DAYS}.0)), 6) AS decayed_count,
+           round(sum(value * pow(2.0,
+             -date_diff('day', CAST(ts AS DATE), a.anchor)
+               / {_DECAY_HALF_LIFE_DAYS}.0)), 6) AS decayed_value
+    FROM events, a
+    GROUP BY event_type
+    """,
+    tags=("TREND",),
+)
+def trend_decayed_event_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed activity score per event type: every event
+    contributes ``2^(-age_days/7)`` (and ``value`` times that) relative
+    to the newest day in the table — the standard "recent activity
+    matters more" leaderboard weighting (ClickHouse's
+    ``exponentialMovingAverage`` family, re-expressed as a closed-form
+    weighted sum so it is order-independent and hash-checkable).
+
+    Plan: the anchor day is ONE scalar aggregate broadcast back onto
+    the fact scan (no window, no sort); the weighted sums partial-
+    combine map-side in the single event_type aggregate.  Ages are
+    integer day diffs, so the weight expression is the same double in
+    both engines and the 6-dp round absorbs summation-order ulp."""
+    e = table(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.to_date("ts")).alias("anchor"))
+    w = F.pow(
+        F.lit(2.0),
+        -F.datediff("anchor", F.to_date("ts")).cast("double")
+        / _DECAY_HALF_LIFE_DAYS,
+    )
+    return (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum(w), 6).alias("decayed_count"),
+            F.round(F.sum(F.col("value") * w), 6).alias("decayed_value"),
+        )
+    )

@@ -718,3 +718,78 @@ def corpus_anneal_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("main")
         .alias("phase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier calibration: reliability table + per-bin ECE terms
+# ---------------------------------------------------------------------------
+
+#: Length-classifier score cap (tokens at which the score saturates at
+#: 1.0) and token width of each reliability bin.
+_CALIB_SAT = 90
+_CALIB_BIN_TOKENS = 10
+_CALIB_MAX_BIN = 9
+
+
+@register(
+    "quality_calibration_bins",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ), m AS (
+      {DUCK_GOPHER_METRICS}
+      FROM t
+    ), scored AS (
+      SELECT least(n_tokens // {_CALIB_BIN_TOKENS}, {_CALIB_MAX_BIN})
+               AS bin_id,
+             least(CAST(n_tokens AS DOUBLE) / {_CALIB_SAT}, 1.0) AS score,
+             CAST({DUCK_GOPHER_PASS} AS INT) AS label
+      FROM m
+    )
+    SELECT bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(score), 6) AS avg_score,
+           round(avg(CAST(label AS DOUBLE)), 6) AS pass_rate,
+           round(abs(avg(score) - avg(CAST(label AS DOUBLE))), 6)
+             AS calibration_gap
+    FROM scored
+    GROUP BY bin_id
+    """,
+    tags=("DQ", "curation"),
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for a cheap quality classifier: score each
+    document ``min(n_tokens/90, 1)`` (a length-saturating proxy of the
+    kind used to pre-rank crawl data before an expensive model-based
+    filter), label it with the full Gopher rule battery, bucket by
+    token decile, and report per-bin mean score vs observed pass rate.
+    The weighted sum of ``calibration_gap`` over ``n_docs`` IS the
+    expected calibration error (ECE) — kept per-bin so the table shows
+    WHERE the classifier is over-confident (short bins can never pass
+    ok_len, so their gap is the score itself).
+
+    Plan: pure map-side scoring (the same shared gopher_flags exprs as
+    text_gopher_rules, so classifier and label can't drift) followed by
+    ONE ≤10-group aggregate — partials combine map-side, output size is
+    constant at any corpus scale."""
+    d = bind(fanout(table(spark, sf_dir, "documents")),
+             toks=textfns.tokens("text"))
+    fl = gopher_flags(F.col("toks"))
+    scored = d.select(
+        F.least(
+            (fl["n_tokens"] / _CALIB_BIN_TOKENS).cast("long"),
+            F.lit(_CALIB_MAX_BIN).cast("long"),
+        ).alias("bin_id"),
+        F.least(
+            fl["n_tokens"].cast("double") / _CALIB_SAT, F.lit(1.0)
+        ).alias("score"),
+        fl["passes"].cast("int").alias("label"),
+    )
+    return scored.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("score"), 6).alias("avg_score"),
+        F.round(F.avg(F.col("label").cast("double")), 6).alias("pass_rate"),
+        F.round(
+            F.abs(F.avg("score") - F.avg(F.col("label").cast("double"))), 6
+        ).alias("calibration_gap"),
+    )

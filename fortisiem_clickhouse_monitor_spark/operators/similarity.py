@@ -2289,3 +2289,135 @@ def _probe_kcenter(spark: SparkSession, sf_dir: str) -> int:
     ~1 s round latency amortizing) should be read against."""
     n = table(spark, sf_dir, "embeddings").count()
     return sum(n - i for i in range(1, _KCENTER_K))
+
+
+# ---------------------------------------------------------------------------
+# Embedding dimension-correlation screen: top correlated dim pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_dim_correlation_topk",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, gs.i AS i, CAST(embedding[gs.i] AS DOUBLE) AS v
+      FROM embeddings,
+      LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) gs
+    ), stats AS (
+      SELECT i, sum(v) AS sx, sum(v * v) AS sxx FROM x GROUP BY i
+    ), n AS (
+      SELECT CAST(count(*) AS DOUBLE) AS nn FROM embeddings
+    ), pairs AS (
+      SELECT a.i AS di, b.i AS dj, sum(a.v * b.v) AS sxy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i < b.i
+      GROUP BY a.i, b.i
+    )
+    SELECT p.di, p.dj,
+           round((n.nn * p.sxy - sa.sx * sb.sx)
+                 / sqrt((n.nn * sa.sxx - sa.sx * sa.sx)
+                      * (n.nn * sb.sxx - sb.sx * sb.sx)), 4) AS corr_r
+    FROM pairs p
+    JOIN stats sa ON sa.i = p.di
+    JOIN stats sb ON sb.i = p.dj
+    CROSS JOIN n
+    WHERE (n.nn * sa.sxx - sa.sx * sa.sx) > 0
+      AND (n.nn * sb.sxx - sb.sx * sb.sx) > 0
+    ORDER BY abs(round((n.nn * p.sxy - sa.sx * sb.sx)
+                 / sqrt((n.nn * sa.sxx - sa.sx * sa.sx)
+                      * (n.nn * sb.sxx - sb.sx * sb.sx)), 4)) DESC,
+             p.di ASC, p.dj ASC
+    LIMIT 10
+    """,
+    tags=("ANN", "profiling"),
+)
+def sim_dim_correlation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redundant-dimension screen: the 10 most-|Pearson|-correlated
+    embedding dimension pairs (1-based indices, zero-variance dims
+    excluded) — the companion of sim_dead_dimension_screen: dead dims
+    carry no signal, near-duplicate dims carry the SAME signal twice,
+    and both argue for the JL / PQ compression paths.
+
+    Scale shape: the oracle's self-join materializes n*C(d,2) rows —
+    a non-starter at corpus scale.  Here each partition computes its
+    LOCAL Gram matrix X^T X (plus column sums and count) with one BLAS
+    syrk-shaped numpy matmul inside mapInPandas, emitting O(d^2) rows
+    per partition regardless of row count; one groupBy(i,j) merges the
+    partials (classic distributed covariance), and the final
+    correlation algebra runs on a d^2-row frame.  Data volume into the
+    shuffle: partitions x d^2 doubles — independent of n."""
+    import numpy as np
+    import pandas as pd
+
+    e = fanout(table(spark, sf_dir, "embeddings"))
+
+    def gram_batches(batches):
+        g = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            if g is None:
+                d = mat.shape[1]
+                g = np.zeros((d, d))
+                s = np.zeros(d)
+            g += mat.T @ mat
+            s += mat.sum(axis=0)
+            n += len(mat)
+        if g is None:
+            yield pd.DataFrame({"i": [], "j": [], "s": []}).astype(
+                {"i": "int32", "j": "int32", "s": "float64"}
+            )
+            return
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)  # includes diagonal: sxx when i == j
+        rows = {
+            "i": np.concatenate([iu + 1, np.arange(1, d + 1), [-1]]),
+            "j": np.concatenate([ju + 1, np.full(d, -1), [-1]]),
+            "s": np.concatenate([g[iu, ju], s, [float(n)]]),
+        }
+        out = pd.DataFrame(rows)
+        out["i"] = out["i"].astype("int32")
+        out["j"] = out["j"].astype("int32")
+        yield out
+
+    parts = e.select("embedding").mapInPandas(
+        gram_batches, schema="i INT, j INT, s DOUBLE"
+    )
+    merged = parts.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    nn = merged.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("nn")
+    )
+    dims = merged.filter((F.col("i") > 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("k"), F.col("s").alias("sx")
+    ).join(
+        merged.filter((F.col("i") > 0) & (F.col("j") == F.col("i"))).select(
+            F.col("i").alias("k"), F.col("s").alias("sxx")
+        ),
+        "k",
+    )
+    pairs = merged.filter(
+        (F.col("i") > 0) & (F.col("j") > F.col("i"))
+    ).select(F.col("i").alias("di"), F.col("j").alias("dj"),
+             F.col("s").alias("sxy"))
+    a = dims.select(F.col("k").alias("di"), F.col("sx").alias("sxa"),
+                    F.col("sxx").alias("sxxa"))
+    b = dims.select(F.col("k").alias("dj"), F.col("sx").alias("sxb"),
+                    F.col("sxx").alias("sxxb"))
+    var_a = F.col("nn") * F.col("sxxa") - F.col("sxa") * F.col("sxa")
+    var_b = F.col("nn") * F.col("sxxb") - F.col("sxb") * F.col("sxb")
+    corr = F.round(
+        (F.col("nn") * F.col("sxy") - F.col("sxa") * F.col("sxb"))
+        / F.sqrt(var_a * var_b),
+        4,
+    )
+    return (
+        pairs.join(F.broadcast(a), "di")
+        .join(F.broadcast(b), "dj")
+        .crossJoin(F.broadcast(nn))
+        .filter((var_a > 0) & (var_b > 0))
+        .select("di", "dj", corr.alias("corr_r"))
+        .orderBy(F.abs(F.col("corr_r")).desc(), F.asc("di"), F.asc("dj"))
+        .limit(10)
+    )
