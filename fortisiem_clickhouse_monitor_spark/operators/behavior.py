@@ -3616,3 +3616,174 @@ def trend_decayed_event_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.col("value") * w), 6).alias("decayed_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization: 30-minute-gap sessions per user (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+
+@register(
+    "behavior_sessions_gap30",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS t,
+             lag(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_t
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, t,
+             CASE WHEN prev_t IS NULL OR t - prev_t > {_SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ),
+    sess AS (
+      SELECT user_id, t,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(t) - min(t) AS BIGINT) AS duration_s
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(duration_s) AS BIGINT) AS active_seconds,
+           CAST(max(n_events) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+    tags=("BEHAV",),
+)
+def behavior_sessions_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with a {_SESSION_GAP_S // 60}-minute
+    inactivity cutoff — the batch twin of stream_session_windows'
+    stateful session gap, expressed as gaps-and-islands: a session
+    starts where the gap to the previous event exceeds the cutoff, the
+    running count of starts IS the session id, and two keyed aggregates
+    produce per-user session stats (count, events, active seconds, max
+    session size).
+
+    Everything clusters by user_id ONCE: the lag, the running sum, and
+    both group-bys reuse the same HashPartitioning(user_id) exchange —
+    Catalyst plans one shuffle + in-partition sorts.  No per-user
+    arrays materialize, so a bot with 10^8 events streams through; all
+    outputs are exact BIGINTs (epoch-second arithmetic)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.unix_timestamp("ts").alias("t")
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("t").over(wo).isNull()
+            | (F.col("t") - F.lag("t").over(wo) > _SESSION_GAP_S),
+            1,
+        ).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn("session_id", F.sum("new_session").over(wrun))
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("t") - F.min("t")).cast("long").alias("duration_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.sum("duration_s").cast("long").alias("active_seconds"),
+        F.max("n_events").cast("long").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SMA crossover signals: 7-day vs 28-day moving averages, integer-exact
+# ---------------------------------------------------------------------------
+
+_SMA_FAST = 7
+_SMA_SLOW = 28
+
+
+@register(
+    "trend_sma_crossover_signals",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS v_micro
+      FROM events GROUP BY 1
+    ),
+    windows AS (
+      SELECT day, v_micro,
+             CAST(sum(v_micro) OVER (ORDER BY day
+               ROWS {_SMA_FAST - 1} PRECEDING) AS BIGINT) AS sum_fast,
+             CAST(sum(v_micro) OVER (ORDER BY day
+               ROWS {_SMA_SLOW - 1} PRECEDING) AS BIGINT) AS sum_slow,
+             CAST(count(*) OVER (ORDER BY day
+               ROWS {_SMA_SLOW - 1} PRECEDING) AS BIGINT) AS n_slow
+      FROM daily
+    ),
+    flagged AS (
+      SELECT day, sum_fast, sum_slow,
+             {_SMA_SLOW} * sum_fast > {_SMA_FAST} * sum_slow AS fast_above
+      FROM windows WHERE n_slow = {_SMA_SLOW}
+    )
+    SELECT day, sum_fast, sum_slow, fast_above,
+           fast_above <> lag(fast_above) OVER (ORDER BY day) AS crossed
+    FROM flagged
+    """,
+    tags=("TREND",),
+)
+def trend_sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover detector ({_SMA_FAST}-day vs
+    {_SMA_SLOW}-day SMA of daily total value): the classic
+    trend-reversal signal, emitted only for days with a full slow
+    window, with ``crossed`` marking the days the fast average moves
+    through the slow one.
+
+    Integer-exact on purpose: values go to micro-unit BIGINTs at the
+    daily rollup, and the SMA comparison is cross-multiplied
+    ({_SMA_SLOW}*sum_fast vs {_SMA_FAST}*sum_slow) so the
+    boundary-sign question that would make a float crossover flip
+    between engines never involves a float at all — same fixed-point
+    discipline as the cohort value curves.
+
+    Plan: one daily rollup collapses the fact table; every window runs
+    over the single |days|-row frame (one task, by construction — a
+    calendar series is not a scale axis)."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long"))
+        .cast("long")
+        .alias("v_micro")
+    )
+    wf = Window.orderBy("day").rowsBetween(-(_SMA_FAST - 1), 0)
+    ws = Window.orderBy("day").rowsBetween(-(_SMA_SLOW - 1), 0)
+    windows = daily.select(
+        "day",
+        F.sum("v_micro").over(wf).cast("long").alias("sum_fast"),
+        F.sum("v_micro").over(ws).cast("long").alias("sum_slow"),
+        F.count(F.lit(1)).over(ws).alias("n_slow"),
+    )
+    flagged = windows.filter(F.col("n_slow") == _SMA_SLOW).select(
+        "day",
+        "sum_fast",
+        "sum_slow",
+        (_SMA_SLOW * F.col("sum_fast") > _SMA_FAST * F.col("sum_slow")).alias(
+            "fast_above"
+        ),
+    )
+    wl = Window.orderBy("day")
+    return flagged.withColumn(
+        "crossed", F.col("fast_above") != F.lag("fast_above").over(wl)
+    )

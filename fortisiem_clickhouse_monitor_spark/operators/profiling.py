@@ -1808,3 +1808,185 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("norm_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence of the event-type mix between time halves
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "drift_js_divergence_type_mix",
+    oracle=f"""
+    WITH mid AS ({_DUCK_MID}),
+    cnt AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN {_DUCK_T} <= m.mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_e,
+             CAST(sum(CASE WHEN {_DUCK_T} <= m.mid THEN 0 ELSE 1 END)
+                  AS BIGINT) AS c_l
+      FROM events CROSS JOIN mid m
+      GROUP BY event_type
+    ),
+    tot AS (
+      SELECT event_type, c_e, c_l,
+             CAST(sum(c_e) OVER () AS BIGINT) AS n_e,
+             CAST(sum(c_l) OVER () AS BIGINT) AS n_l,
+             CAST(count(*) OVER () AS BIGINT) AS n_types
+      FROM cnt
+    )
+    SELECT event_type, c_e AS n_early, c_l AS n_late,
+           round(
+             0.5 * (CAST(c_e + 1 AS DOUBLE) / (n_e + n_types))
+                 * ln((CAST(c_e + 1 AS DOUBLE) / (n_e + n_types))
+                      / (0.5 * (CAST(c_e + 1 AS DOUBLE) / (n_e + n_types))
+                       + 0.5 * (CAST(c_l + 1 AS DOUBLE) / (n_l + n_types))))
+           + 0.5 * (CAST(c_l + 1 AS DOUBLE) / (n_l + n_types))
+                 * ln((CAST(c_l + 1 AS DOUBLE) / (n_l + n_types))
+                      / (0.5 * (CAST(c_e + 1 AS DOUBLE) / (n_e + n_types))
+                       + 0.5 * (CAST(c_l + 1 AS DOUBLE) / (n_l + n_types)))),
+             6) AS jsd_contrib
+    FROM tot
+    """,
+    tags=("DQ", "DRIFT"),
+)
+def drift_js_divergence_type_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence contributions per event type between
+    the stream's first and second half — the bounded, symmetric member
+    of the drift family (PSI blows up on vanishing bins even smoothed;
+    JS is capped at ln 2, so a brand-new event type moves the score by
+    a finite amount).  Same add-one smoothing and half-split convention
+    as drift_psi_value_bins; per-type rows so the consumer sees WHICH
+    type drove the shift and the total is their sum (and no cross-row
+    float summation enters the hash).
+
+    One pass over events (the half tag is map-side against the
+    broadcast mid scalar), one |types|-group aggregate, and window
+    totals over the tiny type frame.  All counts exact BIGINTs; each
+    row does the identical double arithmetic in both engines."""
+    ev = table(spark, sf_dir, "events")
+    t = F.unix_timestamp("ts")
+    mid = ev.agg(
+        (
+            F.min(t)
+            + F.expr("(max(unix_timestamp(ts)) - min(unix_timestamp(ts))) div 2")
+        ).alias("mid")
+    )
+    cnt = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(t <= F.col("mid"), 1).otherwise(0))
+            .cast("long")
+            .alias("c_e"),
+            F.sum(F.when(t <= F.col("mid"), 0).otherwise(1))
+            .cast("long")
+            .alias("c_l"),
+        )
+    )
+    w = Window.partitionBy()
+    tot = cnt.select(
+        "event_type",
+        "c_e",
+        "c_l",
+        F.sum("c_e").over(w).alias("n_e"),
+        F.sum("c_l").over(w).alias("n_l"),
+        F.count(F.lit(1)).over(w).alias("n_types"),
+    )
+    pe = (F.col("c_e") + 1).cast("double") / (F.col("n_e") + F.col("n_types"))
+    pl = (F.col("c_l") + 1).cast("double") / (F.col("n_l") + F.col("n_types"))
+    m = 0.5 * pe + 0.5 * pl
+    return tot.select(
+        "event_type",
+        F.col("c_e").alias("n_early"),
+        F.col("c_l").alias("n_late"),
+        F.round(0.5 * pe * F.log(pe / m) + 0.5 * pl * F.log(pl / m), 6).alias(
+            "jsd_contrib"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate functional-dependency screen (data-profiling / schema mining)
+# ---------------------------------------------------------------------------
+
+
+def _fd_counts(df: DataFrame, det, dep, name: str) -> DataFrame:
+    """n_groups / n_violating for candidate FD det -> dep: a group
+    violates when its determinant value maps to >1 distinct dependent."""
+    g = df.groupBy(det.alias("det")).agg(
+        F.countDistinct(dep).alias("n_dep")
+    )
+    return g.agg(
+        F.lit(name).alias("fd"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating"),
+        F.max("n_dep").cast("long").alias("max_dep_values"),
+    )
+
+
+@register(
+    "profile_fd_screen",
+    oracle="""
+    WITH fd1 AS (
+      SELECT 'event_id->event_type' AS fd,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(max(n_dep) AS BIGINT) AS max_dep_values
+      FROM (SELECT event_id, count(DISTINCT event_type) AS n_dep
+            FROM events GROUP BY event_id)
+    ), fd2 AS (
+      SELECT 'user_id->event_type' AS fd,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(max(n_dep) AS BIGINT) AS max_dep_values
+      FROM (SELECT user_id, count(DISTINCT event_type) AS n_dep
+            FROM events GROUP BY user_id)
+    ), fd3 AS (
+      SELECT 'day->event_type' AS fd,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(sum(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(max(n_dep) AS BIGINT) AS max_dep_values
+      FROM (SELECT CAST(ts AS DATE) AS day,
+                   count(DISTINCT event_type) AS n_dep
+            FROM events GROUP BY day)
+    )
+    SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL
+    SELECT * FROM fd3
+    """,
+    tags=("DQ", "profiling"),
+)
+def profile_fd_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery screen (the Metanome/TANE family,
+    reduced to the verification step a schema-mining pass runs per
+    candidate): for each candidate FD ``determinant -> dependent``,
+    how many determinant groups exist, how many VIOLATE the dependency
+    (map to more than one dependent value), and the worst fan-out.
+    ``event_id -> event_type`` must hold (event_id is the key) — its
+    n_violating doubles as a key-integrity check; the user_id / day
+    candidates quantify how far those columns are from determining the
+    type, the signal for choosing partition and sort keys.
+
+    Each candidate is one two-level aggregate (distinct-count partials
+    combine map-side; the violation rollup runs on the group frame).
+    Three candidates scan the fact three times here for plan clarity —
+    a production profiler verifying MANY candidates with the same
+    determinant batches them into one grouping pass each."""
+    e = table(spark, sf_dir, "events")
+    parts = [
+        _fd_counts(e, F.col("event_id"), F.col("event_type"),
+                   "event_id->event_type"),
+        _fd_counts(e, F.col("user_id"), F.col("event_type"),
+                   "user_id->event_type"),
+        _fd_counts(e, F.to_date("ts"), F.col("event_type"),
+                   "day->event_type"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2421,3 +2421,194 @@ def sim_dim_correlation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("corr_r")).desc(), F.asc("di"), F.asc("dj"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@K of IVF retrieval: graded-relevance complement of the recall evals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_ndcg_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < {_RECALL_NQ}
+    ),
+    flat AS (
+      SELECT label, gs.dim, (embedding::DOUBLE[])[gs.dim] AS x
+      FROM embeddings,
+      LATERAL (SELECT unnest(range(1, 65)) AS dim) gs
+    ),
+    cent AS (
+      SELECT label, dim, avg(x) AS cx FROM flat GROUP BY label, dim
+    ),
+    cscore AS (
+      SELECT q.qid, c.label,
+             sum(c.cx * q.qe[c.dim])
+               / (sqrt(sum(c.cx * c.cx)) * sqrt(sum(q.qe[c.dim] * q.qe[c.dim])))
+               AS ccos
+      FROM cent c, q
+      GROUP BY q.qid, c.label
+    ),
+    probes AS (
+      SELECT qid, label FROM (
+        SELECT qid, label,
+               row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, label)
+                 AS rn
+        FROM cscore
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    pairs AS (
+      SELECT q.qid, s.vec_id, s.label,
+             round(list_cosine_similarity(s.embedding::DOUBLE[], q.qe), 6)
+               AS c
+      FROM q JOIN embeddings s ON s.vec_id <> q.qid
+    ),
+    exact AS (
+      SELECT qid, vec_id, CAST({_RECALL_K} + 1 - rn AS BIGINT) AS rel
+      FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id)
+                 AS rn
+        FROM pairs
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    ap AS (
+      SELECT qid, vec_id, rn FROM (
+        SELECT p.qid, p.vec_id,
+               row_number() OVER (PARTITION BY p.qid
+                                  ORDER BY p.c DESC, p.vec_id) AS rn
+        FROM pairs p JOIN probes pr
+          ON pr.qid = p.qid AND pr.label = p.label
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    dcg AS (
+      SELECT a.qid,
+             round(sum(COALESCE(e.rel, 0) / log2(a.rn + 1.0)), 6) AS dcg
+      FROM ap a LEFT JOIN exact e
+        ON e.qid = a.qid AND e.vec_id = a.vec_id
+      GROUP BY a.qid
+    ),
+    idcg AS (
+      SELECT qid, round(sum(rel / log2(rn + 1.0)), 6) AS idcg
+      FROM (SELECT qid, rel,
+                   row_number() OVER (PARTITION BY qid ORDER BY rel DESC)
+                     AS rn
+            FROM exact)
+      GROUP BY qid
+    )
+    SELECT i.qid AS query_id,
+           COALESCE(d.dcg, 0.0) AS dcg, i.idcg,
+           round(COALESCE(d.dcg, 0.0) / i.idcg, 6) AS ndcg
+    FROM idcg i LEFT JOIN dcg d ON d.qid = i.qid
+    """,
+    tags=("ANN", "eval"),
+)
+def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{_RECALL_K} of the IVF path (same per-label centroid cells
+    and nprobe={_IVF_NPROBE} as sim_ivf_recall_eval): graded relevance
+    rel = K+1-exact_rank for the exact top-{_RECALL_K}, discounted by
+    the POSITION the IVF list returns it at.  Recall counts how many of
+    the true neighbors come back; NDCG additionally charges the
+    approximate index for returning them in the wrong ORDER — the
+    metric a retrieval consumer (RAG reranker budget, curriculum
+    nearest-neighbor sampling) actually experiences.
+
+    Plan shape is the recall eval's: one (label,dim) aggregate for
+    centroids, broadcast query batch, every ranking over the SAME
+    (qid)-keyed exchange; DCG/IDCG are per-query sums over ≤K rows.
+    Both engines do the identical rel/log2(rank+1) arithmetic and each
+    per-query sum is ≤{_RECALL_K} terms, so 6-dp rounding is safely
+    inside cross-engine ulp."""
+    e = fanout(table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    flat = e.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select("label", (F.col("dim0") + 1).alias("dim"),
+             F.col("x").cast("double").alias("x"))
+    cent = (
+        flat.groupBy("label", "dim")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("cx")))
+                ),
+                lambda s: s["cx"],
+            ).alias("carr")
+        )
+    )
+    cscore = q.crossJoin(F.broadcast(cent)).select(
+        "qid", "label", vectors.cosine(F.col("carr"), F.col("qe")).alias("ccos")
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("ccos"), F.asc("label"))
+    probes = (
+        cscore.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("qid", "label")
+    )
+    pairs = e.join(F.broadcast(q), e["vec_id"] != q["qid"]).select(
+        "qid",
+        "vec_id",
+        "label",
+        F.round(vectors.cosine(F.col("embedding"), F.col("qe")), 6).alias("c"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
+    exact = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select(
+            "qid", "vec_id",
+            (F.lit(_RECALL_K + 1) - F.col("rn")).cast("long").alias("rel"),
+        )
+    )
+    ap = (
+        pairs.join(F.broadcast(probes), ["qid", "label"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "vec_id", "rn")
+    )
+    dcg = (
+        ap.join(
+            exact.select(F.col("qid").alias("eqid"),
+                         F.col("vec_id").alias("evec"), "rel"),
+            (ap["qid"] == F.col("eqid")) & (ap["vec_id"] == F.col("evec")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("rel"), F.lit(0)).cast("double")
+                    / F.log2(F.col("rn") + 1.0)
+                ),
+                6,
+            ).alias("dcg")
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("rel"))
+    idcg = (
+        exact.withColumn("irn", F.row_number().over(wr))
+        .groupBy("qid")
+        .agg(
+            F.round(
+                F.sum(F.col("rel").cast("double") / F.log2(F.col("irn") + 1.0)),
+                6,
+            ).alias("idcg")
+        )
+    )
+    return (
+        idcg.join(dcg, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+            "idcg",
+            F.round(
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg"), 6
+            ).alias("ndcg"),
+        )
+    )
