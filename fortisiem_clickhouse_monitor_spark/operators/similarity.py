@@ -2612,3 +2612,14 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ndcg"),
         )
     )
+
+
+@register_probe("sim_dim_correlation_topk")
+def _probe_dim_correlation(spark: SparkSession, sf_dir: str) -> int:
+    """Dominant work: the n x d^2 multiply-adds of the per-partition
+    X^T X partials (the shuffle itself is partitions x d^2, constant in
+    n — this counts the compute the GEMM performs)."""
+    e = table(spark, sf_dir, "embeddings")
+    n = e.count()
+    d = len(e.select("embedding").head()["embedding"])
+    return n * d * d
