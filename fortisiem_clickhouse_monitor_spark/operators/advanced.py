@@ -2754,3 +2754,82 @@ def timeseries_periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("power")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STL-lite decomposition of the daily series: trend + DOW seasonal + residual
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_stl_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    trended AS (
+      SELECT day, c,
+             CASE WHEN count(*) OVER w7 = 7
+                  THEN CAST(sum(c) OVER w7 AS DOUBLE) / 7
+             END AS trend
+      FROM daily
+      WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seasoned AS (
+      SELECT day, c, trend,
+             avg(c - trend) OVER (PARTITION BY isodow(day)) AS seasonal
+      FROM trended
+    )
+    SELECT day, c,
+           round(trend, 6) AS trend,
+           round(seasonal, 6) AS seasonal,
+           round(c - trend - seasonal, 6) AS residual
+    FROM seasoned
+    """,
+    tags=("TS",),
+)
+def timeseries_stl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style additive decomposition of the daily arrival series:
+    trend = centered 7-day moving average (NULL at the edges where the
+    window is partial — honest, not padded), seasonal = mean detrended
+    value per ISO day-of-week, residual = remainder.  One pass of the
+    classic decomposition rather than the full iterated loess — the
+    form monitoring dashboards actually plot, and the input
+    changepoint/outlier screens should run on (a Monday spike is not
+    an anomaly if Mondays always spike).
+
+    The trend is an exact BIGINT sum divided once; the seasonal mean
+    averages ≤|days|/7 identical doubles per DOW group.  Everything
+    runs on the |days|-row frame after one fact rollup — the windows
+    are calendar-sized, not data-sized."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "c",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.sum("c").over(w7).cast("double") / 7,
+        ).alias("trend"),
+    )
+    # ISO dow: Spark weekday() is 0=Monday; DuckDB isodow is 1=Monday.
+    wdow = Window.partitionBy(F.weekday("day") + 1)
+    seasoned = trended.select(
+        "day",
+        "c",
+        "trend",
+        F.avg(F.col("c") - F.col("trend")).over(wdow).alias("seasonal"),
+    )
+    return seasoned.select(
+        "day",
+        "c",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round(F.col("c") - F.col("trend") - F.col("seasonal"), 6).alias(
+            "residual"
+        ),
+    )

@@ -3787,3 +3787,103 @@ def trend_sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.withColumn(
         "crossed", F.col("fast_above") != F.lag("fast_above").over(wl)
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: monthly new / retained / resurrected / churned users
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_growth_accounting_monthly",
+    oracle="""
+    WITH um AS (
+      SELECT DISTINCT user_id,
+             CAST(year(ts) * 12 + month(ts) AS BIGINT) AS m,
+             date_trunc('month', CAST(ts AS DATE)) AS month_start
+      FROM events
+    ),
+    classified AS (
+      SELECT m, month_start,
+             CASE WHEN prev_m IS NULL THEN 'new'
+                  WHEN m - prev_m = 1 THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM (SELECT user_id, m, month_start,
+                   lag(m) OVER (PARTITION BY user_id ORDER BY m) AS prev_m
+            FROM um)
+    ),
+    monthly AS (
+      SELECT m, month_start,
+             CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_resurrected
+      FROM classified GROUP BY m, month_start
+    )
+    SELECT month_start, n_active, n_new, n_retained, n_resurrected,
+           CASE WHEN lag(m) OVER (ORDER BY m) = m - 1
+                THEN lag(n_active) OVER (ORDER BY m) - n_retained
+           END AS n_churned
+    FROM monthly
+    """,
+    tags=("BEHAV",),
+)
+def behavior_growth_accounting_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Monthly growth accounting — the new/retained/resurrected/churned
+    decomposition every growth team runs: a user-month is NEW on the
+    user's first month, RETAINED when active the month before,
+    RESURRECTED after a gap; CHURNED for month m is derived from the
+    identity churned(m) = active(m-1) - retained(m) (users active last
+    month who did not return), guarded to NULL across calendar gaps
+    and for the first month.
+
+    Plan: distinct (user, month) pairs partial-combine map-side; one
+    user_id exchange feeds the lag classification; the monthly rollup
+    and the final churn lag run on the |months|-row frame.  The
+    churned identity avoids the anti-join of active(m-1) against
+    active(m) entirely — the only user-scale shuffles are the distinct
+    and one window."""
+    e = table(spark, sf_dir, "events")
+    um = e.select(
+        "user_id",
+        (F.year("ts") * 12 + F.month("ts")).cast("long").alias("m"),
+        F.trunc(F.to_date("ts"), "month").alias("month_start"),
+    ).distinct()
+    wl = Window.partitionBy("user_id").orderBy("m")
+    classified = um.withColumn("prev_m", F.lag("m").over(wl)).select(
+        "m",
+        "month_start",
+        F.when(F.col("prev_m").isNull(), "new")
+        .when(F.col("m") - F.col("prev_m") == 1, "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    monthly = classified.groupBy("m", "month_start").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("state") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    wm = Window.orderBy("m")
+    return monthly.select(
+        "month_start",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.when(
+            F.lag("m").over(wm) == F.col("m") - 1,
+            F.lag("n_active").over(wm) - F.col("n_retained"),
+        ).alias("n_churned"),
+    )

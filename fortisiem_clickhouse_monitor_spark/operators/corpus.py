@@ -2044,3 +2044,74 @@ def pack_attention_mask_stats(
             F.sum("useful") / F.sum(tot_pairs).cast("double"), 6
         ).alias("attention_utilization"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncation budget: per-language length caps and what they would cost
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_truncation_budget",
+    oracle=f"""
+    WITH sized AS (
+      SELECT lang, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    caps AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             round(quantile_cont(n_tokens, 0.95), 6) AS cap_p95,
+             round(quantile_cont(n_tokens, 0.99), 6) AS cap_p99
+      FROM sized GROUP BY lang
+    )
+    SELECT c.lang, c.n_docs, c.total_tokens, c.cap_p95, c.cap_p99,
+           CAST(sum(CASE WHEN s.n_tokens > c.cap_p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_over_p95,
+           round(sum(greatest(s.n_tokens - c.cap_p95, 0)), 6)
+             AS tokens_lost_at_p95
+    FROM caps c JOIN sized s USING (lang)
+    GROUP BY c.lang, c.n_docs, c.total_tokens, c.cap_p95, c.cap_p99
+    """,
+    tags=("sampling", "curation"),
+)
+def corpus_truncation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length truncation budget per language: the p95/p99
+    token-count caps and — for the p95 cap — how many documents exceed
+    it and how many tokens truncating there would discard.  The table a
+    context-length decision is made from: a cap that loses 0.1% of
+    tokens is free, one that loses 5% calls for hierarchical chunking
+    (text_chunk_sliding_window) instead of truncation.
+
+    Two passes over the per-doc size frame (percentiles need the
+    distribution BEFORE the overage sums can be taken against it):
+    both group by lang, the second joins the |langs|-row caps frame
+    back as a broadcast.  percentile_cont semantics match the engine's
+    other percentile queries; overage arithmetic happens on exact
+    BIGINT token counts against the one interpolated double."""
+    d = bind(fanout(table(spark, sf_dir, "documents")),
+             toks=textfns.tokens("text"))
+    sized = d.select(
+        "lang", F.size("toks").cast("long").alias("n_tokens")
+    )
+    caps = sized.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.95)"), 6).alias("cap_p95"),
+        F.round(F.expr("percentile(n_tokens, 0.99)"), 6).alias("cap_p99"),
+    )
+    return (
+        sized.join(F.broadcast(caps), "lang")
+        .groupBy("lang", "n_docs", "total_tokens", "cap_p95", "cap_p99")
+        .agg(
+            F.sum(F.when(F.col("n_tokens") > F.col("cap_p95"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_over_p95"),
+            F.round(
+                F.sum(F.greatest(F.col("n_tokens") - F.col("cap_p95"),
+                                 F.lit(0.0))),
+                6,
+            ).alias("tokens_lost_at_p95"),
+        )
+    )

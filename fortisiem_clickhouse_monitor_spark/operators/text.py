@@ -1296,3 +1296,127 @@ def text_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 6).alias("entropy_rate"),
         F.round(F.exp(h), 4).alias("perplexity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII incidence rollup per source (procurement-facing screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "privacy_pii_rate_by_source",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN len(regexp_extract_all(text, '{_EMAIL_RE}'))
+                          + len(regexp_extract_all(text, '{_IPV4_RE}'))
+                          + len(regexp_extract_all(text, '{_PHONE_RE}')) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_pii,
+           CAST(sum(len(regexp_extract_all(text, '{_EMAIL_RE}')))
+                AS BIGINT) AS n_emails,
+           CAST(sum(len(regexp_extract_all(text, '{_IPV4_RE}')))
+                AS BIGINT) AS n_ips,
+           CAST(sum(len(regexp_extract_all(text, '{_PHONE_RE}')))
+                AS BIGINT) AS n_phones
+    FROM documents GROUP BY source
+    """,
+    tags=("TXT", "PII", "DQ"),
+)
+def privacy_pii_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PII incidence — the rollup a data-procurement review
+    reads before text_redact_pii runs at scale: how many documents from
+    each source carry ANY match, and the per-pattern match volumes.
+    Shares text_redact_pii's exact regex battery (same RE2/Java common
+    subset) so the screen and the scrubber can never disagree about
+    what counts as PII.
+
+    Map-side regex counting + one |sources|-group aggregate with
+    map-side partials; output is bounded by source cardinality at any
+    corpus size."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    n_em = F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0))
+    n_ip = F.size(F.regexp_extract_all("text", F.lit(_IPV4_RE), 0))
+    n_ph = F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0))
+    return (
+        d.select("source", n_em.alias("e"), n_ip.alias("i"), n_ph.alias("p"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("e") + F.col("i") + F.col("p") > 0, 1).otherwise(0)
+            ).cast("long").alias("n_with_pii"),
+            F.sum("e").cast("long").alias("n_emails"),
+            F.sum("i").cast("long").alias("n_ips"),
+            F.sum("p").cast("long").alias("n_phones"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation stats (document-prep profiling)
+# ---------------------------------------------------------------------------
+
+#: Sentence boundary: one or more of .!? followed by whitespace or EOS.
+#: Kept in the RE2/Java common subset (no lookbehind).
+_SENT_SPLIT_RE = r"[.!?]+(\s+|$)"
+
+
+@register(
+    "text_sentence_stats",
+    oracle=f"""
+    WITH sents AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 string_split_regex(text, '{_SENT_SPLIT_RE}'),
+                 s -> trim(s)),
+               s -> s <> '') AS ss
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ss) AS INT) AS n_sentences,
+           CAST(CASE WHEN len(ss) = 0 THEN 0 ELSE
+             list_aggregate(list_transform(ss, s -> length(s)), 'max')
+           END AS INT) AS max_sentence_chars,
+           CAST(CASE WHEN len(ss) = 0 THEN 0 ELSE
+             list_aggregate(list_transform(ss, s -> length(s)), 'sum')
+           END AS BIGINT) AS sum_sentence_chars
+    FROM sents
+    """,
+    tags=("TXT",),
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation profile per document (count, longest
+    sentence, total sentence chars) — the pre-chunking statistic that
+    decides whether sentence-aligned packing is viable for a source or
+    whether it degenerates to fixed-window chunking (one giant
+    unsegmentable "sentence" = a minified/code-like doc).  The
+    splitter is a deliberate regex approximation (terminal punctuation
+    run + whitespace), identical in both engines; abbreviation-aware
+    segmentation is a model call outside the engine.
+
+    Pure map-side higher-order expressions over the token arrays —
+    zero shuffle at any scale."""
+    d = fanout(table(spark, sf_dir, "documents"))
+    ss = F.filter(
+        F.transform(
+            F.split(F.col("text"), _SENT_SPLIT_RE),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    d = bind(d, ss=ss)
+    lens = F.transform(F.col("ss"), lambda s: F.length(s))
+    n = F.size(F.col("ss"))
+    return d.select(
+        "doc_id",
+        n.alias("n_sentences"),
+        F.when(n == 0, F.lit(0)).otherwise(F.array_max(lens)).alias(
+            "max_sentence_chars"
+        ),
+        F.when(n == 0, F.lit(0).cast("long")).otherwise(
+            F.aggregate(
+                lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+            )
+        ).alias("sum_sentence_chars"),
+    )
