@@ -3767,6 +3767,14 @@ def trend_sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("v_micro")
     )
+    return sma_crossover_from_daily(daily)
+
+
+def sma_crossover_from_daily(daily: DataFrame) -> DataFrame:
+    """Crossover post-pass over a (day, v_micro) frame — shared by the
+    batch query above and the streaming daily-totals twin
+    (streaming/windowed.py:daily_value_totals), so the signal
+    definition cannot drift between the two plans."""
     wf = Window.orderBy("day").rowsBetween(-(_SMA_FAST - 1), 0)
     ws = Window.orderBy("day").rowsBetween(-(_SMA_SLOW - 1), 0)
     windows = daily.select(
@@ -3886,4 +3894,125 @@ def behavior_growth_accounting_monthly(
             F.lag("m").over(wm) == F.col("m") - 1,
             F.lag("n_active").over(wm) - F.col("n_retained"),
         ).alias("n_churned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules: confidence and lift over the session baskets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_association_rules",
+    oracle=f"""
+    WITH marks AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                       - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                       > {_BASKET_GAP_US}
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             sum(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marks
+    ),
+    baskets AS (
+      SELECT DISTINCT user_id, sess_id, event_type FROM sess
+    ),
+    nb AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_baskets
+      FROM (SELECT DISTINCT user_id, sess_id FROM baskets)
+    ),
+    item AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS s
+      FROM baskets GROUP BY event_type
+    ),
+    pair AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             CAST(count(*) AS BIGINT) AS support_ab
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.sess_id = b.sess_id
+           AND a.event_type <> b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.antecedent, p.consequent, p.support_ab,
+           round(CAST(p.support_ab AS DOUBLE) / ia.s, 6) AS confidence,
+           round(CAST(p.support_ab AS DOUBLE) * nb.n_baskets
+                 / (ia.s * ic.s), 6) AS lift
+    FROM pair p
+    JOIN item ia ON ia.event_type = p.antecedent
+    JOIN item ic ON ic.event_type = p.consequent
+    CROSS JOIN nb
+    """,
+    tags=("BEHAV",),
+)
+def behavior_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules antecedent -> consequent over the
+    same 30-minute session baskets as basket_event_type_pairs, scored
+    with the two numbers a recommender actually thresholds on:
+    confidence = P(consequent | antecedent basket) and lift =
+    observed co-occurrence over the independence expectation (lift < 1
+    means the pair AVOIDS each other — support alone can't say that).
+
+    Same single user_id exchange for sessions and baskets; item
+    supports and the basket total are |types|-sized broadcasts onto
+    the |types|^2 pair frame, so everything after the basket distinct
+    is dimension-scale work."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > _BASKET_GAP_US), 1).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_id"),
+    )
+    baskets = sess.select("user_id", "sess_id", "event_type").distinct()
+    nb = baskets.select("user_id", "sess_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("s"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.sess_id") == F.col("b.sess_id"))
+            & (F.col("a.event_type") != F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("antecedent"),
+            F.col("b.event_type").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("support_ab"))
+    )
+    ia = item.select(F.col("event_type").alias("antecedent"),
+                     F.col("s").alias("s_a"))
+    ic = item.select(F.col("event_type").alias("consequent"),
+                     F.col("s").alias("s_c"))
+    return (
+        pair.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "support_ab",
+            F.round(F.col("support_ab").cast("double") / F.col("s_a"), 6)
+            .alias("confidence"),
+            F.round(
+                F.col("support_ab").cast("double") * F.col("n_baskets")
+                / (F.col("s_a") * F.col("s_c")),
+                6,
+            ).alias("lift"),
+        )
     )

@@ -793,3 +793,113 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.avg("score") - F.avg(F.col("label").cast("double"))), 6
         ).alias("calibration_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter funnel: cumulative survivors through the Gopher rule stages
+# ---------------------------------------------------------------------------
+
+#: Stage order is part of the contract (funnel numbers depend on it).
+_FUNNEL_STAGES = (
+    "ok_len", "ok_word_len", "ok_alpha", "ok_repetition", "has_stopword"
+)
+
+
+@register(
+    "corpus_filter_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+    ), m AS (
+      {DUCK_GOPHER_METRICS}
+      FROM t
+    ), f AS (
+      SELECT n_tokens,
+             (n_tokens BETWEEN 20 AND 90) AS c1,
+             (n_tokens BETWEEN 20 AND 90)
+               AND (sum_len >= 2 * n_tokens AND sum_len <= 8 * n_tokens)
+               AS c2,
+             (n_tokens BETWEEN 20 AND 90)
+               AND (sum_len >= 2 * n_tokens AND sum_len <= 8 * n_tokens)
+               AND (10 * n_alpha >= 8 * n_tokens) AS c3,
+             (n_tokens BETWEEN 20 AND 90)
+               AND (sum_len >= 2 * n_tokens AND sum_len <= 8 * n_tokens)
+               AND (10 * n_alpha >= 8 * n_tokens)
+               AND (8 * max_freq <= n_tokens) AS c4,
+             {DUCK_GOPHER_PASS} AS c5
+      FROM m
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS d0,
+             CAST(sum(n_tokens) AS BIGINT) AS t0,
+             CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN c1 THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+             CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+             CAST(sum(CASE WHEN c2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+             CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+             CAST(sum(CASE WHEN c3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3,
+             CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+             CAST(sum(CASE WHEN c4 THEN n_tokens ELSE 0 END) AS BIGINT) AS t4,
+             CAST(sum(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS d5,
+             CAST(sum(CASE WHEN c5 THEN n_tokens ELSE 0 END) AS BIGINT) AS t5
+      FROM f
+    )
+    SELECT 0 AS stage, 'raw' AS rule, d0 AS n_docs, t0 AS n_tokens FROM agg
+    UNION ALL SELECT 1, 'ok_len', d1, t1 FROM agg
+    UNION ALL SELECT 2, 'ok_word_len', d2, t2 FROM agg
+    UNION ALL SELECT 3, 'ok_alpha', d3, t3 FROM agg
+    UNION ALL SELECT 4, 'ok_repetition', d4, t4 FROM agg
+    UNION ALL SELECT 5, 'has_stopword', d5, t5 FROM agg
+    """,
+    tags=("DQ", "curation"),
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter funnel: documents and tokens surviving each Gopher rule
+    applied CUMULATIVELY in the battery's order — the per-stage
+    attrition table a curation run publishes (rule order matters for
+    attribution: a doc failing both length and alpha is charged to
+    length, the first gate it hit).  Shares gopher_flags, so the
+    funnel and text_gopher_rules can never drift.
+
+    One map-side flag evaluation + ONE global aggregate computing all
+    six (docs, tokens) pairs as conditional sums — the funnel never
+    re-scans per stage; the six output rows are unpivoted from the
+    single aggregate row."""
+    d = bind(fanout(table(spark, sf_dir, "documents")),
+             toks=textfns.tokens("text"))
+    fl = gopher_flags(F.col("toks"))
+    cum = []
+    cond = F.lit(True)
+    for name in _FUNNEL_STAGES:
+        cond = cond & fl[name]
+        cum.append((name, cond))
+    aggs = [
+        F.count(F.lit(1)).alias("d0"),
+        F.sum(fl["n_tokens"].cast("long")).alias("t0"),
+    ]
+    for i, (_, c) in enumerate(cum, start=1):
+        aggs.append(
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(f"d{i}")
+        )
+        aggs.append(
+            F.sum(F.when(c, fl["n_tokens"].cast("long")).otherwise(0))
+            .cast("long")
+            .alias(f"t{i}")
+        )
+    one = d.agg(*aggs)
+    stages = [(0, "raw")] + [
+        (i, n) for i, n in enumerate(_FUNNEL_STAGES, start=1)
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(n).alias("rule"),
+                F.col(f"d{i}").alias("n_docs"),
+                F.col(f"t{i}").alias("n_tokens"),
+            )
+            for i, n in stages
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select(
+        "r.stage", "r.rule", "r.n_docs", "r.n_tokens"
+    )

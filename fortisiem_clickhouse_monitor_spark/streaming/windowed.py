@@ -568,3 +568,38 @@ def streaming_ohlc_query(
     stream: DataFrame, watermark: str = "1 day"
 ) -> DataFrame:
     return daily_ohlc_candles(stream.withWatermark("ts", watermark))
+
+
+# ---------------------------------------------------------------------------
+# Streaming daily value totals (SMA-crossover feeder)
+# ---------------------------------------------------------------------------
+
+
+def daily_value_totals(ev: DataFrame) -> DataFrame:
+    """Daily micro-unit value totals as a WINDOWED streaming
+    aggregation: state per open day is exactly one BIGINT (the running
+    sum of fixed-point values), the cheapest possible feeder for the
+    SMA-crossover post-pass
+    (operators/behavior.py:sma_crossover_from_daily, shared with the
+    batch query trend_sma_crossover_signals — two plans, one signal
+    definition, same discipline as the OHLC candles above).  The
+    crossover itself needs cross-day ordering, so it runs as a batch
+    post-pass over the closed |days|-row window frame each trigger —
+    the streaming stage only maintains the rollup that makes that
+    post-pass fact-free."""
+    w = F.window("ts", "1 day")
+    return (
+        ev.groupBy(w.alias("w"))
+        .agg(
+            F.sum(F.round(F.col("value") * 1000000).cast("long"))
+            .cast("long")
+            .alias("v_micro")
+        )
+        .select(F.col("w.start").cast("date").alias("day"), "v_micro")
+    )
+
+
+def streaming_daily_value_query(
+    stream: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    return daily_value_totals(stream.withWatermark("ts", watermark))

@@ -492,3 +492,35 @@ def test_streaming_ohlc_matches_batch(spark, events_stream):
         for r in batch.collect()
     }
     assert rn_form == window_form
+
+
+def test_streaming_daily_values_feed_sma_crossover(spark, events_stream, events_dir):
+    """The daily value totals computed as a streaming windowed
+    aggregation equal the batch daily rollup row-for-row, and feeding
+    them through the shared crossover post-pass reproduces the
+    registered trend_sma_crossover_signals output exactly — two plans,
+    one signal definition."""
+    from fortisiem_clickhouse_monitor_spark.operators import behavior as bh
+    from pyspark.sql import functions as F
+
+    got = _run_stream_to_memory(
+        spark,
+        windowed.streaming_daily_value_query(events_stream),
+        "daily_values_sma",
+        mode="complete",
+    )
+    batch_ev = spark.read.parquet(events_dir)
+    batch_daily = batch_ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 1000000).cast("long"))
+        .cast("long")
+        .alias("v_micro")
+    )
+    s_rows = sorted((str(r["day"]), r["v_micro"]) for r in got.collect())
+    b_rows = sorted((str(r["day"]), r["v_micro"]) for r in batch_daily.collect())
+    assert s_rows == b_rows
+    post = bh.sma_crossover_from_daily(got.select("day", "v_micro"))
+    want = bh.sma_crossover_from_daily(batch_daily)
+    key = lambda r: str(r["day"])  # noqa: E731
+    assert sorted(map(tuple, post.collect()), key=lambda t: str(t[0])) == sorted(
+        map(tuple, want.collect()), key=lambda t: str(t[0])
+    )
