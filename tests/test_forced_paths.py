@@ -101,3 +101,45 @@ def test_knn_join_ivf_route_recall(spark, monkeypatch):
     # k/n ~= 0.01), not a clusterable-data recall this corpus cannot
     # exhibit.
     assert recall >= 0.15, f"IVF forced-path recall {recall:.3f} < 0.15"
+
+
+def test_hyperball_merge_shuffle_path_matches_broadcast(spark, monkeypatch):
+    """_hb_merge_round's above-gate shuffle branch must produce exactly
+    the register table the broadcast branch does (the merge is a pure
+    bucket-max — join strategy cannot change it, and this proves it
+    doesn't)."""
+    from fortisiem_clickhouse_monitor_spark.functions import hll
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 6)]
+    sym = spark.createDataFrame(
+        [(u, v) for u, v in edges] + [(v, u) for u, v in edges],
+        "u long, v long",
+    ).localCheckpoint(eager=True)
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    h = hll.hash_col(F.col("node"))
+    regs0 = nodes.select(
+        "node", hll.bucket_of(h), hll.rho_of(h).alias("m_rho")
+    ).localCheckpoint(eager=True)
+
+    def two_rounds():
+        regs = regs0
+        for _ in range(2):
+            regs = graph._hb_merge_round(sym, regs)
+        return sorted(
+            (r["node"], r["bucket"], r["m_rho"]) for r in regs.collect()
+        )
+
+    via_broadcast = two_rounds()
+
+    monkeypatch.setattr(graph, "_HB_BROADCAST_MAX_ROWS", 0)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        forced = two_rounds()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+    assert forced == via_broadcast
+    # sanity: registers cover every node and rho values are positive
+    assert {n for n, _, _ in forced} == {1, 2, 3, 4, 5, 6}
+    assert all(r >= 1 for _, _, r in forced)
