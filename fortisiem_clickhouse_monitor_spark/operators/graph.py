@@ -2447,3 +2447,141 @@ def graph_rich_club_coefficient(
         ).alias("phi"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Effective diameter from the HyperBall states (the canonical ANF statistic)
+# ---------------------------------------------------------------------------
+
+
+def _eff_diam_oracle() -> str:
+    from ..functions import hll
+    from .dedup import _CC_PAIRS_SQL
+
+    merges = []
+    prev = "m0"
+    for r in range(1, _HB_ROUNDS + 1):
+        merges.append(
+            f"""m{r} AS (
+      SELECT node, bucket, max(m_rho) AS m_rho FROM (
+        SELECT node, bucket, m_rho FROM {prev}
+        UNION ALL
+        SELECT e.u AS node, p.bucket, p.m_rho
+        FROM sym e JOIN {prev} p ON p.node = e.v
+      ) GROUP BY node, bucket)"""
+        )
+        prev = f"m{r}"
+    joined = ",\n    ".join(merges)
+    est = hll.duck_estimate("s.s_present", "s.n_present")
+    n_of = lambda m: f"""(
+      SELECT round(sum(e), 4) FROM (
+        SELECT {est} AS e FROM (
+          SELECT node, sum({hll.DUCK_REG_TERM}) AS s_present,
+                 count(*) AS n_present
+          FROM {m} GROUP BY node
+        ) s
+      )
+    )"""
+    return f"""
+    {_CC_PAIRS_SQL},
+    sym AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs
+      )
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    m0 AS (
+      SELECT node,
+             {hll.duck_bucket("CAST(node AS VARCHAR)")} AS bucket,
+             {hll.duck_rho("CAST(node AS VARCHAR)")} AS m_rho
+      FROM nodes
+    ),
+    {joined},
+    pts AS (
+      SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+             {n_of('m1')} AS n1_est,
+             {n_of('m2')} AS n2_est
+    )
+    SELECT n_nodes, n1_est, n2_est,
+           round(CASE
+             WHEN n_nodes >= 0.9 * n2_est THEN 0.0
+             WHEN n1_est >= 0.9 * n2_est
+               THEN (0.9 * n2_est - n_nodes) / (n1_est - n_nodes)
+             ELSE 1 + (0.9 * n2_est - n1_est) / (n2_est - n1_est)
+           END, 4) AS eff_diameter
+    FROM pts
+    """
+
+
+@register(
+    "graph_effective_diameter",
+    oracle=_eff_diam_oracle(),
+    tags=("GRAPH", "ITER", "SKETCH"),
+)
+def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% effective diameter of the near-dup graph from the SAME
+    HyperBall register states as graph_anf_hll_eval — the statistic
+    ANF/HyperANF was published to compute (Palmer et al.; Boldi/Rosa/
+    Vigna report exactly this interpolated quantile): the smallest r
+    (linearly interpolated) at which the average ball covers 90% of
+    its r={_HB_ROUNDS} value.  Read: eff_diameter ≈ 1 means near-dup
+    clusters are cliques (threshold is tight); approaching 2 means
+    chains dominate and component-level dedup is load-bearing.
+
+    Each N(r) is one sum over the per-node estimates (exact int64
+    register sums per node; one cross-row double sum rounded at 4 dp —
+    absolute error ~1e-10 against a 1e5-magnitude total).  Same
+    size-gated broadcast merge rounds (_hb_merge_round), so the whole
+    query costs the anf sketch minus its eval stage."""
+    from ..functions import hll
+    from .dedup import shared_ngram_pairs
+
+    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    h = hll.hash_col(F.col("node"))
+    regs = nodes.select(
+        "node", hll.bucket_of(h), hll.rho_of(h).alias("m_rho")
+    ).localCheckpoint(eager=True)
+    totals = [nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))]
+    for i in range(_HB_ROUNDS):
+        regs = _hb_merge_round(sym, regs)
+        per_node = regs.groupBy("node").agg(
+            hll.estimate_col(
+                F.sum(F.expr(hll.REG_TERM_EXPR)), F.count(F.lit(1))
+            ).alias("e")
+        )
+        totals.append(
+            per_node.agg(F.round(F.sum("e"), 4).alias(f"n{i + 1}_est"))
+        )
+    pts = totals[0].crossJoin(totals[1]).crossJoin(totals[2])
+    t = 0.9 * F.col("n2_est")
+    eff = (
+        F.when(F.col("n_nodes") >= t, F.lit(0.0))
+        .when(
+            F.col("n1_est") >= t,
+            (t - F.col("n_nodes")) / (F.col("n1_est") - F.col("n_nodes")),
+        )
+        .otherwise(
+            1 + (t - F.col("n1_est")) / (F.col("n2_est") - F.col("n1_est"))
+        )
+    )
+    return pts.select(
+        "n_nodes", "n1_est", "n2_est", F.round(eff, 4).alias("eff_diameter")
+    )
+
+
+@register_probe("graph_effective_diameter")
+def _probe_eff_diameter(spark: SparkSession, sf_dir: str) -> int:
+    """Same dominant work as the harmonic sketch: register-merge join
+    fan-in summed over the rounds (this query IS those rounds plus two
+    scalar sums)."""
+    return _probe_harmonic(spark, sf_dir)

@@ -1150,3 +1150,103 @@ def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keyframe_idx",
         F.count(F.lit(1)).over(w).cast("long").alias("n_keyframes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio clipping screen: rail hits and longest clipped run per asset
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_audio_clipping_screen",
+    oracle="""
+    WITH q AS (
+      SELECT user_id, ts, event_id,
+             greatest(least(CAST(floor(value * 100) AS BIGINT), 32767),
+                      -32768) AS q
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN q = 32767 OR q = -32768 THEN 1 ELSE 0 END AS clipped
+      FROM q
+    ),
+    runs AS (
+      SELECT user_id, clipped,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - row_number() OVER (PARTITION BY user_id, clipped
+                                  ORDER BY ts, event_id) AS grp
+      FROM flagged
+    ),
+    run_lengths AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS run_len
+      FROM runs WHERE clipped = 1 GROUP BY user_id, grp
+    ),
+    base AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_samples,
+             CAST(sum(clipped) AS BIGINT) AS n_clipped
+      FROM flagged GROUP BY user_id
+    )
+    SELECT b.user_id, b.n_samples, b.n_clipped,
+           CAST(1000000 * b.n_clipped // b.n_samples AS BIGINT) AS clip_ppm,
+           CAST(COALESCE(max(r.run_len), 0) AS BIGINT) AS max_clip_run
+    FROM base b LEFT JOIN run_lengths r ON r.user_id = b.user_id
+    GROUP BY b.user_id, b.n_samples, b.n_clipped
+    """,
+    tags=("MM",),
+)
+def mm_audio_clipping_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping screen over the PCM-shaped sample streams (same
+    floor(value*100)-to-int16 quantization as mm_audio_rms_features,
+    which already proves the byte roundtrip lossless — this screen
+    reads the samples relationally): per asset, how many samples sit
+    ON a rail (+-full scale), the clip rate in exact ppm, and the
+    LONGEST consecutive clipped run in sample order — a handful of
+    isolated rail hits is loud music, a 50-sample run is a destroyed
+    recording that should not enter a training corpus.
+
+    Runs via gaps-and-islands (row_number difference is constant
+    within a run) — both row_numbers and the final rollups share the
+    one user_id exchange; counts, ppm, and run lengths are exact
+    BIGINTs end to end."""
+    ev = table(spark, sf_dir, "events")
+    q = F.greatest(
+        F.least(F.floor(F.col("value") * 100), F.lit(32767)),
+        F.lit(-32768),
+    ).cast("long")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when((q == 32767) | (q == -32768), 1).otherwise(0).alias("clipped"),
+    )
+    wall = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wclip = Window.partitionBy("user_id", "clipped").orderBy("ts", "event_id")
+    runs = flagged.select(
+        "user_id",
+        "clipped",
+        (F.row_number().over(wall) - F.row_number().over(wclip)).alias("grp"),
+    )
+    run_lengths = (
+        runs.filter(F.col("clipped") == 1)
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    base = flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("clipped").cast("long").alias("n_clipped"),
+    )
+    max_runs = run_lengths.groupBy("user_id").agg(
+        F.max("run_len").alias("mr")
+    )
+    return base.join(max_runs, "user_id", "left").select(
+        "user_id",
+        "n_samples",
+        "n_clipped",
+        (1000000 * F.col("n_clipped") / F.col("n_samples"))
+        .cast("long")
+        .alias("clip_ppm"),
+        F.coalesce(F.col("mr"), F.lit(0).cast("long")).alias("max_clip_run"),
+    )

@@ -47,9 +47,27 @@ def get_spark(app_name: str = "fcm-spark") -> SparkSession:
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # 24g: local-mode executors share the driver heap, so 32
+        # concurrent tasks + broadcast builds + localCheckpoint blocks
+        # were brushing the old 8g ceiling on 10-20x sweep sessions
+        # (stage failures at localCheckpoint with GCLocker retry noise).
+        # The bench/test host has 128 GiB; override via SPARK_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # Twice now (k-truss r5, effective-diameter r6 sweeps) a 10-20x
+        # run died with "Retried waiting for GCLocker too often": G1's
+        # default 2 retries gives up when Arrow/Netty JNI critical
+        # sections pin regions during big allocation bursts (broadcast
+        # build + localCheckpoint).  Raising the retry count is the
+        # documented JDK-17 mitigation; it costs nothing when the
+        # locker is uncontended.  local[.] mode: driver opts cover the
+        # executors too.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions"
+            " -XX:GCLockerRetryAllocationCount=100",
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

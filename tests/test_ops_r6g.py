@@ -101,3 +101,70 @@ def test_filter_funnel_monotone_and_attributed(spark, monkeypatch):
     toks = [got[i]["n_tokens"] for i in range(6)]
     assert all(a >= b for a, b in zip(toks, toks[1:]))
     assert toks[5] == 30
+
+
+def test_effective_diameter_clique_vs_path(spark, monkeypatch):
+    """A 6-clique saturates every ball at r=1 -> eff_diameter <= 1 (the
+    statistic reads cluster SHAPE); a 9-path keeps growing through r=2
+    -> eff_diameter lands in (1, 2]."""
+    import itertools
+
+    import fortisiem_clickhouse_monitor_spark.operators.graph as g
+
+    def planted(edges):
+        df = spark.createDataFrame(
+            [(a, b) for a, b in edges], "doc_a long, doc_b long"
+        )
+        monkeypatch.setattr(
+            g, "shared_ngram_pairs", lambda s, d: df, raising=False
+        )
+        import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+        monkeypatch.setattr(dd, "shared_ngram_pairs", lambda s, d: df)
+        return {
+            k: v
+            for k, v in g.graph_effective_diameter(spark, "x")
+            .collect()[0]
+            .asDict()
+            .items()
+        }
+
+    clique = planted(list(itertools.combinations(range(1, 7), 2)))
+    assert clique["n_nodes"] == 6
+    assert clique["eff_diameter"] <= 1.0
+    path = planted([(i, i + 1) for i in range(1, 9)])
+    assert path["n_nodes"] == 9
+    assert path["n1_est"] < path["n2_est"]
+    assert 1.0 < path["eff_diameter"] <= 2.0
+
+
+def test_audio_clipping_runs_hand_planted(spark, monkeypatch):
+    """User 1: samples [rail, rail, rail, quiet, rail] -> 4 clipped,
+    longest run 3.  User 2: never clips -> run 0.  Rail value: any
+    |value*100| >= 32767 quantizes onto a rail."""
+    import fortisiem_clickhouse_monitor_spark.operators.multimodal as mm
+
+    rail = 400.0  # 40000 > 32767 -> clamps to the positive rail
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, rail),
+        (1, "2024-01-01 00:00:01", 1, rail),
+        (2, "2024-01-01 00:00:02", 1, -rail),
+        (3, "2024-01-01 00:00:03", 1, 5.0),
+        (4, "2024-01-01 00:00:04", 1, rail),
+        (5, "2024-01-01 00:00:00", 2, 1.0),
+        (6, "2024-01-01 00:00:01", 2, 2.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, "t", v) for i, ts, u, v in rows],
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "'{}' AS props",
+    )
+    monkeypatch.setattr(mm, "table", lambda s, d, n: ev)
+    got = {r["user_id"]: r for r in
+           mm.mm_audio_clipping_screen(spark, "x").collect()}
+    assert got[1]["n_samples"] == 5 and got[1]["n_clipped"] == 4
+    assert got[1]["max_clip_run"] == 3
+    assert got[1]["clip_ppm"] == 800000
+    assert got[2]["n_clipped"] == 0 and got[2]["max_clip_run"] == 0
