@@ -2833,3 +2833,176 @@ def timeseries_stl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# LTTB downsampling (parallel variant): the dashboard decimation operator
+# ---------------------------------------------------------------------------
+
+_LTTB_BUCKETS = 12
+
+
+@register(
+    "timeseries_lttb_downsample",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    idxd AS (
+      SELECT day, y,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS idx,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM daily
+    ),
+    interior AS (
+      SELECT day, y, idx, m,
+             CAST((idx - 2) * {_LTTB_BUCKETS} // (m - 2) AS BIGINT) AS b
+      FROM idxd WHERE idx > 1 AND idx < m
+    ),
+    bstats AS (
+      SELECT b, CAST(sum(idx) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(count(*) AS BIGINT) AS c
+      FROM interior GROUP BY b
+    ),
+    ends AS (
+      SELECT min(idx) AS first_idx, max(idx) AS last_idx,
+             min_by(y, idx) AS first_y, max_by(y, idx) AS last_y
+      FROM idxd
+    ),
+    anchored AS (
+      SELECT i.day, i.y, i.idx, i.b,
+             COALESCE(p.sx, e.first_idx) AS spx,
+             COALESCE(p.sy, e.first_y) AS spy,
+             COALESCE(p.c, 1) AS pc,
+             COALESCE(n.sx, e.last_idx) AS snx,
+             COALESCE(n.sy, e.last_y) AS sny,
+             COALESCE(n.c, 1) AS nc
+      FROM interior i
+      LEFT JOIN bstats p ON p.b = i.b - 1
+      LEFT JOIN bstats n ON n.b = i.b + 1
+      CROSS JOIN ends e
+    ),
+    scored AS (
+      SELECT day, y, b,
+             abs((idx * pc - spx) * (sny * pc - spy * nc)
+               - (snx * pc - spx * nc) * (y * pc - spy)) AS area2,
+             idx
+      FROM anchored
+    ),
+    picked AS (
+      SELECT b, min_by(day, -area2 * 1000000 + idx) AS day,
+             min_by(y, -area2 * 1000000 + idx) AS y
+      FROM scored GROUP BY b
+    )
+    SELECT CAST(-1 AS BIGINT) AS bucket, day, y FROM (
+      SELECT d.day, d.y FROM idxd d WHERE d.idx = 1
+    )
+    UNION ALL
+    SELECT b AS bucket, day, y FROM picked
+    UNION ALL
+    SELECT CAST({_LTTB_BUCKETS} AS BIGINT) AS bucket, day, y FROM (
+      SELECT d.day, d.y FROM idxd d, ends e WHERE d.idx = e.last_idx
+    )
+    """,
+    tags=("TS",),
+)
+def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets decimation of the daily series
+    (Steinarsson) in its PARALLEL variant: endpoints kept, interior
+    points split into {_LTTB_BUCKETS} buckets, and each bucket keeps
+    the point maximizing the triangle area against the NEIGHBOR BUCKET
+    MEANS (the sequential variant anchors on the previously-selected
+    point — a chain; replacing it with the previous bucket's mean is
+    the standard decomposition that makes LTTB embarrassingly parallel,
+    at a visually negligible quality cost).  This is the operator every
+    dashboard runs between a metrics store and a 2000-px chart.
+
+    Integer-exact throughout: with integer (idx, count) points and
+    rational bucket means, 2*area scaled by the fixed per-bucket
+    denominators is a BIGINT cross product — argmax compares exact
+    integers (earliest index on ties, encoded in the min_by key), so
+    the pick can never flip between engines.  One daily rollup, one
+    bucket aggregate, one argmax per bucket; everything after the
+    rollup is calendar-sized."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    w = Window.orderBy("day")
+    idxd = daily.select(
+        "day",
+        "y",
+        F.row_number().over(w).cast("long").alias("idx"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    interior = idxd.filter(
+        (F.col("idx") > 1) & (F.col("idx") < F.col("m"))
+    ).select(
+        "day",
+        "y",
+        "idx",
+        ((F.col("idx") - 2) * _LTTB_BUCKETS / (F.col("m") - 2))
+        .cast("long")
+        .alias("b"),
+    )
+    bstats = interior.groupBy("b").agg(
+        F.sum("idx").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    ends = idxd.agg(
+        F.min("idx").alias("first_idx"),
+        F.max("idx").alias("last_idx"),
+        F.min_by("y", "idx").alias("first_y"),
+        F.max_by("y", "idx").alias("last_y"),
+    )
+    p = bstats.select(
+        (F.col("b") + 1).alias("b"),
+        F.col("sx").alias("spx0"),
+        F.col("sy").alias("spy0"),
+        F.col("c").alias("pc0"),
+    )
+    n = bstats.select(
+        (F.col("b") - 1).alias("b"),
+        F.col("sx").alias("snx0"),
+        F.col("sy").alias("sny0"),
+        F.col("c").alias("nc0"),
+    )
+    anchored = (
+        interior.join(F.broadcast(p), "b", "left")
+        .join(F.broadcast(n), "b", "left")
+        .crossJoin(F.broadcast(ends))
+        .select(
+            "day",
+            "y",
+            "idx",
+            "b",
+            F.coalesce("spx0", "first_idx").alias("spx"),
+            F.coalesce("spy0", "first_y").alias("spy"),
+            F.coalesce("pc0", F.lit(1).cast("long")).alias("pc"),
+            F.coalesce("snx0", "last_idx").alias("snx"),
+            F.coalesce("sny0", "last_y").alias("sny"),
+            F.coalesce("nc0", F.lit(1).cast("long")).alias("nc"),
+        )
+    )
+    area2 = F.abs(
+        (F.col("idx") * F.col("pc") - F.col("spx"))
+        * (F.col("sny") * F.col("pc") - F.col("spy") * F.col("nc"))
+        - (F.col("snx") * F.col("pc") - F.col("spx") * F.col("nc"))
+        * (F.col("y") * F.col("pc") - F.col("spy"))
+    )
+    key = -area2 * 1000000 + F.col("idx")
+    picked = anchored.groupBy("b").agg(
+        F.min_by("day", key).alias("day"), F.min_by("y", key).alias("y")
+    )
+    first = idxd.filter(F.col("idx") == 1).select(
+        F.lit(-1).cast("long").alias("bucket"), "day", "y"
+    )
+    last = idxd.filter(F.col("idx") == F.col("m")).select(
+        F.lit(_LTTB_BUCKETS).cast("long").alias("bucket"), "day", "y"
+    )
+    return first.unionByName(
+        picked.select(F.col("b").alias("bucket"), "day", "y")
+    ).unionByName(last)

@@ -1990,3 +1990,94 @@ def profile_fd_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mutual information screen: how much does one column know about another?
+# ---------------------------------------------------------------------------
+
+_MI_VALUE_BINS = 8
+
+
+@register(
+    "profile_mutual_information",
+    oracle=f"""
+    WITH rng AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+    ),
+    binned AS (
+      SELECT event_type,
+             least(CAST(floor((value - r.lo) * {_MI_VALUE_BINS}
+                              / (r.hi - r.lo)) AS BIGINT),
+                   {_MI_VALUE_BINS - 1}) AS bin
+      FROM events CROSS JOIN rng r
+    ),
+    cell AS (
+      SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
+      FROM binned GROUP BY 1, 2
+    ),
+    marg AS (
+      SELECT event_type, bin, c,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS cx,
+             CAST(sum(c) OVER (PARTITION BY bin) AS BIGINT) AS cy,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM cell
+    )
+    SELECT event_type, bin, c AS n_cell,
+           round((CAST(c AS DOUBLE) / n)
+                 * ln(CAST(c AS DOUBLE) * n
+                      / (CAST(cx AS DOUBLE) * cy)), 6) AS mi_contrib
+    FROM marg
+    """,
+    tags=("DQ", "profiling"),
+)
+def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; value-bin) as per-cell
+    contributions — the model-free dependence screen run before
+    treating a column as a feature (correlation only sees linear
+    structure; MI sees any): positive cells are where the joint beats
+    independence, the sum over cells is the MI in nats, and a total
+    near 0 says the value distribution is type-independent, so
+    per-type value models are wasted effort.
+
+    Same equal-width integer binning as drift_psi_value_bins; one pass
+    to bin (map-side against the broadcast range), one (type, bin)
+    aggregate, window marginals on the tiny cell frame.  Counts exact
+    BIGINTs; each cell does identical double arithmetic in both
+    engines and no cross-row float sum enters the hash."""
+    ev = table(spark, sf_dir, "events")
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                * _MI_VALUE_BINS
+                / (F.col("hi") - F.col("lo"))
+            ).cast("long"),
+            F.lit(_MI_VALUE_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    cell = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    marg = cell.select(
+        "event_type",
+        "bin",
+        "c",
+        F.sum("c").over(Window.partitionBy("event_type")).alias("cx"),
+        F.sum("c").over(Window.partitionBy("bin")).alias("cy"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    ratio = (
+        F.col("c").cast("double")
+        * F.col("n")
+        / (F.col("cx").cast("double") * F.col("cy"))
+    )
+    return marg.select(
+        "event_type",
+        "bin",
+        F.col("c").alias("n_cell"),
+        F.round(p * F.log(ratio), 6).alias("mi_contrib"),
+    )

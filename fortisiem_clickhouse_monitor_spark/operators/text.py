@@ -1420,3 +1420,341 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sum_sentence_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Term burstiness: boilerplate detection via document-frequency dispersion
+# ---------------------------------------------------------------------------
+
+_BURST_MIN_CF = 10  # ignore rare terms: dispersion of a 3-hit word is noise
+
+
+@register(
+    "vocab_burstiness_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t.w AS w
+      FROM documents,
+           unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                              _x -> _x <> '')) AS t(w)
+    ),
+    stats AS (
+      SELECT w,
+             CAST(count(*) AS BIGINT) AS cf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks GROUP BY w
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT w AS term, cf, df,
+           round(CAST(cf AS DOUBLE) / df, 6) AS burstiness,
+           round(CAST(df AS DOUBLE) / nd.n_docs, 6) AS doc_coverage
+    FROM stats CROSS JOIN nd
+    WHERE cf >= {_BURST_MIN_CF}
+    ORDER BY CAST(cf AS DOUBLE) / df DESC, w
+    LIMIT 30
+    """,
+    tags=("TXT", "curation"),
+)
+def vocab_burstiness_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church/Gale dispersion): collection frequency
+    over document frequency for every term with cf >= {_BURST_MIN_CF},
+    top 30.  A term that appears 400 times across 380 documents
+    (burstiness ~1) is ordinary vocabulary; 400 times across 8
+    documents (burstiness 50) is boilerplate, a template, or a
+    repetition artifact — the curation signal that feeds stopword-
+    augmentation and repetition filters, complementary to
+    text_repetition_ratio (which reads one doc at a time and cannot
+    see CROSS-document repetition).
+
+    One explode + one (term) aggregate — cf and df partial-combine
+    map-side (count + count distinct over the doc-clustered token
+    stream); the n_docs scalar broadcasts onto the term frame.  The
+    ORDER BY recomputes the ratio rather than referencing the rounded
+    alias so ranking is identical in both engines at full double
+    precision."""
+    d = table(spark, sf_dir, "documents")
+    toks = spread(d, "doc_id").select(
+        "doc_id", F.explode(textfns.tokens("text")).alias("w")
+    )
+    stats = toks.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        stats.filter(F.col("cf") >= _BURST_MIN_CF)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("w").alias("term"),
+            "cf",
+            "df",
+            F.round(F.col("cf").cast("double") / F.col("df"), 6).alias(
+                "burstiness"
+            ),
+            F.round(
+                F.col("df").cast("double") / F.col("n_docs"), 6
+            ).alias("doc_coverage"),
+        )
+        .orderBy(
+            (F.col("cf").cast("double") / F.col("df")).desc(),
+            F.asc("term"),
+        )
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken): local dedup anchors
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # window: guarantee one fingerprint per 4 consecutive shingles
+_WINNOW_CHECK_P = 1_000_000_007
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH hs AS (
+      SELECT doc_id, i,
+             {textfns.DUCK_HASH60.format(col="sh")} AS h
+      FROM (
+        SELECT doc_id, gs.i AS i,
+               toks[gs.i] || ' ' || toks[gs.i+1] || ' ' || toks[gs.i+2] AS sh
+        FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+        LATERAL (SELECT unnest(range(1, greatest(len(toks) - 1, 1)))
+                 AS i) gs
+        WHERE len(toks) >= 3
+      )
+    ),
+    m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM hs GROUP BY 1),
+    win AS (
+      SELECT h.doc_id, gs.j, h.i, h.h
+      FROM hs h JOIN m USING (doc_id),
+      LATERAL (SELECT unnest(range(greatest(h.i - {_WINNOW_W} + 1, 1),
+                                   least(h.i,
+                                         greatest(m.n_sh - {_WINNOW_W} + 1,
+                                                  1)) + 1)) AS j) gs
+    ),
+    rm AS (
+      SELECT doc_id, j,
+             min_by(i, h::HUGEINT * 1000000 - i) AS sel_i,
+             min(h) AS sel_h
+      FROM win GROUP BY doc_id, j
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, sel_i, sel_h FROM rm
+    )
+    SELECT f.doc_id, m.n_sh AS n_shingles,
+           CAST(count(*) AS BIGINT) AS n_fps,
+           CAST(sum(sel_h % {_WINNOW_CHECK_P}) AS BIGINT) AS fp_checksum,
+           round(CAST(m.n_sh AS DOUBLE) / count(*), 4) AS compression
+    FROM fps f JOIN m ON m.doc_id = f.doc_id
+    GROUP BY f.doc_id, m.n_sh
+    """,
+    tags=("TXT", "dedup"),
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, the MOSS algorithm):
+    slide a {_WINNOW_W}-window over the 3-gram shingle hash sequence
+    and keep each window's minimum (rightmost on ties — a composite min key in both engines).  The selected positions are LOCAL
+    fingerprints: any shared substring of >= w+k-1 tokens between two
+    documents is GUARANTEED to share a fingerprint — the locality
+    property whole-doc hashing (text_fingerprint) and MinHash (a
+    global sample) both lack, which is why plagiarism/passage-level
+    dedup pipelines use winnowing anchors.  Output: per-doc
+    fingerprint density + an exact checksum over the selected hashes
+    (the full anchor set is join bait for a passage-dedup pass, not a
+    report).
+
+    Plan: shingle hashes are map-side; each position explodes into the
+    <= {_WINNOW_W} windows containing it, one (doc, window) aggregate
+    takes the rightmost-min, and the distinct + final rollup reuse the
+    doc_id clustering.  Edge docs shorter than the window winnow over
+    the truncated window (one fingerprint minimum), so short docs
+    still anchor."""
+    d = bind(fanout(table(spark, sf_dir, "documents")),
+             toks=textfns.tokens("text"))
+    sh = textfns.shingles(F.col("toks"), 3)
+    hs = (
+        d.filter(F.size("toks") >= 3)
+        .select("doc_id", F.posexplode(sh).alias("i0", "shingle"))
+        .select(
+            "doc_id",
+            (F.col("i0") + 1).alias("i"),
+            textfns.hash60(F.col("shingle")).alias("h"),
+        )
+    )
+    m = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    last_start = F.greatest(F.col("n_sh") - _WINNOW_W + 1, F.lit(1))
+    win = (
+        hs.join(m, "doc_id")
+        .select(
+            "doc_id",
+            "i",
+            "h",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("i") - _WINNOW_W + 1, F.lit(1)),
+                    F.least(F.col("i").cast("long"), last_start),
+                )
+            ).alias("j"),
+        )
+    )
+    rm = win.groupBy("doc_id", "j").agg(
+        F.min(F.struct(F.col("h"), (-F.col("i")).alias("ni"))).alias("sel")
+    )
+    fps = rm.select(
+        "doc_id",
+        (-F.col("sel.ni")).alias("sel_i"),
+        F.col("sel.h").alias("sel_h"),
+    ).distinct()
+    return (
+        fps.join(m, "doc_id")
+        .groupBy("doc_id", "n_sh")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.sum(F.col("sel_h") % _WINNOW_CHECK_P)
+            .cast("long")
+            .alias("fp_checksum"),
+            F.round(
+                F.col("n_sh").cast("double") / F.count(F.lit(1)), 4
+            ).alias("compression"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_sh").alias("n_shingles"),
+            "n_fps",
+            "fp_checksum",
+            "compression",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level near-dup candidates from shared winnowing anchors
+# ---------------------------------------------------------------------------
+
+#: Anchors shared by more docs than this are boilerplate, not passages
+#: (the standard LSH hot-bucket cap, applied to anchor hashes).
+_ANCHOR_MAX_DOCS = 50
+_ANCHOR_MIN_SHARED = 2  # one shared anchor is noise; two is a passage
+
+
+def _winnow_anchor_sql() -> str:
+    from ..functions import textfns as tf
+
+    return f"""
+    hs AS (
+      SELECT doc_id, i,
+             {tf.DUCK_HASH60.format(col="sh")} AS h
+      FROM (
+        SELECT doc_id, gs.i AS i,
+               toks[gs.i] || ' ' || toks[gs.i+1] || ' ' || toks[gs.i+2] AS sh
+        FROM (SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents),
+        LATERAL (SELECT unnest(range(1, greatest(len(toks) - 1, 1)))
+                 AS i) gs
+        WHERE len(toks) >= 3
+      )
+    ),
+    m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM hs GROUP BY 1),
+    win AS (
+      SELECT h.doc_id, gs.j, h.i, h.h
+      FROM hs h JOIN m USING (doc_id),
+      LATERAL (SELECT unnest(range(greatest(h.i - {_WINNOW_W} + 1, 1),
+                                   least(h.i,
+                                         greatest(m.n_sh - {_WINNOW_W} + 1,
+                                                  1)) + 1)) AS j) gs
+    ),
+    rm AS (
+      SELECT doc_id, j,
+             min_by(i, h::HUGEINT * 1000000 - i) AS sel_i,
+             min(h) AS sel_h
+      FROM win GROUP BY doc_id, j
+    ),
+    anchors AS (
+      SELECT DISTINCT doc_id, sel_h AS h FROM rm
+    ),
+    hot AS (
+      SELECT h FROM anchors GROUP BY h
+      HAVING count(*) BETWEEN 2 AND {_ANCHOR_MAX_DOCS}
+    ),
+    kept AS (SELECT a.* FROM anchors a JOIN hot USING (h))
+    """
+
+
+@register(
+    "dedup_passage_anchor_pairs",
+    oracle=f"""
+    WITH
+    {_winnow_anchor_sql()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_anchors
+    FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_ANCHOR_MIN_SHARED}
+    """,
+    tags=("dedup", "TXT"),
+)
+def dedup_passage_anchor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level near-dup candidates: document pairs sharing >=
+    {_ANCHOR_MIN_SHARED} winnowing anchors (text_winnowing_fingerprints'
+    selection, deduped per doc).  Winnowing's guarantee makes this the
+    PASSAGE complement of the whole-doc dedup family: two documents
+    sharing any run of >= w+k-1 tokens MUST share an anchor, so a
+    copied paragraph inside two otherwise-different documents — which
+    document-level Jaccard dilutes below every threshold — still
+    surfaces here.
+
+    Scale shape is the LSH band-join discipline: anchors joined on
+    their hash with a hot-anchor cap ({_ANCHOR_MAX_DOCS} docs — beyond
+    that an anchor is boilerplate, the signal
+    vocab_burstiness_top_terms reads), so pair fan-out per anchor is
+    bounded and the join stays an equi-join on a pruned frame.  No
+    all-pairs path at any scale."""
+    d = bind(fanout(table(spark, sf_dir, "documents")),
+             toks=textfns.tokens("text"))
+    sh = textfns.shingles(F.col("toks"), 3)
+    hs = (
+        d.filter(F.size("toks") >= 3)
+        .select("doc_id", F.posexplode(sh).alias("i0", "shingle"))
+        .select(
+            "doc_id",
+            (F.col("i0") + 1).alias("i"),
+            textfns.hash60(F.col("shingle")).alias("h"),
+        )
+    )
+    m = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    last_start = F.greatest(F.col("n_sh") - _WINNOW_W + 1, F.lit(1))
+    win = hs.join(m, "doc_id").select(
+        "doc_id",
+        "i",
+        "h",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("i") - _WINNOW_W + 1, F.lit(1)),
+                F.least(F.col("i").cast("long"), last_start),
+            )
+        ).alias("j"),
+    )
+    rm = win.groupBy("doc_id", "j").agg(
+        F.min(F.struct(F.col("h"), (-F.col("i")).alias("ni"))).alias("sel")
+    )
+    anchors = rm.select("doc_id", F.col("sel.h").alias("h")).distinct()
+    hot = (
+        anchors.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(
+            (F.col("nd") >= 2) & (F.col("nd") <= _ANCHOR_MAX_DOCS)
+        )
+        .select("h")
+    )
+    kept = anchors.join(hot, "h")
+    a = kept.select(F.col("h"), F.col("doc_id").alias("doc_a"))
+    b = kept.select(F.col("h"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_anchors"))
+        .filter(F.col("shared_anchors") >= _ANCHOR_MIN_SHARED)
+    )

@@ -180,3 +180,29 @@ def test_dim_correlation_planted_copies_and_dead_dim(spark, monkeypatch):
     top3 = [(r["di"], r["dj"], r["corr_r"]) for r in rows[:3]]
     assert top3 == [(1, 2, 1.0), (1, 3, -1.0), (2, 3, -1.0)]
     assert all(r["di"] != 5 and r["dj"] != 5 for r in rows)
+
+
+def test_lttb_keeps_endpoints_and_spike(spark, monkeypatch):
+    """30-day series, flat except a big spike on day 15: the decimated
+    series has exactly B+2 = 14 points, keeps both endpoints, and the
+    spike day must survive (it maximizes its bucket's triangle)."""
+    rows = []
+    for d in range(1, 31):
+        c = 40 if d == 15 else 4
+        rows += [(d, 100 + u, "t", 1.0) for u in range(c)]
+    ev = _events(spark, rows)
+    monkeypatch.setattr(adv, "table", lambda s, d, n: ev)
+    got = sorted(
+        adv.timeseries_lttb_downsample(spark, "x").collect(),
+        key=lambda r: str(r["day"]),
+    )
+    assert len(got) == 14
+    days = [str(r["day"]) for r in got]
+    assert days[0] == "2024-01-01" and days[-1] == "2024-01-30"
+    assert "2024-01-15" in days
+    spike = [r for r in got if str(r["day"]) == "2024-01-15"][0]
+    assert spike["y"] == 40
+    # buckets are unique and ordered sentinels included
+    buckets = sorted(r["bucket"] for r in got)
+    assert buckets[0] == -1 and buckets[-1] == 12
+    assert len(set(buckets)) == 14
