@@ -2115,3 +2115,88 @@ def corpus_truncation_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokens_lost_at_p95"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Budgeted proportional allocation (largest remainder) + the drawn sample
+# ---------------------------------------------------------------------------
+
+_ALLOC_BUDGET = 100
+
+
+@register(
+    "sample_budget_allocation",
+    oracle=f"""
+    WITH strata AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(count(*)) OVER () AS BIGINT) AS n
+      FROM documents GROUP BY lang
+    ),
+    quota AS (
+      SELECT lang, n_h, n,
+             CAST({_ALLOC_BUDGET} * n_h // n AS BIGINT) AS floor_alloc,
+             CAST(({_ALLOC_BUDGET} * n_h) % n AS BIGINT) AS rem
+      FROM strata
+    ),
+    ranked AS (
+      SELECT lang, n_h, floor_alloc, rem,
+             CAST(row_number() OVER (ORDER BY rem DESC, lang)
+                  AS BIGINT) AS rr,
+             CAST({_ALLOC_BUDGET}
+                  - sum(floor_alloc) OVER () AS BIGINT) AS leftover
+      FROM quota
+    )
+    SELECT lang, n_h,
+           floor_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+             AS allocation
+    FROM ranked
+    """,
+    tags=("sampling", "curation"),
+)
+def sample_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted proportional stratified allocation: split a fixed
+    labeling/eval budget of {_ALLOC_BUDGET} documents across languages
+    proportional to stratum size, integerized by the largest-remainder
+    (Hamilton) method — allocations sum EXACTLY to the budget, every
+    stratum gets its floor, and the leftover units go to the largest
+    fractional remainders (ties to the lexicographically first
+    language, encoded in the ranking in both engines).  The companion
+    of sample_stratified_per_lang (which takes a FIXED count per
+    stratum): this one answers "I can afford N annotations — how many
+    from each language?".
+
+    Entirely integer arithmetic: floor quota = B*n_h div N, remainder
+    = (B*n_h) mod N — no float ever enters the allocation, so the
+    rounding boundary can never flip between engines.  One
+    |strata|-row aggregate and two windows on that frame."""
+    d = table(spark, sf_dir, "documents")
+    strata = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_h"))
+    strata = strata.select(
+        "lang", "n_h", F.sum("n_h").over(Window.partitionBy()).alias("n")
+    )
+    quota = strata.select(
+        "lang",
+        "n_h",
+        "n",
+        F.expr(f"({_ALLOC_BUDGET} * n_h) div n").alias("floor_alloc"),
+        ((_ALLOC_BUDGET * F.col("n_h")) % F.col("n")).alias("rem"),
+    )
+    wr = Window.orderBy(F.desc("rem"), F.asc("lang"))
+    ranked = quota.select(
+        "lang",
+        "n_h",
+        "floor_alloc",
+        F.row_number().over(wr).cast("long").alias("rr"),
+        (
+            F.lit(_ALLOC_BUDGET)
+            - F.sum("floor_alloc").over(Window.partitionBy())
+        ).cast("long").alias("leftover"),
+    )
+    return ranked.select(
+        "lang",
+        "n_h",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        ).alias("allocation"),
+    )

@@ -1758,3 +1758,55 @@ def dedup_passage_anchor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_anchors"))
         .filter(F.col("shared_anchors") >= _ANCHOR_MIN_SHARED)
     )
+
+
+@register_probe("text_winnowing_fingerprints")
+def _probe_winnowing(spark: SparkSession, sf_dir: str) -> int:
+    """Dominant work: the window-membership explode — ~w rows per
+    shingle position into the per-window argmax."""
+    d = bind(fanout(table(spark, sf_dir, "documents")),
+             toks=textfns.tokens("text"))
+    n_sh = (
+        d.filter(F.size("toks") >= 3)
+        .agg(F.sum(F.size("toks") - 2).alias("s"))
+        .collect()[0]["s"]
+    )
+    return int(n_sh) * _WINNOW_W
+
+
+@register_probe("dedup_passage_anchor_pairs")
+def _probe_passage_pairs(spark: SparkSession, sf_dir: str) -> int:
+    """Dominant work: winnowing (shared with the fingerprint probe)
+    plus the anchor-join candidate fan-in sum(nd^2) over kept
+    hashes — the quantity the hot-anchor cap bounds."""
+    base = _probe_winnowing(spark, sf_dir)
+    d = bind(fanout(table(spark, sf_dir, "documents")),
+             toks=textfns.tokens("text"))
+    sh = textfns.shingles(F.col("toks"), 3)
+    hs = (
+        d.filter(F.size("toks") >= 3)
+        .select("doc_id", F.posexplode(sh).alias("i0", "shingle"))
+        .select("doc_id", (F.col("i0") + 1).alias("i"),
+                textfns.hash60(F.col("shingle")).alias("h"))
+    )
+    m = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    last_start = F.greatest(F.col("n_sh") - _WINNOW_W + 1, F.lit(1))
+    win = hs.join(m, "doc_id").select(
+        "doc_id", "i", "h",
+        F.explode(F.sequence(
+            F.greatest(F.col("i") - _WINNOW_W + 1, F.lit(1)),
+            F.least(F.col("i").cast("long"), last_start),
+        )).alias("j"),
+    )
+    rm = win.groupBy("doc_id", "j").agg(
+        F.min(F.struct(F.col("h"), (-F.col("i")).alias("ni"))).alias("sel")
+    )
+    anchors = rm.select("doc_id", F.col("sel.h").alias("h")).distinct()
+    fanin = (
+        anchors.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= _ANCHOR_MAX_DOCS))
+        .agg(F.sum(F.col("nd") * F.col("nd")).alias("s"))
+        .collect()[0]["s"]
+    )
+    return base + int(fanin or 0)

@@ -151,3 +151,26 @@ def test_truncation_budget_hand_percentile(spark, monkeypatch):
     assert row["cap_p95"] == 19.05
     assert row["n_docs_over_p95"] == 1
     assert abs(row["tokens_lost_at_p95"] - 0.95) < 1e-9
+
+
+def test_budget_allocation_hamilton_exact(spark, monkeypatch):
+    """Strata of sizes 7, 2, 1 under budget 100: floors are 70, 20, 10
+    and remainders all zero -> exact proportional split.  Sizes 1,1,1
+    under budget 100: 33+33+34 with the leftover going to the first
+    remainder-tied language alphabetically."""
+    docs = _docs(
+        spark,
+        [("x", "en", "s")] * 7 + [("x", "de", "s")] * 2 + [("x", "fr", "s")],
+    )
+    monkeypatch.setattr(corp, "table", lambda s, d, n: docs)
+    got = {r["lang"]: r["allocation"]
+           for r in corp.sample_budget_allocation(spark, "x").collect()}
+    assert got == {"en": 70, "de": 20, "fr": 10}
+    docs2 = _docs(
+        spark, [("x", "en", "s"), ("x", "de", "s"), ("x", "fr", "s")]
+    )
+    monkeypatch.setattr(corp, "table", lambda s, d, n: docs2)
+    got2 = {r["lang"]: r["allocation"]
+            for r in corp.sample_budget_allocation(spark, "x").collect()}
+    assert sum(got2.values()) == 100
+    assert got2 == {"de": 34, "en": 33, "fr": 33}
