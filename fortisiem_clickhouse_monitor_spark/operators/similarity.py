@@ -2623,3 +2623,59 @@ def _probe_dim_correlation(spark: SparkSession, sf_dir: str) -> int:
     n = e.count()
     d = len(e.select("embedding").head()["embedding"])
     return n * d * d
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier screen: k-th-nearest-neighbor distance (deterministic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_knn_distance_outliers",
+    oracle="""
+    WITH knn AS (
+      SELECT vec_id, cos_sim FROM (
+        SELECT a.vec_id,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 4)
+                 AS cos_sim,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                       b.embedding::DOUBLE[]),
+                                4) DESC, b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      ) WHERE rn <= 3
+    ),
+    scored AS (
+      SELECT vec_id, min(cos_sim) AS knn3_sim FROM knn GROUP BY vec_id
+    )
+    SELECT s.vec_id, e.label, s.knn3_sim
+    FROM scored s JOIN embeddings e USING (vec_id)
+    ORDER BY s.knn3_sim ASC, s.vec_id ASC
+    LIMIT 20
+    """,
+    tags=("ANN", "DQ"),
+)
+def sim_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier screen by k-th-nearest-neighbor similarity:
+    the 20 vectors whose 3rd-nearest neighbor is FURTHEST (lowest
+    cosine) — the deterministic stand-in for isolation-forest-style
+    outlier removal in embedding-curation pipelines (mislabeled,
+    corrupted, or off-distribution vectors sit alone; dense cluster
+    members always have close 3rd neighbors).  SemDeDup prunes the
+    too-close; this screens the too-far.
+
+    Plan: reuses sim_knn_join_topk's GEMM kernel output (broadcast
+    unit-index, per-batch top-k, no n^2 shuffle) and reduces it with
+    one vec_id aggregate + TakeOrdered(20); the label join is a
+    broadcast of the 20-row result against the dim-sized scan."""
+    knn = sim_knn_join_topk(spark, sf_dir)
+    scored = knn.groupBy("vec_id").agg(F.min("cos_sim").alias("knn3_sim"))
+    labels = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        scored.join(labels, "vec_id")
+        .orderBy(F.asc("knn3_sim"), F.asc("vec_id"))
+        .limit(20)
+        .select("vec_id", "label", "knn3_sim")
+    )

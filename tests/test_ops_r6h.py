@@ -113,3 +113,47 @@ def test_passage_anchors_surface_copied_paragraph(spark, monkeypatch):
            for r in tx2.dedup_passage_anchor_pairs(spark, "x").collect()}
     assert (0, 1) in got and got[(0, 1)] >= 2
     assert all(2 not in pair for pair in got)
+
+
+def test_knn_outliers_planted_lonely_vector(spark, tmp_path):
+    """A tight cluster of 8 near-identical vectors plus one ANTI-aligned
+    loner: the loner's 3rd-NN similarity is far below every cluster
+    member's, so it ranks first in the outlier screen.  The planted
+    table is written as a real fixture dir because the GEMM kernel
+    loads its index executor-side from the parquet file."""
+    import numpy as np
+
+    import fortisiem_clickhouse_monitor_spark.operators.similarity as sim
+
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(8)
+    vecs = [list(base + rng.standard_normal(8) * 0.01) for _ in range(8)]
+    loner = list(np.array([-v for v in base]))  # opposite direction
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    rows.append((99, [float(x) for x in loner], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    sf_dir = str(tmp_path / "sf")
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(sf_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": [r[0] for r in rows],
+                "embedding": pa.array(
+                    [r[1] for r in rows], type=pa.list_(pa.float32())
+                ),
+                "label": [r[2] for r in rows],
+            }
+        ),
+        f"{sf_dir}/embeddings.parquet",
+    )
+    got = sim.sim_knn_distance_outliers(spark, sf_dir).collect()
+    assert got[0]["vec_id"] == 99
+    assert got[0]["knn3_sim"] < -0.9  # anti-aligned with the cluster
+    assert all(r["knn3_sim"] > 0.9 for r in got if r["vec_id"] != 99)
