@@ -3006,3 +3006,112 @@ def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first.unionByName(
         picked.select(F.col("b").alias("bucket"), "day", "y")
     ).unionByName(last)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-aware outliers: MAD screen on the STL residuals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_stl_residual_outliers",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    trended AS (
+      SELECT day, c,
+             CASE WHEN count(*) OVER w7 = 7
+                  THEN CAST(sum(c) OVER w7 AS DOUBLE) / 7
+             END AS trend
+      FROM daily
+      WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    seasoned AS (
+      SELECT day, c, trend,
+             avg(c - trend) OVER (PARTITION BY isodow(day)) AS seasonal
+      FROM trended
+    ),
+    resid AS (
+      SELECT day, c, round(c - trend - seasonal, 6) AS residual
+      FROM seasoned WHERE trend IS NOT NULL
+    ),
+    med AS (
+      SELECT quantile_cont(residual, 0.5) AS med FROM resid
+    ),
+    mad AS (
+      SELECT quantile_cont(abs(residual - m.med), 0.5) AS mad, m.med
+      FROM resid CROSS JOIN med m GROUP BY m.med
+    )
+    SELECT r.day, r.c, r.residual,
+           round(abs(r.residual - d.med), 6) AS abs_dev,
+           abs(r.residual - d.med) > 3 * d.mad AS is_outlier
+    FROM resid r CROSS JOIN mad d
+    """,
+    tags=("TS", "DQ"),
+)
+def timeseries_stl_residual_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-aware anomaly screen: the MAD rule applied to the STL
+    RESIDUALS instead of the raw daily counts — a Monday spike is not
+    an anomaly if Mondays always spike (outlier_daily_mad flags those;
+    this screen subtracts trend and day-of-week seasonality first, so
+    what remains flagged is genuinely unexplained).  Emits every
+    decomposed day WITH its flag, so the check is non-vacuous at any
+    scale whether or not outliers exist.
+
+    Same decomposition pipeline as timeseries_stl_daily (the residual
+    is rounded at the same 6 dp before the median enters, keeping both
+    engines on identical inputs); median/MAD are two percentile
+    aggregates on the |days|-row frame broadcast back.  The 3-MAD
+    threshold comparison happens on doubles derived from the SAME
+    rounded residuals in both engines."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "c",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.sum("c").over(w7).cast("double") / 7,
+        ).alias("trend"),
+    )
+    wdow = Window.partitionBy(F.weekday("day") + 1)
+    resid = (
+        trended.select(
+            "day",
+            "c",
+            "trend",
+            F.avg(F.col("c") - F.col("trend")).over(wdow).alias("seasonal"),
+        )
+        .filter(F.col("trend").isNotNull())
+        .select(
+            "day",
+            "c",
+            F.round(
+                F.col("c") - F.col("trend") - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+    )
+    med = resid.agg(F.expr("percentile(residual, 0.5)").alias("med"))
+    mad = (
+        resid.crossJoin(F.broadcast(med))
+        .agg(
+            F.expr("percentile(abs(residual - med), 0.5)").alias("mad"),
+            F.first("med").alias("med"),
+        )
+    )
+    return resid.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "c",
+        "residual",
+        F.round(F.abs(F.col("residual") - F.col("med")), 6).alias("abs_dev"),
+        (F.abs(F.col("residual") - F.col("med")) > 3 * F.col("mad")).alias(
+            "is_outlier"
+        ),
+    )

@@ -4016,3 +4016,73 @@ def behavior_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz curve deciles: the concentration table behind the Gini scalar
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_lorenz_deciles",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT n, ntile(10) OVER (ORDER BY n, user_id) AS decile
+      FROM per_user
+    ),
+    dec AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(n) AS BIGINT) AS n_events
+      FROM ranked GROUP BY decile
+    )
+    SELECT decile, n_users, n_events,
+           CAST(sum(n_events) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events,
+           CAST(10000 * sum(n_events) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING)
+                // sum(n_events) OVER () AS BIGINT) AS cum_share_bps
+    FROM dec
+    """,
+    tags=("BEHAV",),
+)
+def behavior_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of event-volume concentration in ten points: users
+    ranked by activity into deciles (ntile with a user_id tie-break so
+    the assignment is deterministic in both engines), each decile's
+    user and event counts, and the cumulative share in exact integer
+    basis points — the table behind behavior_activity_gini's scalar
+    (the Gini is twice the area between this curve and the diagonal),
+    and the direct read for "the top decile is 40% of load", which is
+    what capacity planning and skew-salting decisions consume.
+
+    One user rollup, one ntile over the user frame, windows over ten
+    rows.  Integer end to end (basis points via integer division)."""
+    e = table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = per_user.select(
+        "n",
+        F.ntile(10).over(Window.orderBy("n", "user_id")).alias("decile"),
+    )
+    dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    return dec.select(
+        "decile",
+        "n_users",
+        "n_events",
+        F.sum("n_events").over(wcum).cast("long").alias("cum_events"),
+        F.expr(
+            "CAST(10000 * sum(n_events) OVER (ORDER BY decile"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            " div sum(n_events) OVER () AS BIGINT)"
+        ).alias("cum_share_bps"),
+    )

@@ -206,3 +206,49 @@ def test_lttb_keeps_endpoints_and_spike(spark, monkeypatch):
     buckets = sorted(r["bucket"] for r in got)
     assert buckets[0] == -1 and buckets[-1] == 12
     assert len(set(buckets)) == 14
+
+
+def test_stl_residual_outliers_dow_aware(spark, monkeypatch):
+    """The weekly pattern from the STL test plus ONE genuinely anomalous
+    Wednesday (+30 events): raw-count screens would flag every Monday
+    (4 vs mean 2); the residual screen flags ONLY the planted day."""
+    dow_counts = {1: 4, 2: 2, 3: 2, 4: 2, 5: 2, 6: 1, 7: 1}
+    rows = []
+    for d in range(28):
+        day = d + 1
+        iso = d % 7 + 1
+        c = dow_counts[iso] + (30 if day == 17 else 0)  # Wed 2024-01-17
+        for u in range(c):
+            rows.append((day, 1000 + u, "t", 1.0))
+    ev = _events(spark, rows)
+    monkeypatch.setattr(adv, "table", lambda s, d, n: ev)
+    got = {str(r["day"]): r for r in
+           adv.timeseries_stl_residual_outliers(spark, "x").collect()}
+    flagged = [d for d, r in got.items() if r["is_outlier"]]
+    assert "2024-01-17" in flagged
+    # Mondays (except those near the spike window) must not be flagged
+    assert "2024-01-08" not in flagged
+
+
+def test_lorenz_deciles_concentration(spark, monkeypatch):
+    """20 users: 19 with one event, one with 81 -> the top decile holds
+    81+1 of 100 events; cumulative shares are monotone, end at 10000
+    bps, and sit below the diagonal everywhere else."""
+    rows = []
+    for u in range(19):
+        rows.append((1, u, "t", 1.0))
+    rows += [(1 + d % 27, 99, "t", 1.0) for d in range(81)]
+    ev = _events(spark, rows)
+    monkeypatch.setattr(bh, "table", lambda s, d, n: ev)
+    got = sorted(
+        bh.behavior_lorenz_deciles(spark, "x").collect(),
+        key=lambda r: r["decile"],
+    )
+    assert len(got) == 10
+    assert got[-1]["cum_share_bps"] == 10000
+    assert got[-1]["n_events"] == 81 + 1  # top decile: heavy user + one
+    shares = [r["cum_share_bps"] for r in got]
+    assert shares == sorted(shares)
+    assert all(
+        r["cum_share_bps"] <= 1000 * r["decile"] for r in got
+    )  # Lorenz curve sits on/below the diagonal
