@@ -3038,10 +3038,11 @@ def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM seasoned WHERE trend IS NOT NULL
     ),
     med AS (
-      SELECT quantile_cont(residual, 0.5) AS med FROM resid
+      SELECT round(quantile_cont(residual, 0.5), 6) AS med FROM resid
     ),
     mad AS (
-      SELECT quantile_cont(abs(residual - m.med), 0.5) AS mad, m.med
+      SELECT round(quantile_cont(abs(residual - m.med), 0.5), 6) AS mad,
+             m.med
       FROM resid CROSS JOIN med m GROUP BY m.med
     )
     SELECT r.day, r.c, r.residual,
@@ -3098,11 +3099,21 @@ def timeseries_stl_residual_outliers(
             ).alias("residual"),
         )
     )
-    med = resid.agg(F.expr("percentile(residual, 0.5)").alias("med"))
+    # Round the median/MAD scalars at the same 6 dp as the residuals
+    # BEFORE any derived arithmetic: the two engines' percentile
+    # interpolation can differ by one ulp, and an unrounded median fed
+    # into round(abs(residual - med), 6) flips the 6th decimal when the
+    # true value sits on a rounding boundary (caught by the sf0.001
+    # parity test, not the sf0.01 gate).
+    med = resid.agg(
+        F.round(F.expr("percentile(residual, 0.5)"), 6).alias("med")
+    )
     mad = (
         resid.crossJoin(F.broadcast(med))
         .agg(
-            F.expr("percentile(abs(residual - med), 0.5)").alias("mad"),
+            F.round(
+                F.expr("percentile(abs(residual - med), 0.5)"), 6
+            ).alias("mad"),
             F.first("med").alias("med"),
         )
     )
