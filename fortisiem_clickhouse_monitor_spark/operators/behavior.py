@@ -4086,3 +4086,52 @@ def behavior_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div sum(n_events) OVER () AS BIGINT)"
         ).alias("cum_share_bps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak-hour profile: hour-of-day load shape per event type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_peak_hour_profile",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           min_by(hod, -c * 100 + hod) AS peak_hour,
+           CAST(max(c) AS BIGINT) AS peak_count,
+           CAST(10000 * max(c) // sum(c) AS BIGINT) AS peak_share_bps
+    FROM hourly GROUP BY event_type
+    """,
+    tags=("BEHAV", "TS"),
+)
+def behavior_peak_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day load shape per event type: the peak hour (earliest
+    hour on count ties — the tie-break is encoded in the argmax key in
+    both engines), its volume, and its share of the type's traffic in
+    exact basis points.  The capacity-planning companion of
+    seasonal_dow_residuals at hour granularity: a type with 1500 bps in
+    its peak hour is flat, one with 4000 bps needs its jobs scheduled
+    around that hour.
+
+    Two aggregates sharing the event_type clustering ((type, hour)
+    rollup, then the per-type argmax over a <=24-row group); integers
+    end to end."""
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    key = -F.col("c") * 100 + F.col("hod")
+    return hourly.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.min_by("hod", key).alias("peak_hour"),
+        F.max("c").cast("long").alias("peak_count"),
+        F.expr("CAST(10000 * max(c) div sum(c) AS BIGINT)").alias(
+            "peak_share_bps"
+        ),
+    )

@@ -2081,3 +2081,54 @@ def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_cell"),
         F.round(p * F.log(ratio), 6).alias("mi_contrib"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ingestion integrity: surrogate-key continuity screen
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_id_continuity_screen",
+    oracle="""
+    SELECT CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(max(event_id) - min(event_id) + 1
+                - count(DISTINCT event_id) AS BIGINT) AS n_missing,
+           CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+             AS n_duplicated
+    FROM events
+    """,
+    tags=("DQ", "profiling"),
+)
+def quality_id_continuity_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Surrogate-key continuity screen: holes and duplicates in the
+    event_id sequence from five exact aggregates — missing = span
+    minus distinct, duplicated = rows minus distinct.  The first check
+    an ingestion pipeline runs after a backfill (holes = dropped
+    batches, duplicates = at-least-once delivery leaking through
+    dedup), non-vacuous by construction because the span/rows/distinct
+    triple is always reported.
+
+    One aggregate; the distinct-count partials combine map-side.  At
+    100 TB swap count(DISTINCT) for approx_count_distinct and treat
+    n_missing as an estimate — the screen's decision (investigate or
+    not) tolerates that."""
+    e = table(spark, sf_dir, "events")
+    return e.agg(
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct"),
+        (
+            F.max("event_id") - F.min("event_id") + 1
+            - F.countDistinct("event_id")
+        ).alias("n_missing"),
+        (F.count(F.lit(1)) - F.countDistinct("event_id")).alias(
+            "n_duplicated"
+        ),
+    )

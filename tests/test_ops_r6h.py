@@ -157,3 +157,43 @@ def test_knn_outliers_planted_lonely_vector(spark, tmp_path):
     assert got[0]["vec_id"] == 99
     assert got[0]["knn3_sim"] < -0.9  # anti-aligned with the cluster
     assert all(r["knn3_sim"] > 0.9 for r in got if r["vec_id"] != 99)
+
+
+def test_id_continuity_planted_holes_and_dups(spark, monkeypatch):
+    """ids {1,2,2,5}: span 5, distinct 3 -> 2 missing (3,4), 1 dup."""
+    ev = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:00", 1, "t", 1.0) for i in (1, 2, 2, 5)],
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "'{}' AS props",
+    )
+    monkeypatch.setattr(prof, "table", lambda s, d, n: ev)
+    row = prof.quality_id_continuity_screen(spark, "x").collect()[0]
+    assert row["min_id"] == 1 and row["max_id"] == 5
+    assert row["n_rows"] == 4 and row["n_distinct"] == 3
+    assert row["n_missing"] == 2 and row["n_duplicated"] == 1
+
+
+def test_peak_hour_earliest_tie_and_share(spark, monkeypatch):
+    """Type 'a': hours 9 and 17 tie at 3 events each (plus one at 12):
+    the peak is the EARLIEST tied hour (9) with share 3/7."""
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh2
+
+    rows = []
+    for h, n in ((9, 3), (17, 3), (12, 1)):
+        rows += [(f"2024-01-01 {h:02d}:00:00", u, "a") for u in range(n)]
+    ev = spark.createDataFrame(
+        [(i, ts, u, et, 1.0) for i, (ts, u, et) in enumerate(rows)],
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "'{}' AS props",
+    )
+    monkeypatch.setattr(bh2, "table", lambda s, d, n: ev)
+    row = bh2.behavior_peak_hour_profile(spark, "x").collect()[0]
+    assert row["peak_hour"] == 9 and row["peak_count"] == 3
+    assert row["n_events"] == 7
+    assert row["peak_share_bps"] == 10000 * 3 // 7
