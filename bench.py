@@ -142,6 +142,15 @@ def main() -> None:
     )
 
     enable_shared_pairs_cache(True)
+    # Same discipline for the HyperBall register rounds: the sketch
+    # states are computed once per session and the whole family
+    # (anf-eval, effective diameter, harmonic centrality, bounded
+    # truth) reads the checkpoints (VERDICT r6 #4).
+    from fortisiem_clickhouse_monitor_spark.operators.graph import (
+        enable_shared_hb_cache,
+    )
+
+    enable_shared_hb_cache(True)
     qs = entrymod.queries()
     # Full-registry coverage: the curated HEADLINE order first (stable
     # names keep round-over-round comparisons meaningful), then every
@@ -207,20 +216,28 @@ def main() -> None:
     # Persist the FULL per-query artifact in-repo so round-over-round
     # per-query comparison never depends on the driver's truncated output
     # tail (r2 vs r3 visible sets were disjoint; VERDICT r3 item #3).
-    # Round number comes from $SPARK_GRAFT_ROUND when the driver sets it,
-    # else "latest" so local runs still refresh a stable file.
-    round_tag = os.environ.get("SPARK_GRAFT_ROUND", "latest")
-    full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "docs",
-        f"bench_r{round_tag}_full.json",
-    )
-    try:
-        with open(full_path, "w") as fh:
-            json.dump(result, fh, indent=1, sort_keys=True)
-            fh.write("\n")
-    except OSError as exc:
-        print(f"[bench] could not persist {full_path}: {exc}", file=sys.stderr)
+    # Two artifacts (VERDICT r6 #2 — driver post-close runs used to dirty
+    # the tracked tree):
+    #   - docs/bench_latest_full.json: UNTRACKED (gitignored), rewritten
+    #     by every run — the stable local-iteration target that
+    #     tests/test_audit.py and tools/scaling_curves.py read first.
+    #   - docs/bench_r<tag>_full.json: TRACKED snapshot, written only
+    #     when the builder opts in via $SPARK_GRAFT_ROUND.
+    docs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs")
+    paths = [os.path.join(docs, "bench_latest_full.json")]
+    round_tag = os.environ.get("SPARK_GRAFT_ROUND")
+    if round_tag:
+        paths.append(os.path.join(docs, f"bench_r{round_tag}_full.json"))
+    for full_path in paths:
+        try:
+            with open(full_path, "w") as fh:
+                json.dump(result, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+        except OSError as exc:
+            print(
+                f"[bench] could not persist {full_path}: {exc}",
+                file=sys.stderr,
+            )
     print(json.dumps(result))
 
 

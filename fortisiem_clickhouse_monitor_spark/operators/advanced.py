@@ -2911,7 +2911,7 @@ _LTTB_BUCKETS = 12
 def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Largest-Triangle-Three-Buckets decimation of the daily series
     (Steinarsson) in its PARALLEL variant: endpoints kept, interior
-    points split into {_LTTB_BUCKETS} buckets, and each bucket keeps
+    points split into 12 (_LTTB_BUCKETS) buckets, and each bucket keeps
     the point maximizing the triangle area against the NEIGHBOR BUCKET
     MEANS (the sequential variant anchors on the previously-selected
     point — a chain; replacing it with the previous bucket's mean is
@@ -2943,9 +2943,9 @@ def timeseries_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "y",
         "idx",
-        ((F.col("idx") - 2) * _LTTB_BUCKETS / (F.col("m") - 2))
-        .cast("long")
-        .alias("b"),
+        # Long integer division (`div`) matching the oracle's `//`
+        # exactly at any scale; float-divide + cast drifts past 2^53.
+        F.expr(f"((idx - 2) * {_LTTB_BUCKETS}) div (m - 2)").alias("b"),
     )
     bstats = interior.groupBy("b").agg(
         F.sum("idx").cast("long").alias("sx"),

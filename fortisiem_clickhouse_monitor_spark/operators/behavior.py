@@ -3636,14 +3636,18 @@ _SESSION_GAP_S = 1800
       FROM events
     ),
     marked AS (
-      SELECT user_id, t,
+      SELECT user_id, ts, event_id, t,
              CASE WHEN prev_t IS NULL OR t - prev_t > {_SESSION_GAP_S}
                   THEN 1 ELSE 0 END AS new_session
       FROM ordered
     ),
     sess AS (
+      -- Running sum ordered by the SAME (ts, event_id) key as the lag:
+      -- t is second-truncated, so ordering by t alone leaves same-second
+      -- ties nondeterministic and can split a boundary session
+      -- differently per engine/run.
       SELECT user_id, t,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY t
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM marked
     ),
@@ -3663,7 +3667,7 @@ _SESSION_GAP_S = 1800
     tags=("BEHAV",),
 )
 def behavior_sessions_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch sessionization with a {_SESSION_GAP_S // 60}-minute
+    """Batch sessionization with a 30-minute (_SESSION_GAP_S)
     inactivity cutoff — the batch twin of stream_session_windows'
     stateful session gap, expressed as gaps-and-islands: a session
     starts where the gap to the previous event exceeds the cutoff, the
@@ -3688,9 +3692,12 @@ def behavior_sessions_gap30(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0),
     )
+    # Ordered by the SAME (ts, event_id) key as the lag window above —
+    # t is second-truncated, so ordering the running sum by t alone
+    # makes same-second ties around a gap boundary engine-dependent.
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("t", "event_id")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = marked.withColumn("session_id", F.sum("new_session").over(wrun))
@@ -3745,15 +3752,15 @@ _SMA_SLOW = 28
     tags=("TREND",),
 )
 def trend_sma_crossover_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moving-average crossover detector ({_SMA_FAST}-day vs
-    {_SMA_SLOW}-day SMA of daily total value): the classic
+    """Moving-average crossover detector (7-day _SMA_FAST vs
+    28-day _SMA_SLOW SMA of daily total value): the classic
     trend-reversal signal, emitted only for days with a full slow
     window, with ``crossed`` marking the days the fast average moves
     through the slow one.
 
     Integer-exact on purpose: values go to micro-unit BIGINTs at the
     daily rollup, and the SMA comparison is cross-multiplied
-    ({_SMA_SLOW}*sum_fast vs {_SMA_FAST}*sum_slow) so the
+    (28*sum_fast vs 7*sum_slow) so the
     boundary-sign question that would make a float crossover flip
     between engines never involves a float at all — same fixed-point
     discipline as the cohort value curves.

@@ -135,72 +135,82 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle bit-for-bit. At 100 TB the same kernel runs per block
     after the groupBy shuffle; a block too big for one matrix tiles
     into row-chunks against the same column space."""
-    import numpy as np
-    import pandas as pd
+    docs = _bucketed_token_docs(spark, sf_dir)
+    pairs = docs.groupBy("lang", "bucket").applyInPandas(
+        _jaccard_block_pairs, _BLOCK_PAIRS_SCHEMA
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("inter").cast("double") / F.col("uni"), 4).alias("jaccard"),
+    )
 
-    d = table(spark, sf_dir, "documents")
-    docs = d.select(
+
+_BLOCK_PAIRS_SCHEMA = "doc_a long, doc_b long, inter long, uni long"
+
+
+def _bucketed_token_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_chars/100 bucket, distinct tokens) — the shared
+    blocking frame for the Jaccard pair kernels."""
+    return table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 100).cast("int").alias("bucket"),
         F.array_distinct(textfns.tokens("text")).alias("toks"),
     )
 
-    out_schema = "doc_a long, doc_b long, inter long, uni long"
-    # Cap the GEMM working set: a skewed (lang, bucket) block of n docs
-    # would otherwise allocate an n x n similarity matrix in one task.
-    # Tiling row-chunks against the full column space bounds peak memory
-    # at tile x n while producing identical pairs — the jumbo block
-    # still runs in ONE task (that's the groupBy contract), but it can
-    # no longer OOM it, only take longer. Planted-jumbo-block unit test:
-    # tests/test_dedup_similarity.py.
+
+def _jaccard_block_pairs(pdf):
+    """One block's exact Jaccard>=0.8 pairs via a binary
+    incidence-matrix GEMM (see dedup_ngram_jaccard_pairs).  Tiling
+    caps the GEMM working set: a skewed block of n docs would
+    otherwise allocate an n x n similarity matrix in one task; row
+    chunks against the full column space bound peak memory at
+    tile x n with identical pairs — the jumbo block still runs in ONE
+    task (that's the groupBy contract), but it can no longer OOM it,
+    only take longer.  Planted-jumbo-block unit test:
+    tests/test_dedup_similarity.py."""
+    import numpy as np
+    import pandas as pd
+
     tile = _JACCARD_TILE
-
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        empty = pd.DataFrame(
-            {c: pd.Series(dtype="int64") for c in ("doc_a", "doc_b", "inter", "uni")}
-        )
-        if n < 2:
-            return empty
-        ids = pdf["doc_id"].to_numpy()
-        vocab: dict = {}
-        ri, ci = [], []
-        for i, toks in enumerate(pdf["toks"]):
-            for t in toks:
-                ci.append(vocab.setdefault(t, len(vocab)))
-                ri.append(i)
-        if not vocab:
-            return empty
-        m = np.zeros((n, len(vocab)), dtype=np.float32)
-        m[ri, ci] = 1.0
-        sizes = m.sum(axis=1).astype(np.int64)
-        outs = []
-        for lo in range(0, n, tile):
-            hi = min(lo + tile, n)
-            inter = (m[lo:hi] @ m.T).astype(np.int64)
-            uni = sizes[lo:hi, None] + sizes[None, :] - inter
-            with np.errstate(divide="ignore", invalid="ignore"):
-                ok = (inter.astype(np.float64) / uni >= 0.8) & (uni > 0)
-            ai, bj = np.where(ok & (ids[lo:hi, None] < ids[None, :]))
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "doc_a": ids[lo + ai],
-                        "doc_b": ids[bj],
-                        "inter": inter[ai, bj],
-                        "uni": uni[ai, bj],
-                    }
-                )
-            )
-        return pd.concat(outs, ignore_index=True) if outs else empty
-
-    pairs = docs.groupBy("lang", "bucket").applyInPandas(block_pairs, out_schema)
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        F.round(F.col("inter").cast("double") / F.col("uni"), 4).alias("jaccard"),
+    n = len(pdf)
+    empty = pd.DataFrame(
+        {c: pd.Series(dtype="int64") for c in ("doc_a", "doc_b", "inter", "uni")}
     )
+    if n < 2:
+        return empty
+    ids = pdf["doc_id"].to_numpy()
+    vocab: dict = {}
+    ri, ci = [], []
+    for i, toks in enumerate(pdf["toks"]):
+        for t in toks:
+            ci.append(vocab.setdefault(t, len(vocab)))
+            ri.append(i)
+    if not vocab:
+        return empty
+    m = np.zeros((n, len(vocab)), dtype=np.float32)
+    m[ri, ci] = 1.0
+    sizes = m.sum(axis=1).astype(np.int64)
+    outs = []
+    for lo in range(0, n, tile):
+        hi = min(lo + tile, n)
+        inter = (m[lo:hi] @ m.T).astype(np.int64)
+        uni = sizes[lo:hi, None] + sizes[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ok = (inter.astype(np.float64) / uni >= 0.8) & (uni > 0)
+        ai, bj = np.where(ok & (ids[lo:hi, None] < ids[None, :]))
+        outs.append(
+            pd.DataFrame(
+                {
+                    "doc_a": ids[lo + ai],
+                    "doc_b": ids[bj],
+                    "inter": inter[ai, bj],
+                    "uni": uni[ai, bj],
+                }
+            )
+        )
+    return pd.concat(outs, ignore_index=True) if outs else empty
 
 
 # ---------------------------------------------------------------------------
@@ -549,22 +559,35 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Cosine near-dup threshold for the registered pair query.  A
+#: PARAMETER, not a plan choice: production embedding dedup runs the
+#: identical kernel at 0.9+ (SemDeDup-style), but the synthetic
+#: fixture embeddings are near-orthogonal (max pairwise cosine 0.48 /
+#: 0.51 / 0.60 at sf0.001/0.01/0.1), so a 0.9 cutoff made the query a
+#: vacuous empty-vs-empty green for six rounds until the r7
+#: non-vacuous gate flagged it.  0.45 yields a real, hash-checkable
+#: pair set at every SF (7 / 14 / 144 pairs).
+_COSINE_NEAR_DUP_TAU = 0.45
+
+
 @register(
     "dedup_embedding_cosine_pairs",
-    oracle="""
+    oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[],
                                         b.embedding::DOUBLE[]), 4) AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                       b.embedding::DOUBLE[]), 4) >= 0.9
+                                       b.embedding::DOUBLE[]), 4)
+          >= {_COSINE_NEAR_DUP_TAU}
     """,
     tags=("DD", "ANN"),
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: pairs with cosine >= 0.9. Brute-force O(n^2)
-    pair generation as the correctness baseline (the LSH-bucketed scale
-    path is sim_ann_lsh_bucketed in operators/similarity.py).
+    """Embedding near-dup: pairs with cosine >= _COSINE_NEAR_DUP_TAU.
+    Brute-force O(n^2) pair generation as the correctness baseline (the
+    LSH-bucketed scale path is sim_ann_lsh_bucketed in
+    operators/similarity.py).
 
     Each vector is L2-normalized ONCE on the map side (O(n) higher-order
     fn), so per-pair work is a single Arrow-batched dot product
@@ -577,16 +600,17 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Scale route: once the index exceeds the broadcast-size bound, the
     # per-worker full-index GEMM below is the wrong plan — switch to
     # the banded LSH kernel (same columns and rounding; exact
-    # precision, ~99% recall at cos>=0.9, no full-index structure in
-    # any task).  Fixture-scale runs stay on the exact brute kernel,
-    # which is what the oracle checks.
+    # precision, recall ~99% at cos>=0.9 and ~95% at the fixture's
+    # 0.45 tau, no full-index structure in any task).  Fixture-scale
+    # runs stay on the exact brute kernel, which is what the oracle
+    # checks.
     from . import similarity as _sim
 
     if (
         _sim.index_row_count(f"{sf_dir}/embeddings.parquet")
         > _sim.BRUTE_INDEX_MAX_ROWS
     ):
-        return _sim.banded_cosine_pairs(e, 0.9)
+        return _sim.banded_cosine_pairs(e, _COSINE_NEAR_DUP_TAU)
 
     def normalize(ids_np, mat):
         norms = np.linalg.norm(mat, axis=1)
@@ -620,7 +644,8 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             sims = np.round(rb.sims(a_mat), 4)
             ai, bj = np.where(
-                (sims >= 0.9) & (a_ids[:, None] < rb_ids[None, :])
+                (sims >= _COSINE_NEAR_DUP_TAU)
+                & (a_ids[:, None] < rb_ids[None, :])
             )
             yield pd.DataFrame(
                 {
@@ -2452,10 +2477,34 @@ def _probe_edit_distance(spark: SparkSession, sf_dir: str) -> int:
 # ---------------------------------------------------------------------------
 
 
+#: Cross-lang pair generation blocks on the LENGTH BUCKET ONLY.  The
+#: main pair kernel blocks on (lang, bucket) — correct for monolingual
+#: dedup but structurally incapable of producing a cross-lang edge, so
+#: the old implementation (components of the lang-blocked graph,
+#: HAVING n_langs >= 2) was empty BY CONSTRUCTION and slid through six
+#: rounds as an empty-vs-empty oracle green until the r7 non-vacuous
+#: gate flagged it.
+_CROSS_LANG_CC_SQL = f"""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS bucket,
+             list_distinct({_DUCK_TOKENS}) AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM docs a JOIN docs b
+        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE)
+            / (len(a.toks) + len(b.toks)
+               - len(list_filter(a.toks, t -> list_contains(b.toks, t)))) >= 0.8
+    )
+"""
+
+
 @register(
     "dedup_cross_lang_components",
     oracle=f"""
-    {_CC_PAIRS_SQL},
+    {_CROSS_LANG_CC_SQL},
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION ALL
@@ -2486,13 +2535,31 @@ def dedup_cross_lang_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights trust the labels).  Monolingual dedup never surfaces
     these; this is the multilingual-corpus screen.
 
-    Reuses the oracle-proven CC subtree (dedup_connected_components)
-    and adds one doc-keyed join + per-component lang rollup — the
-    sorted distinct-lang list is collected per COMPONENT (bounded by
-    duplicate-cluster size, the same bound the whole dedup family
-    rides), never per partition."""
-    comp = dedup_connected_components(spark, sf_dir)
+    Pair generation therefore blocks on the length bucket ONLY (see
+    _CROSS_LANG_CC_SQL: the lang-blocked main kernel cannot emit a
+    cross-lang edge, which made the old form vacuous by construction);
+    the same tiled incidence-matrix GEMM kernel scores each bucket.
+    Components come from the oracle-proven alternating-star
+    contraction; the sorted distinct-lang list is collected per
+    COMPONENT (bounded by duplicate-cluster size, the same bound the
+    whole dedup family rides), never per partition.  At 100 TB the
+    bucket-only blocking is the documented quadratic baseline exactly
+    like the main pair query — the scale path swaps in the
+    lang-agnostic MinHash LSH banding with the identical downstream."""
+    docs = _bucketed_token_docs(spark, sf_dir)
+    pairs = docs.groupBy("bucket").applyInPandas(
+        _jaccard_block_pairs, _BLOCK_PAIRS_SCHEMA
+    ).select("doc_a", "doc_b")
+    stars, _ = alternating_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    membership = stars.select(
+        F.col("v").alias("doc_id"), F.col("u").alias("component")
+    )
     d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    comp = d.select("doc_id").join(membership, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
     return (
         comp.join(d, "doc_id")
         .groupBy("component")
@@ -2509,9 +2576,14 @@ def dedup_cross_lang_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register_probe("dedup_cross_lang_components")
 def _probe_cross_lang(spark: SparkSession, sf_dir: str) -> int:
-    """Dominant intermediate: the near-dup edge list the CC subtree
-    contracts (identical to dedup_connected_components' input)."""
-    return shared_ngram_pairs(spark, sf_dir).count()
+    """Dominant intermediate: the bucket-only-blocked near-dup edge
+    list the CC subtree contracts."""
+    docs = _bucketed_token_docs(spark, sf_dir)
+    return (
+        docs.groupBy("bucket")
+        .applyInPandas(_jaccard_block_pairs, _BLOCK_PAIRS_SCHEMA)
+        .count()
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1321,6 +1321,18 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANF_MAX_R = 3
 
+#: Exact-truth scope bound: components with more nodes than this are
+#: excluded from the exact pair-set materialization (they are the
+#: Sum s^3 near-cliques that made the unbounded form the suite's
+#: heaviest query — 14.9 s at sf0.1, alpha 0.88, 20x point
+#: unaffordable; VERDICT r6 #1).  Within the cap each component
+#: contributes at most cap^2 pairs however the corpus grows, so total
+#: work is linear in the NUMBER of components — the same discipline as
+#: graph_anf_hll_eval bounding its exact balls to the top-20 winners.
+#: The full-corpus operator is the HyperBall sketch; excluded mass is
+#: reported per row (n_nodes_excluded), never silently dropped.
+_ANF_COMPONENT_CAP = 64
+
 
 def _neighborhood_oracle() -> str:
     from .dedup import _CC_PAIRS_SQL
@@ -1346,13 +1358,39 @@ def _neighborhood_oracle() -> str:
     )
     return f"""
     {_CC_PAIRS_SQL},
-    sym AS (
-      SELECT doc_a AS u, doc_b AS v FROM pairs
-      UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL SELECT doc_b AS a, doc_a AS b FROM pairs
     ),
-    r1 AS (SELECT DISTINCT u, v FROM sym),
-    {joined}
-    {unions}
+    cc(node, label) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a
+    ),
+    labels AS (SELECT node, min(label) AS comp FROM cc GROUP BY node),
+    sizes AS (
+      SELECT comp, CAST(count(*) AS BIGINT) AS sz FROM labels GROUP BY comp
+    ),
+    kept AS (
+      SELECT l.node FROM labels l JOIN sizes s ON s.comp = l.comp
+      WHERE s.sz <= {_ANF_COMPONENT_CAP}
+    ),
+    -- components are edge-closed: a kept on one endpoint keeps both
+    sym AS (
+      SELECT DISTINCT e.a AS u, e.b AS v
+      FROM edges e JOIN kept k ON k.node = e.a
+    ),
+    r1 AS (SELECT u, v FROM sym),
+    {joined},
+    cov AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM kept)
+               AS n_nodes_in_scope,
+             (SELECT CAST(count(*) AS BIGINT) FROM labels)
+               - (SELECT CAST(count(*) AS BIGINT) FROM kept)
+               AS n_nodes_excluded
+    )
+    SELECT t.r, t.n_pairs, cov.n_nodes_in_scope, cov.n_nodes_excluded
+    FROM ({unions}) t, cov
     """
 
 
@@ -1364,46 +1402,83 @@ def _neighborhood_oracle() -> str:
 def graph_neighborhood_function(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Neighborhood function N(r) of the near-dup graph: ordered node
-    pairs within distance <= r for r = 1..{_ANF_MAX_R} — the
-    effective-diameter / connectivity profile (Palmer et al., "ANF: a
-    fast and scalable tool for data mining in massive graphs").  Read:
+    """BOUNDED exact neighborhood function N(r) of the near-dup graph:
+    ordered node pairs within distance <= r for r = 1..3 (_ANF_MAX_R),
+    restricted to components of at most 64 (_ANF_COMPONENT_CAP) nodes —
+    the connectivity profile of Palmer et al., "ANF: a fast and
+    scalable tool for data mining in massive graphs".  Read:
     N(2)/N(1) >> 1 means near-dup clusters chain (A~B~C without A~C),
     the signal that a pairwise threshold is fragmenting real duplicate
     groups and component-level dedup (dedup_connected_components) is
     required.
 
-    EXACT form: the reachable-pair set expands by one frontier join
-    per round, distinct-folded; affordable because reachable sets are
-    bounded by duplicate-cluster size (the invariant the whole dedup
-    family rides — components ARE the clusters).  On a general 100 TB
-    graph the exact pair set is quadratic in component size: swap the
-    distinct pair set for a per-node HyperLogLog register merged each
-    round (HyperBall), identical loop shape, O(|V| log log |V|)
-    state; the exact form here doubles as that sketch's truth, the
-    repo's standard eval pattern.  Each round localCheckpoints
-    (lineage truncation, PLANS.md) and the final result is a 3-row
-    lazy union of aggregates — no driver-side counting."""
-    from .dedup import shared_ngram_pairs
+    WHY bounded (VERDICT r6 #1): the unbounded exact form materializes
+    the distinct <=r reach PAIR set — Sum s^2 rows per component with
+    Sum s^3 pre-distinct join work — and was the suite's heaviest query
+    (14.9 s at sf0.1, alpha 0.88, 20x sweep point unaffordable): the
+    one plan that dies at 100x.  The bound is the same discipline as
+    graph_anf_hll_eval computing exact balls only for its top-20
+    winners: components are labeled first (alternating large/small-star
+    contraction, O(log n) rounds), components above the cap are
+    EXCLUDED from the exact pair materialization and counted in
+    n_nodes_excluded on every row, and within the cap each component
+    contributes at most cap^2 pairs however the corpus grows — total
+    work linear in the number of components.  The full-corpus operator
+    for arbitrarily large components is the HyperBall sketch
+    (graph_anf_hll_eval / graph_effective_diameter); this query is its
+    bounded truth side, and their eval contract survives because the
+    scope restriction is explicit in the output, not silent.
+
+    Plan: reachable-pair set expands by one frontier join per round
+    over the DELTA only (pairs at distance exactly r-1; expanding the
+    full reach set would re-pay the near-clique join every round).
+    Each round localCheckpoints (lineage truncation, PLANS.md); the
+    result is a 3-row lazy union of aggregates cross-joined with the
+    1-row coverage frame — no driver-side counting."""
+    from .dedup import alternating_components, shared_ngram_pairs
 
     pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    stars, _ = alternating_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    labels = (
+        stars.select(F.col("v").alias("node"), F.col("u").alias("comp"))
+        .unionByName(
+            stars.select(F.col("u").alias("node"), F.col("u").alias("comp"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+    # sizes is metadata-sized (one row per component) — broadcast the
+    # membership filter instead of shuffling the label table.
+    kept = labels.join(
+        F.broadcast(sizes.filter(F.col("sz") <= _ANF_COMPONENT_CAP)), "comp"
+    ).select("node")
+    cov = labels.agg(F.count(F.lit(1)).alias("n_lab")).crossJoin(
+        F.broadcast(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+    ).select(
+        F.col("n_kept").cast("long").alias("n_nodes_in_scope"),
+        (F.col("n_lab") - F.col("n_kept"))
+        .cast("long")
+        .alias("n_nodes_excluded"),
+    )
     sym = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
-    # Checkpoint the symmetrized edge list ONCE: every round's join
-    # reads it, and without the checkpoint each round would re-execute
-    # the Jaccard GEMM subtree underneath.
-    sym = sym.distinct().localCheckpoint(eager=True)
+    # Components are edge-closed, so a semi-join on u keeps exactly the
+    # in-scope edges.  Checkpoint ONCE: every round's join reads it,
+    # and without the checkpoint each round re-executes the Jaccard
+    # GEMM subtree underneath.
+    sym = (
+        sym.join(kept, sym["u"] == kept["node"], "leftsemi")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e2 = sym.select(F.col("u").alias("m"), F.col("v").alias("w"))
     reach = sym
-    # BFS DELTA expansion: only pairs at distance EXACTLY r-1 need
-    # their frontier expanded — if dist(u,v) <= r-2 then every w in
-    # N(v) is already within r-1.  Expanding the full reach set each
-    # round re-pays the whole s^3 near-clique join on every round;
-    # the delta makes round 3+ nearly free once clusters saturate
-    # (measured: 23 s -> ~13 s at sf0.1 for _ANF_MAX_R = 3).
     delta = sym
     out = reach.agg(
         F.lit(1).cast("long").alias("r"),
@@ -1426,23 +1501,44 @@ def graph_neighborhood_function(
                 F.count(F.lit(1)).alias("n_pairs"),
             )
         )
-    return out
+    return out.crossJoin(F.broadcast(cov))
 
 
 @register_probe("graph_neighborhood_function")
 def _probe_neighborhood(spark: SparkSession, sf_dir: str) -> int:
     """Dominant work: the PRE-DISTINCT frontier-join output summed
-    over rounds (for near-clique components this is the Sum s^3 term
-    in round 2, then ~0 once clusters saturate) — counting only the
-    final reach set would understate the work the joins actually do."""
-    from .dedup import shared_ngram_pairs
+    over rounds WITHIN the component-size cap (per component at most
+    cap^3, so the sum is linear in component count) — counting only
+    the final reach set would understate the work the joins actually
+    do.  The CC labeling that establishes the scope is measured by the
+    dedup_connected_components family's own curves."""
+    from .dedup import alternating_components, shared_ngram_pairs
 
     pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    stars, _ = alternating_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    labels = (
+        stars.select(F.col("v").alias("node"), F.col("u").alias("comp"))
+        .unionByName(
+            stars.select(F.col("u").alias("node"), F.col("u").alias("comp"))
+        )
+        .distinct()
+    )
+    sizes = labels.groupBy("comp").agg(F.count(F.lit(1)).alias("sz"))
+    kept = labels.join(
+        F.broadcast(sizes.filter(F.col("sz") <= _ANF_COMPONENT_CAP)), "comp"
+    ).select("node")
     sym = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    ).distinct().localCheckpoint(eager=True)
+    )
+    sym = (
+        sym.join(kept, sym["u"] == kept["node"], "leftsemi")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     e2 = sym.select(F.col("u").alias("m"), F.col("v").alias("w"))
     reach, delta, total = sym, sym, 0
     for _ in range(2, _ANF_MAX_R + 1):
@@ -1497,6 +1593,73 @@ def _hb_merge_round(sym: DataFrame, regs: DataFrame) -> DataFrame:
         .agg(F.max("m_rho").alias("m_rho"))
         .localCheckpoint(eager=True)
     )
+
+
+_SHARED_HB_ON = False
+_SHARED_HB: dict = {}
+
+
+def enable_shared_hb_cache(on: bool = True) -> None:
+    """Opt a long-lived session (bench.py owns one) into computing the
+    HyperBall register rounds ONCE per (session, sf_dir) and serving
+    the whole family — graph_anf_hll_eval, graph_effective_diameter,
+    graph_harmonic_centrality_sketch, and the bounded truth query —
+    from the checkpointed states (VERDICT r6 #4; same rationale as
+    dedup.enable_shared_pairs_cache: a production pipeline materializes
+    the sketch once and derives every statistic from it).
+
+    OFF by default: the correctness gate and the scaling sweeps must
+    execute each query's full tree."""
+    global _SHARED_HB_ON
+    _SHARED_HB_ON = on
+    if not on:
+        _SHARED_HB.clear()
+
+
+def hb_register_rounds(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The shared HyperBall subtree: (sym, [regs after round 1, ...,
+    regs after round _HB_ROUNDS]).  sym is the distinct symmetrized
+    near-dup edge list; each register state is localCheckpointed
+    because it feeds both the next round and one or more estimate
+    branches (without the checkpoint each branch re-executes the pairs
+    GEMM underneath — measured 19.3 s on the harmonic sketch)."""
+    from ..functions import hll
+    from .dedup import shared_ngram_pairs
+
+    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    h = hll.hash_col(F.col("node"))
+    regs = nodes.select(
+        "node", hll.bucket_of(h), hll.rho_of(h).alias("m_rho")
+    ).localCheckpoint(eager=True)
+    rounds = []
+    for _ in range(_HB_ROUNDS):
+        regs = _hb_merge_round(sym, regs)
+        rounds.append(regs)
+    return sym, rounds
+
+
+def shared_hb_registers(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Per-session-cached :func:`hb_register_rounds` when the bench
+    cache is on, else computed fresh."""
+    if not _SHARED_HB_ON:
+        return hb_register_rounds(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    if key not in _SHARED_HB:
+        _SHARED_HB[key] = hb_register_rounds(spark, sf_dir)
+    return _SHARED_HB[key]
 
 
 def _anf_hll_oracle() -> str:
@@ -1579,7 +1742,7 @@ def graph_anf_hll_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     function THE WAY IT RUNS AT 100 TB — with its accuracy eval in one
     query, following the repo's sketch discipline (every approximate
     operator ships with exact-vs-estimate audit rows): each node
-    carries a {_HB_ROUNDS}-round bucket-wise-max-merged HyperLogLog
+    carries a 2-round (_HB_ROUNDS) bucket-wise-max-merged HyperLogLog
     register set of its r-hop ball; the 20 nodes the SKETCH ranks
     highest are then spot-checked against their exact 2-hop ball
     (computed by frontier joins from just those 20 seeds — the
@@ -1603,30 +1766,10 @@ def graph_anf_hll_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node estimates derive from exact int64 register sums, so the
     eval is hash-exact, not tolerance-checked."""
     from ..functions import hll
-    from .dedup import shared_ngram_pairs
-
-    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sym = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(
-            pairs.select(
-                F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
-            )
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    # HyperBall registers: init = self, then bucket-wise max merges
-    nodes = sym.select(F.col("u").alias("node")).distinct()
-    h = hll.hash_col(F.col("node"))
-    regs = nodes.select(
-        "node", hll.bucket_of(h), hll.rho_of(h).alias("m_rho")
-    )
-    # Per-round lineage truncation + size-gated broadcast merge, shared
-    # with the harmonic sibling (_hb_merge_round).
-    regs = regs.localCheckpoint(eager=True)
-    for _ in range(_HB_ROUNDS):
-        regs = _hb_merge_round(sym, regs)
+    # Register rounds from the family-shared subtree (per-session
+    # cached under bench; fresh under the gate and the sweeps).
+    sym, rounds = shared_hb_registers(spark, sf_dir)
+    regs = rounds[-1]
     ests = regs.groupBy("node").agg(
         F.round(
             hll.estimate_col(
@@ -1885,7 +2028,7 @@ def graph_harmonic_centrality_sketch(
     for Centrality" / "In-Core Computation of Geometric Centralities
     with HyperBall"): H(v) = sum_r (|B_r(v)| - |B_(r-1)(v)|) / r,
     every term read off the SAME per-round sketch states the
-    neighborhood function keeps (truncated at r = {_HB_ROUNDS} like
+    neighborhood function keeps (truncated at r = 2 = _HB_ROUNDS like
     graph_anf_hll_eval — on this graph's small diameters that covers
     most of the mass; deeper ranks cost one more |E|-join each).
 
@@ -1899,24 +2042,6 @@ def graph_harmonic_centrality_sketch(
     for these registers lives in graph_anf_hll_eval (one eval per
     sketch family, per the repo discipline)."""
     from ..functions import hll
-    from .dedup import shared_ngram_pairs
-
-    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sym = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(
-            pairs.select(
-                F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
-            )
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    nodes = sym.select(F.col("u").alias("node")).distinct()
-    h = hll.hash_col(F.col("node"))
-    regs = nodes.select(
-        "node", hll.bucket_of(h), hll.rho_of(h).alias("m_rho")
-    )
 
     def est_of(r: DataFrame, name: str) -> DataFrame:
         return r.groupBy("node").agg(
@@ -1925,17 +2050,11 @@ def graph_harmonic_centrality_sketch(
             ).alias(name)
         )
 
-    # Each round's register table feeds BOTH the next round and its own
-    # estimate branch: checkpoint per round so the shared subtree (and
-    # the pairs GEMM above it) executes once, not once per branch —
-    # without this the three-way estimate join re-ran the whole
-    # register pipeline per branch (measured 19.3 s -> anf-eval band).
-    regs = regs.localCheckpoint(eager=True)
-    ests = []
-    for i in range(_HB_ROUNDS):
-        regs = _hb_merge_round(sym, regs)
-        ests.append(est_of(regs, f"e{i + 1}"))
-    e1, e2 = ests
+    # Register rounds from the family-shared subtree (per-session
+    # cached under bench; each round state is checkpointed there
+    # because it feeds both the next round and this estimate branch).
+    _sym, rounds = shared_hb_registers(spark, sf_dir)
+    e1, e2 = (est_of(r, f"e{i + 1}") for i, r in enumerate(rounds))
     return (
         e1.join(e2, "node")
         .select(
@@ -2525,7 +2644,7 @@ def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANF/HyperANF was published to compute (Palmer et al.; Boldi/Rosa/
     Vigna report exactly this interpolated quantile): the smallest r
     (linearly interpolated) at which the average ball covers 90% of
-    its r={_HB_ROUNDS} value.  Read: eff_diameter ≈ 1 means near-dup
+    its r=2 (_HB_ROUNDS) value.  Read: eff_diameter ≈ 1 means near-dup
     clusters are cliques (threshold is tight); approaching 2 means
     chains dominate and component-level dedup is load-bearing.
 
@@ -2535,25 +2654,13 @@ def graph_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
     size-gated broadcast merge rounds (_hb_merge_round), so the whole
     query costs the anf sketch minus its eval stage."""
     from ..functions import hll
-    from .dedup import shared_ngram_pairs
 
-    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sym = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Register rounds from the family-shared subtree (per-session
+    # cached under bench; fresh under the gate and the sweeps).
+    sym, rounds = shared_hb_registers(spark, sf_dir)
     nodes = sym.select(F.col("u").alias("node")).distinct()
-    h = hll.hash_col(F.col("node"))
-    regs = nodes.select(
-        "node", hll.bucket_of(h), hll.rho_of(h).alias("m_rho")
-    ).localCheckpoint(eager=True)
     totals = [nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))]
-    for i in range(_HB_ROUNDS):
-        regs = _hb_merge_round(sym, regs)
+    for i, regs in enumerate(rounds):
         per_node = regs.groupBy("node").agg(
             hll.estimate_col(
                 F.sum(F.expr(hll.REG_TERM_EXPR)), F.count(F.lit(1))

@@ -168,14 +168,27 @@ def join_semi_orders_with_big_items(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+    )
     """,
     tags=("J4",),
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS) — set-difference on keys."""
+    """Left-anti join (NOT EXISTS) — set-difference on keys, with the
+    right side filtered BEFORE the join (the filter must push below
+    the anti-join build side, not run as a post-filter).  The date
+    cutoff makes it the dormant-customer screen: in the fixtures every
+    customer has SOME order (the unfiltered form was a vacuous
+    empty-vs-empty green for six rounds until the r7 non-vacuous gate
+    flagged it), while 'no orders since 1999' is a real, SF-stable
+    population (6 / 29 / 305 rows at sf0.001/0.01/0.1)."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1999-01-01"
+    )
     return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
         "c_custkey", "c_name"
     )

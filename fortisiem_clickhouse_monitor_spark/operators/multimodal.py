@@ -1245,8 +1245,9 @@ def mm_audio_clipping_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_samples",
         "n_clipped",
-        (1000000 * F.col("n_clipped") / F.col("n_samples"))
-        .cast("long")
-        .alias("clip_ppm"),
+        # Long integer division (`div`) matching the oracle's `//`
+        # exactly at any scale — double division + cast is only exact
+        # while 1000000*n_clipped stays within 2^53.
+        F.expr("(1000000 * n_clipped) div n_samples").alias("clip_ppm"),
         F.coalesce(F.col("mr"), F.lit(0).cast("long")).alias("max_clip_run"),
     )

@@ -350,20 +350,27 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey AS partkey, round(val, 2) AS part_value
     FROM pv
-    WHERE val > (SELECT 0.001 * sum(val) FROM pv)
+    WHERE val > (SELECT 1.5 * avg(val) FROM pv)
     """,
     tags=("A-ext", "subquery"),
 )
 def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 analog: HAVING against a global-total scalar.  The
-    per-part aggregate is computed once and reused for both the scalar
-    (second, tiny aggregation) and the filter — a 1-row broadcast
-    cross join, not a rescan of lineitem."""
+    """TPC-H Q11 analog: HAVING against a global scalar.  The per-part
+    aggregate is computed once and reused for both the scalar (second,
+    tiny aggregation) and the filter — a 1-row broadcast cross join,
+    not a rescan of lineitem.
+
+    Threshold is MEAN-relative (1.5x the average part value), not a
+    fixed fraction of the total: the spec's fraction is 0.0001/SF —
+    SF-dependent by design — and a fixed 0.001 went vacuous the moment
+    the part count passed 1000 (every share fell below it; the r7
+    non-vacuous gate caught exactly that).  Mean-relative is scale-free:
+    the 'important' set stays a stable tail at any corpus size."""
     li = table(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val")
     )
-    total = pv.agg((F.sum("val") * 0.001).alias("threshold"))
+    total = pv.agg((F.avg("val") * 1.5).alias("threshold"))
     return (
         pv.join(F.broadcast(total))
         .filter(F.col("val") > F.col("threshold"))

@@ -41,18 +41,32 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _default_driver_memory() -> str:
+    """min(24g, ~50% of host RAM): local-mode executors share the
+    driver heap, and 32 concurrent tasks + broadcast builds +
+    localCheckpoint blocks were brushing the old 8g ceiling on 10-20x
+    sweep sessions (stage failures at localCheckpoint with GCLocker
+    retry noise) — but a flat 24g default would let local-mode JVMs
+    grow past physical RAM on smaller hosts (swap / OOM-killer), so
+    the default is host-derived.  Override via SPARK_DRIVER_MEM."""
+    try:
+        total = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        half_gib = max(1, int(total / (2 * 1024**3)))
+    except (ValueError, OSError, AttributeError):
+        half_gib = 8  # conservative when the host won't say
+    return f"{min(24, half_gib)}g"
+
+
 def get_spark(app_name: str = "fcm-spark") -> SparkSession:
     """Build a local session mirroring the driver's environment."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        # 24g: local-mode executors share the driver heap, so 32
-        # concurrent tasks + broadcast builds + localCheckpoint blocks
-        # were brushing the old 8g ceiling on 10-20x sweep sessions
-        # (stage failures at localCheckpoint with GCLocker retry noise).
-        # The bench/test host has 128 GiB; override via SPARK_DRIVER_MEM.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEM", _default_driver_memory()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         # Twice now (k-truss r5, effective-diameter r6 sweeps) a 10-20x

@@ -169,16 +169,28 @@ def type_parity(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]
     return problems
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+def compare(
+    spark_df,
+    con: duckdb.DuckDBPyConnection,
+    sql: str,
+    require_rows: bool = False,
+) -> list[str]:
     """Return a list of mismatch descriptions (empty == parity).
 
     DuckDB results are fetched through Arrow — the same materialization
     path the driver's hasher uses — so HUGEINT/DOUBLE type divergence
     fails here exactly as it fails there (fetchall() would silently
     convert HUGEINT back to int and mask it).
+
+    ``require_rows=True`` additionally fails a 0-row Spark result even
+    when the oracle is also 0 rows: two empty frames hash-match
+    vacuously, proving nothing about the operator (two such greens were
+    hand-fixed across r4-r5; VERDICT r6 #5 makes it a gate).
     """
     scols = spark_df.columns
     srows = [tuple(r) for r in spark_df.collect()]
+    if require_rows and not srows:
+        return ["vacuous: spark returned 0 rows (empty-vs-empty proves nothing)"]
     res = con.execute(sql)
     tbl = res.fetch_arrow_table()
     ocols = list(tbl.column_names)
@@ -203,3 +215,30 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
         else:
             problems.append("value mismatch in tail rows")
     return problems
+
+
+def latest_bench_artifact(repo_root: str) -> str | None:
+    """Path of the freshest full-bench artifact, or None.
+
+    Prefers the UNTRACKED ``docs/bench_latest_full.json`` (rewritten by
+    every local bench run; gitignored so driver post-close runs cannot
+    dirty the tree — VERDICT r6 #2), falling back to the
+    highest-numbered tracked ``docs/bench_r<N>_full.json`` snapshot so
+    a fresh clone still audits against the last committed round.
+    """
+    import glob
+    import os
+    import re
+
+    latest = os.path.join(repo_root, "docs", "bench_latest_full.json")
+    if os.path.exists(latest):
+        return latest
+    best, best_key = None, None
+    for p in glob.glob(os.path.join(repo_root, "docs", "bench_r*_full.json")):
+        m = re.match(r"bench_r(\d+)([a-z]\d*)?_full\.json", os.path.basename(p))
+        if not m:
+            continue
+        key = (int(m.group(1)), m.group(2) or "")
+        if best_key is None or key > best_key:
+            best, best_key = p, key
+    return best

@@ -67,9 +67,13 @@ def test_heavy_queries_have_curves():
     import json
     import os
 
+    from fortisiem_clickhouse_monitor_spark.testing import (
+        latest_bench_artifact,
+    )
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    bench_path = os.path.join(repo, "docs", "bench_rlatest_full.json")
-    if not os.path.exists(bench_path):
+    bench_path = latest_bench_artifact(repo)
+    if bench_path is None:
         pytest.skip("no bench artifact yet")
     bench = json.load(open(bench_path))["queries"]
     registered = set(entrymod.queries())

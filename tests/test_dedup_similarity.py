@@ -594,17 +594,45 @@ def test_ivf_knn_join_high_recall_on_clusters(spark):
 
 
 def test_scale_route_activates_above_threshold(spark, monkeypatch):
-    """Routing smoke on the driver fixture: with the threshold forced
-    to 0 both operators take the banded/IVF path end-to-end and agree
-    with the brute output shape (the fixture's brute pair set is empty,
-    and the knn join still returns <=k rows for every vector)."""
+    """Routing differential on the driver fixture: with the threshold
+    forced to 0 both operators take the banded/IVF path end-to-end.
+    The banded pairs must be a SUBSET of the brute truth with identical
+    rounded cosines (exact precision) at high recall — the fixture's
+    tau (_COSINE_NEAR_DUP_TAU) admits a real pair set, so this is a
+    value check, not a shape check."""
+    import duckdb
+
     from fortisiem_clickhouse_monitor_spark.operators import dedup, similarity
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+    )
+    truth = {
+        (a, b): s
+        for a, b, s in con.execute(
+            f"""SELECT * FROM (
+                  SELECT a.vec_id, b.vec_id,
+                    round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[]), 4) AS cs
+                  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                ) WHERE cs >= {dedup._COSINE_NEAR_DUP_TAU}"""
+        ).fetchall()
+    }
+    assert len(truth) > 0  # the fixture tau is non-vacuous
 
     monkeypatch.setattr(similarity, "BRUTE_INDEX_MAX_ROWS", 0)
 
     pairs = dedup.dedup_embedding_cosine_pairs(spark, SF_SMALL)
     assert pairs.columns == ["vec_a", "vec_b", "cos_sim"]
-    assert pairs.count() == 0  # same as brute: fixture has no >=0.9 pairs
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"] for r in pairs.collect()
+    }
+    assert set(got) <= set(truth)
+    for k, v in got.items():
+        assert abs(truth[k] - v) < 5e-4, k  # float32 storage ulp
+    assert len(got) >= 0.7 * len(truth), f"banded recall {len(got)}/{len(truth)}"
 
     knn = similarity.sim_knn_join_topk(spark, SF_SMALL)
     assert knn.columns == ["vec_id", "neighbor_id", "cos_sim"]

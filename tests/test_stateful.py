@@ -623,3 +623,224 @@ def test_stateful_funnel_matches_batch(spark, tmp_path):
     assert len(per_stage[2]) == b["n_click_after_signup"]
     assert len(per_stage[3]) == b["n_purchase_after_click"]
     assert per_stage[3] <= per_stage[2] <= per_stage[1]
+
+
+# ---------------------------------------------------------------------------
+# Timeout-resume differentials (VERDICT r6 #7): the CUSUM carry bug
+# existed because only sentinel flushes were tested — each
+# timeout-bearing stateful op gets the same adversarial shape: state
+# closed by a MID-STREAM watermark timeout in phase 1, checkpoint
+# restart, new events for the same key in phase 2, union compared to
+# the batch/reference twin.
+# ---------------------------------------------------------------------------
+
+
+def _mk_events(rows):
+    """rows: (event_id, ts, user_id, event_type, value) -> schema rows."""
+    return [(eid, ts, uid, etype, val, "{}") for eid, ts, uid, etype, val in rows]
+
+
+def _phased_runner(spark, tmp_path, name, transform):
+    """(append_file, run_phase) pair over a file source + file sink +
+    shared checkpoint — the memory sink cannot recover from a
+    checkpoint, and the restart IS what these tests exercise."""
+    import time as _time
+
+    stream_dir = str(tmp_path / f"{name}_events")
+    ckpt = str(tmp_path / f"{name}_ckpt")
+    sink_dir = str(tmp_path / f"{name}_out")
+
+    def append_file(rows):
+        spark.createDataFrame(
+            _mk_events(rows), schema=jobs.EVENTS_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(stream_dir)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    def run_phase():
+        stream = jobs.events_stream(spark, stream_dir, max_files_per_trigger=1)
+        q = (
+            transform(stream)
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.awaitTermination(180)
+        return spark.read.parquet(sink_dir).collect()
+
+    return append_file, run_phase
+
+
+def test_stateful_sessionizer_timeout_resume(spark, tmp_path):
+    """User 1's first session is closed by the GLOBAL watermark
+    (advanced by user 2's events) MID-STREAM in phase 1; phase 2
+    restarts from the checkpoint, user 1 opens a new session, and the
+    union of both phases must equal the batch session_window twin."""
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    f1 = [
+        (1, t0, 1, "click", 1.0),
+        (2, t0 + 5 * m, 1, "click", 2.0),
+        (3, t0 + 6 * m, 2, "click", 3.0),
+    ]
+    # u1's session times out at last+gap = t0+35m; u2's t0+50m event
+    # pushes the 10-minute watermark to t0+40m, and the next file's
+    # batch gives the state store a batch in which to fire it.
+    f2 = [(4, t0 + 50 * m, 2, "click", 4.0)]
+    f3 = [(5, t0 + 55 * m, 2, "click", 5.0)]
+    f4 = [
+        (6, t0 + 120 * m, 1, "click", 6.0),
+        (7, t0 + 121 * m, 2, "click", 7.0),
+    ]
+    sent1 = [(-1, t0 + dt.timedelta(days=1), -1, "sentinel", 0.0)]
+    sent2 = [(-2, t0 + dt.timedelta(days=2), -1, "sentinel", 0.0)]
+    real = f1 + f2 + f3 + f4
+
+    append_file, run_phase = _phased_runner(
+        spark, tmp_path, "sess_resume", stateful.sessionize
+    )
+    for f in (f1, f2, f3):
+        append_file(f)
+    got1 = [r for r in run_phase() if r["user_id"] == 1]
+    # the mid-stream timeout, not an end-of-stream flush, closed S1
+    assert len(got1) == 1 and got1[0]["n_events"] == 2
+
+    for f in (f4, sent1, sent2):
+        append_file(f)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        for r in run_phase()
+        if r["user_id"] >= 0
+    }
+    ev = spark.createDataFrame(_mk_events(real), schema=jobs.EVENTS_SCHEMA)
+    w = F.session_window("ts", f"{stateful.SESSION_GAP_SECONDS} seconds")
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["total_value"], 6),
+        )
+        for r in ev.groupBy(w.alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+        .collect()
+    }
+    assert got == expected
+    # u1: {t0, t0+5m} and {t0+120m}; u2: {t0+6m}, {t0+50m, t0+55m}
+    # (44-min gap splits), {t0+121m}
+    assert len(got) == 5
+
+
+def test_stateful_throttle_timeout_resume(spark, tmp_path):
+    """User 1's open throttle window is proven over by the watermark
+    (advanced by user 2) MID-STREAM in phase 1 and its page row emits
+    then; phase 2 restarts from the checkpoint and a fresh window
+    anchors.  Final pages per user must equal the reference fold over
+    the full event list."""
+    t0 = dt.datetime(2024, 3, 2, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    f1 = [
+        (1, t0, 1, "error", 0.0),
+        (2, t0 + 2 * m, 1, "error", 0.0),
+        (3, t0 + 5 * m, 1, "error", 0.0),
+        (4, t0 + 1 * m, 2, "error", 0.0),
+    ]
+    # u1's window ends t0+10m; u2's t0+25m event pushes the watermark
+    # to t0+15m, the next batch fires the timeout.
+    f2 = [(5, t0 + 25 * m, 2, "error", 0.0)]
+    f3 = [(6, t0 + 26 * m, 2, "error", 0.0)]
+    f4 = [
+        (7, t0 + 30 * m, 1, "error", 0.0),
+        (8, t0 + 31 * m, 1, "error", 0.0),
+    ]
+    sent1 = [(-1, t0 + dt.timedelta(days=1), -1, "sentinel", 0.0)]
+    sent2 = [(-2, t0 + dt.timedelta(days=2), -1, "sentinel", 0.0)]
+    real = f1 + f2 + f3 + f4
+
+    append_file, run_phase = _phased_runner(
+        spark, tmp_path, "thr_resume", stateful.throttle
+    )
+    for f in (f1, f2, f3):
+        append_file(f)
+    got1 = [r for r in run_phase() if r["user_id"] == 1]
+    assert len(got1) == 1 and got1[0]["n_suppressed"] == 2
+
+    for f in (f4, sent1, sent2):
+        append_file(f)
+    rows = [r for r in run_phase() if r["user_id"] >= 0]
+    got = {}
+    for r in rows:
+        got.setdefault(r["user_id"], []).append(
+            (r["page_ts"], r["alert_event_id"], r["n_suppressed"])
+        )
+    for u in got:
+        got[u].sort()
+
+    win_us = stateful.THROTTLE_WINDOW_SECONDS * 1_000_000
+    expected = {}
+    per_user: dict = {}
+    for eid, ts, uid, _t, _v in sorted(real, key=lambda x: (x[1], x[0])):
+        per_user.setdefault(uid, []).append(
+            (int(ts.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000), eid)
+        )
+    for uid, evs in per_user.items():
+        cur, pages = None, []
+        for t, eid in evs:
+            if cur is None:
+                cur = [t, eid, 0]
+            elif t - cur[0] <= win_us:
+                cur[2] += 1
+            else:
+                pages.append(tuple(cur))
+                cur = [t, eid, 0]
+        pages.append(tuple(cur))
+        expected[uid] = sorted(
+            (dt.datetime.fromtimestamp(t / 1e6, dt.timezone.utc).replace(tzinfo=None), eid, n)
+            for t, eid, n in pages
+        )
+    assert got == expected
+
+
+def test_stateful_funnel_restart_resume(spark, tmp_path):
+    """Funnel state (stage, last_us) must survive a checkpoint restart:
+    user 1 completes signup+click in phase 1 and purchase in phase 2 —
+    stage 3 must emit exactly once in phase 2, never re-emitting
+    stages 1-2 (the batch twin's exactly-once-per-stage contract)."""
+    t0 = dt.datetime(2024, 3, 3, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    f1 = [
+        (1, t0, 1, "signup", 0.0),
+        (2, t0 + m, 1, "click", 0.0),
+        (3, t0, 2, "signup", 0.0),
+        (4, t0 + m, 2, "click", 0.0),
+        (5, t0 + 2 * m, 2, "purchase", 0.0),
+    ]
+    f2 = [
+        (6, t0 + 10 * m, 1, "purchase", 0.0),
+        (7, t0 + 11 * m, 1, "purchase", 0.0),  # must NOT advance again
+    ]
+
+    append_file, run_phase = _phased_runner(
+        spark, tmp_path, "fun_resume", stateful.funnel
+    )
+    append_file(f1)
+    got1 = sorted((r["user_id"], r["stage"]) for r in run_phase())
+    assert got1 == [(1, 1), (1, 2), (2, 1), (2, 2), (2, 3)]
+
+    append_file(f2)
+    got = sorted((r["user_id"], r["stage"]) for r in run_phase())
+    assert got == [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 3)]

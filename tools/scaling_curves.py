@@ -60,17 +60,23 @@ SOFT_BUDGET_S = 150.0
 #: artifact (VERDICT r4 #3), not a hand-picked list.  The same rule is
 #: enforced by tests/test_audit.py::test_heavy_queries_have_curves.
 HEAVY_THRESHOLD_S = 2.0
-BENCH_ARTIFACT = "docs/bench_rlatest_full.json"
 
 
 def heavy_from_bench(
-    path: str = BENCH_ARTIFACT, threshold: float = HEAVY_THRESHOLD_S
+    path: str | None = None, threshold: float = HEAVY_THRESHOLD_S
 ) -> list[str]:
     """Names of registered queries over ``threshold`` seconds in the
     latest full bench artifact (empty if the artifact is missing)."""
+    from fortisiem_clickhouse_monitor_spark.testing import (
+        latest_bench_artifact,
+    )
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    p = path if os.path.isabs(path) else os.path.join(repo, path)
-    if not os.path.exists(p):
+    if path is None:
+        p = latest_bench_artifact(repo)
+    else:
+        p = path if os.path.isabs(path) else os.path.join(repo, path)
+    if p is None or not os.path.exists(p):
         return []
     bench = json.load(open(p))["queries"]
     # Intersect with the live registry: a renamed/deleted query still
