@@ -239,6 +239,7 @@ def enable_shared_pairs_cache(on: bool = True) -> None:
     _SHARED_PAIRS_ON = on
     if not on:
         _SHARED_PAIRS.clear()
+        _SHARED_STARS.clear()
 
 
 def shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,6 +255,32 @@ def shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, sf_dir
         ).localCheckpoint(eager=True)
     return _SHARED_PAIRS[key]
+
+
+#: (session id, sf_dir) -> star-forest contraction of the shared pairs.
+_SHARED_STARS: dict[tuple[int, str], DataFrame] = {}
+
+
+def shared_star_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-forest edges (u=component root, v=leaf) of the verified
+    near-dup graph, cached per bench session under the SAME flag as
+    shared_ngram_pairs — the production shape one step further: a real
+    dedup pipeline labels components once and fans out (CC labels,
+    canonical pick, cohesion, size histogram, bounded-ANF scope all
+    read the same labels), it does not re-contract the graph per
+    report.  Fresh when the cache is off (correctness gate, sweeps)."""
+    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    if not _SHARED_PAIRS_ON:
+        return alternating_components(edges)[0]
+    key = (id(spark), sf_dir)
+    if key not in _SHARED_STARS:
+        _SHARED_STARS[key] = alternating_components(edges)[
+            0
+        ].localCheckpoint(eager=True)
+    return _SHARED_STARS[key]
 
 
 # ---------------------------------------------------------------------------
@@ -798,10 +825,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains and high-degree skew, unlike the O(diameter) min-label
     propagation it replaces. The oracle is DuckDB's recursive CTE
     computing reachability mins — same fixpoint, declaratively."""
-    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    stars, _ = alternating_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
+    stars = shared_star_forest(spark, sf_dir)
     membership = stars.select(
         F.col("v").alias("doc_id"), F.col("u").alias("component")
     )
@@ -2777,10 +2801,7 @@ def dedup_component_size_histogram(
     the shared pairs subtree is cached once) and collapses them twice:
     label -> size, size -> histogram; both rollups combine map-side
     and the output domain is bounded by the largest cluster."""
-    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    stars, _ = alternating_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
+    stars = shared_star_forest(spark, sf_dir)
     membership = (
         table(spark, sf_dir, "documents")
         .select("doc_id")

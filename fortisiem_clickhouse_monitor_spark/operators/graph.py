@@ -1435,12 +1435,10 @@ def graph_neighborhood_function(
     Each round localCheckpoints (lineage truncation, PLANS.md); the
     result is a 3-row lazy union of aggregates cross-joined with the
     1-row coverage frame — no driver-side counting."""
-    from .dedup import alternating_components, shared_ngram_pairs
+    from .dedup import shared_ngram_pairs, shared_star_forest
 
     pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    stars, _ = alternating_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
+    stars = shared_star_forest(spark, sf_dir)
     labels = (
         stars.select(F.col("v").alias("node"), F.col("u").alias("comp"))
         .unionByName(
