@@ -4142,3 +4142,219 @@ def behavior_peak_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_share_bps"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: daily purchaser lifecycle states
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_purchaser_lifecycle_daily",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'purchase'
+    ),
+    marked AS (
+      SELECT user_id, day,
+             min(day) OVER (PARTITION BY user_id) AS first_day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+      FROM p
+    ),
+    states AS (
+      SELECT day,
+             CASE WHEN day = first_day THEN 'new'
+                  WHEN prev_day = day - INTERVAL 1 DAY THEN 'retained'
+                  ELSE 'resurrected' END AS state
+      FROM marked
+    ),
+    churns AS (
+      SELECT day + INTERVAL 1 DAY AS day
+      FROM marked
+      WHERE next_day IS NULL OR next_day <> day + INTERVAL 1 DAY
+    ),
+    active AS (
+      SELECT day,
+             CAST(count(*) FILTER (state = 'new') AS BIGINT) AS n_new,
+             CAST(count(*) FILTER (state = 'retained') AS BIGINT)
+               AS n_retained,
+             CAST(count(*) FILTER (state = 'resurrected') AS BIGINT)
+               AS n_resurrected
+      FROM states GROUP BY day
+    ),
+    churned AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_churned
+      FROM churns GROUP BY day
+    )
+    SELECT CAST(coalesce(a.day, c.day) AS DATE) AS day,
+           coalesce(a.n_new, 0) AS n_new,
+           coalesce(a.n_retained, 0) AS n_retained,
+           coalesce(a.n_resurrected, 0) AS n_resurrected,
+           coalesce(c.n_churned, 0) AS n_churned
+    FROM active a FULL OUTER JOIN churned c ON a.day = c.day
+    """,
+    tags=("BEHAV",),
+)
+def behavior_purchaser_lifecycle_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Daily growth accounting over purchasers (the classic
+    new / retained / resurrected / churned decomposition): a purchaser
+    is NEW on their first purchase day, RETAINED when they also
+    purchased the previous day, RESURRECTED when returning after a
+    gap, and a churn is booked on the day AFTER a purchase day with no
+    follow-up — so for every day, actives(d) = new + retained +
+    resurrected and retained(d) = actives(d-1) - churned(d), the
+    accounting identity that makes growth decomposable instead of a
+    single opaque DAU line.
+
+    Plan: one distinct (user, day) frame, one user-partitioned window
+    pass (min/lag/lead share the same sort), two day rollups and a
+    day-domain full outer join — every aggregate an exact BIGINT, no
+    per-user arrays, shuffles keyed on user_id once then day once."""
+    p = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id")
+    wo = wu.orderBy("day")
+    marked = p.select(
+        "user_id",
+        "day",
+        F.min("day").over(wu).alias("first_day"),
+        F.lag("day").over(wo).alias("prev_day"),
+        F.lead("day").over(wo).alias("next_day"),
+    )
+    states = marked.select(
+        "day",
+        F.when(F.col("day") == F.col("first_day"), "new")
+        .when(F.col("prev_day") == F.date_sub("day", 1), "retained")
+        .otherwise("resurrected")
+        .alias("state"),
+    )
+    active = states.groupBy("day").agg(
+        F.sum(F.when(F.col("state") == "new", 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("state") == "retained", 1).otherwise(0))
+        .cast("long")
+        .alias("n_retained"),
+        F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0))
+        .cast("long")
+        .alias("n_resurrected"),
+    )
+    churned = (
+        marked.filter(
+            F.col("next_day").isNull()
+            | (F.col("next_day") != F.date_add("day", 1))
+        )
+        .select(F.date_add("day", 1).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        active.join(churned, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+            F.coalesce("n_retained", F.lit(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0))
+            .cast("long")
+            .alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).cast("long").alias("n_churned"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap: user-set Jaccard between event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_audience_overlap",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+           round(CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both), 4)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+    tags=("BEHAV",),
+)
+def behavior_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: for every pair of event types, the
+    exact Jaccard of their USER sets — the segmentation question
+    ("are clickers and purchasers the same people?") answered with
+    set arithmetic instead of eyeballing two DAU lines.  Near-1
+    Jaccard between a cheap event and an expensive one makes the cheap
+    one a valid proxy metric; near-0 says the audiences are disjoint
+    and a shared funnel model is wrong.
+
+    Plan shape is the scale story: the pair join runs on the DISTINCT
+    (user, type) frame keyed by user_id, so each user contributes at
+    most C(|types|, 2) rows — bounded by the type-vocabulary size,
+    never by event volume — and the two size joins are broadcasts of a
+    |types|-row aggregate.  The same frame drives the sketched twin
+    (sketch_theta_intersection) when the type vocabulary itself
+    explodes; here the exact form is the oracle-checkable baseline."""
+    ut = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    sizes = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_a"),
+                                     F.col("n").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("event_type").alias("type_b"),
+                                     F.col("n").alias("n_b"))),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

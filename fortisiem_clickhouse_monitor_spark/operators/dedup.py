@@ -2822,3 +2822,88 @@ def dedup_component_size_histogram(
         (F.col("size") * F.count(F.lit(1))).alias("n_docs"),
         ((F.col("size") - 1) * F.count(F.lit(1))).alias("n_removable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Survivorship by source: who actually pays for dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_survivorship_by_source",
+    oracle=f"""
+    {_CC_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (c.component = d.doc_id) AS BIGINT)
+             AS n_kept,
+           CAST(count(*) FILTER (c.component <> d.doc_id) AS BIGINT)
+             AS n_dropped,
+           CAST((1000000 * count(*) FILTER (c.component <> d.doc_id))
+                // count(*) AS BIGINT) AS drop_ppm
+    FROM comp c JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+    tags=("DD", "ITER", "CORPUS"),
+)
+def dedup_survivorship_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-SOURCE dedup survivorship under the keep-component-min
+    policy: how many of each source's documents survive component
+    dedup and how many are dropped as duplicates of something else —
+    the table that turns a dedup pass into a data-sourcing decision
+    (a source whose drop_ppm approaches 10^6 is a re-crawl of content
+    already held elsewhere; paying for more of it buys nothing).
+
+    Reuses the session-shared star forest (label once, fan out) plus
+    one broadcast-dim join and a 20-row source rollup; drop_ppm is a
+    long integer division, exact at any scale.  Keep/drop here must
+    agree with dedup_canonical_docs BY CONSTRUCTION: both define the
+    survivor as component == doc_id (the component-min root)."""
+    stars = shared_star_forest(spark, sf_dir)
+    membership = stars.select(
+        F.col("v").alias("doc_id"), F.col("u").alias("component")
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = d.join(membership, "doc_id", "left").select(
+        "source",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+        "doc_id",
+    )
+    return (
+        labeled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("component") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(
+                F.when(F.col("component") != F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "n_dropped",
+            F.expr("(1000000 * n_dropped) div n_docs").alias("drop_ppm"),
+        )
+    )

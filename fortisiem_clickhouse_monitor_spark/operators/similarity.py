@@ -2679,3 +2679,81 @@ def sim_knn_distance_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("vec_id", "label", "knn3_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-search degree histogram: embedding-density screen
+# ---------------------------------------------------------------------------
+
+#: Range-search radius for the density screen.  On the synthetic
+#: near-orthogonal fixture embeddings the pairwise-cosine mass sits in
+#: [0.3, 0.6] (max 0.48/0.51/0.60 at sf0.001/0.01/0.1), so 0.35 yields
+#: a real degree distribution at every SF; production SemDeDup-style
+#: curation runs the identical kernel at its own radius — a parameter,
+#: not a plan change.
+_RANGE_TAU = 0.35
+
+
+@register(
+    "sim_range_degree_histogram",
+    oracle=f"""
+    WITH deg AS (
+      SELECT a.vec_id,
+             CAST(count(b.vec_id) AS BIGINT) AS degree
+      FROM embeddings a LEFT JOIN embeddings b
+        ON a.vec_id <> b.vec_id
+       AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 4)
+           >= {_RANGE_TAU}
+      GROUP BY a.vec_id
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM deg GROUP BY degree
+    """,
+    tags=("ANN", "DQ"),
+)
+def sim_range_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-density screen: for every vector, the number of OTHER
+    vectors within cosine >= 0.35 (_RANGE_TAU), rolled up into a
+    degree histogram — the sizing input for SemDeDup-style semantic
+    dedup (the degree distribution IS the cluster-size forecast: a
+    heavy tail means a few dense semantic clumps eat the dedup budget;
+    all-zero degrees means the radius is too tight to matter) and for
+    choosing k in kNN graph constructions.
+
+    Plan: the executor-side unit-index GEMM (functions/vectors) counts
+    per-row neighbors INSIDE each Arrow batch — only (vec_id, degree)
+    rows ever exist Spark-side, never the O(n^2) pair set, so the
+    query costs the same GEMM as the pair materialization but with
+    O(n) output however dense the radius.  Same round-then-threshold
+    discipline as the pair kernel, so both engines count the identical
+    neighbor sets.  At index sizes past the brute bound the identical
+    count runs per LSH/IVF cell (the routed kernels), losing only
+    cross-cell recall, never precision."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    index_path = f"{sf_dir}/embeddings.parquet"
+
+    def degrees(batches):
+        from ..functions.vectors import load_unit_index
+
+        rb = load_unit_index(index_path, "vec_id", "embedding")
+        rb_ids = rb.ids
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            norms = np.linalg.norm(mat, axis=1)
+            keep = norms > 0
+            ids, unit = ids[keep], mat[keep] / norms[keep, None]
+            sims = np.round(rb.sims(unit), 4)
+            hits = (sims >= _RANGE_TAU) & (ids[:, None] != rb_ids[None, :])
+            yield pd.DataFrame(
+                {"vec_id": ids, "degree": hits.sum(axis=1).astype("int64")}
+            )
+
+    deg = e.mapInPandas(degrees, schema="vec_id LONG, degree LONG")
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vectors"))

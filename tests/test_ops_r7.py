@@ -1,0 +1,127 @@
+"""Planted-fixture tests for the round-7 operators: purchaser
+lifecycle growth accounting, audience overlap, survivorship by source,
+and the embedding range-search degree histogram."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+import fortisiem_clickhouse_monitor_spark.operators.behavior as beh
+import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+import fortisiem_clickhouse_monitor_spark.operators.similarity as sim
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _ev(rows, spark):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, d, 12, 0, 0), u, t, 0.0, "{}")
+            for i, (d, u, t) in enumerate(rows)
+        ],
+        _EV_SCHEMA,
+    )
+
+
+def test_purchaser_lifecycle_planted(spark, monkeypatch):
+    """u1 purchases days 1,2,4; u2 day 2 only.  Accounting identity:
+    day1 new=1; day2 retained=1(u1) new=1(u2); day3 churned=2 (both
+    quiet after day 2); day4 resurrected=1 (u1 returns after a gap);
+    day5 churned=1 (u1's last day books churn the day after)."""
+    ev = _ev(
+        [(1, 1, "purchase"), (2, 1, "purchase"), (4, 1, "purchase"),
+         (2, 2, "purchase"), (3, 2, "view")],  # non-purchase is ignored
+        spark,
+    )
+    monkeypatch.setattr(beh, "table", lambda s, d, n: ev)
+    got = {
+        str(r["day"]): (
+            r["n_new"], r["n_retained"], r["n_resurrected"], r["n_churned"]
+        )
+        for r in beh.behavior_purchaser_lifecycle_daily(spark, "x").collect()
+    }
+    assert got == {
+        "2024-01-01": (1, 0, 0, 0),
+        "2024-01-02": (1, 1, 0, 0),
+        "2024-01-03": (0, 0, 0, 2),
+        "2024-01-04": (0, 0, 1, 0),
+        "2024-01-05": (0, 0, 0, 1),
+    }
+    # identity: actives(d) = actives(d-1) - churned(d) + new(d) + res(d)
+    a2 = sum(got["2024-01-02"][:3])
+    a4 = sum(got["2024-01-04"][:3])
+    assert a2 == 2 and a4 == 1
+
+
+def test_audience_overlap_planted(spark, monkeypatch):
+    """Users {1,2,3} do A, {2,3} do B, {4} does C: (A,B) Jaccard 2/3;
+    zero-intersection pairs are absent (inner-join contract)."""
+    ev = _ev(
+        [(1, 1, "A"), (2, 2, "A"), (3, 3, "A"), (4, 2, "A"),  # dup event
+         (5, 2, "B"), (6, 3, "B"), (7, 4, "C")],
+        spark,
+    )
+    monkeypatch.setattr(beh, "table", lambda s, d, n: ev)
+    rows = beh.behavior_audience_overlap(spark, "x").collect()
+    got = {(r["type_a"], r["type_b"]): r for r in rows}
+    assert set(got) == {("A", "B")}
+    r = got[("A", "B")]
+    assert (r["n_a"], r["n_b"], r["n_both"]) == (3, 2, 2)
+    assert abs(r["jaccard"] - round(2 / 3, 4)) < 1e-9
+
+
+def test_survivorship_by_source_planted(spark, monkeypatch):
+    """Component {1,2,3} keeps root 1; singleton 4 keeps itself.
+    Sources: 1,3 -> s1 (keep 1, drop 1); 2,4 -> s2 (keep 4, drop 2)."""
+    stars = spark.createDataFrame([(1, 2), (1, 3)], "u long, v long")
+    docs = spark.createDataFrame(
+        [(1, "s1"), (2, "s2"), (3, "s1"), (4, "s2")],
+        "doc_id long, source string",
+    )
+    monkeypatch.setattr(dd, "shared_star_forest", lambda s, d: stars)
+    monkeypatch.setattr(dd, "table", lambda s, d, n: docs)
+    got = {
+        r["source"]: (r["n_docs"], r["n_kept"], r["n_dropped"], r["drop_ppm"])
+        for r in dd.dedup_survivorship_by_source(spark, "x").collect()
+    }
+    assert got == {"s1": (2, 1, 1, 500000), "s2": (2, 1, 1, 500000)}
+
+
+def test_range_degree_histogram_planted(spark, tmp_path):
+    """v0==v1 (cos 1.0, degree 1 each), v2 orthogonal (0), v3 = -v0
+    (cos -1, 0): histogram {1: 2, 0: 2}."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf_dir = str(tmp_path / "sf_planted")
+    os.makedirs(sf_dir)
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": [v[0] for v in vecs],
+                "embedding": pa.array(
+                    [v[1] for v in vecs], type=pa.list_(pa.float32())
+                ),
+                "label": [0] * len(vecs),
+            }
+        ),
+        f"{sf_dir}/embeddings.parquet",
+    )
+    got = {
+        r["degree"]: r["n_vectors"]
+        for r in sim.sim_range_degree_histogram(spark, sf_dir).collect()
+    }
+    assert got == {0: 2, 1: 2}
