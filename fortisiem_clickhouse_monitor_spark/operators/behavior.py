@@ -4358,3 +4358,92 @@ def behavior_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency: click -> purchase lag distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_conversion_latency",
+    oracle="""
+    WITH first_click AS (
+      SELECT user_id, min(ts) AS t_click
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    first_purchase AS (
+      SELECT c.user_id,
+             min(e.ts) AS t_purchase, min(c.t_click) AS t_click
+      FROM first_click c JOIN events e
+        ON e.user_id = c.user_id
+       AND e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY c.user_id
+    ),
+    lat AS (
+      SELECT (epoch_us(CAST(t_purchase AS TIMESTAMP)) // 1000000
+              - epoch_us(CAST(t_click AS TIMESTAMP)) // 1000000) // 3600
+               AS hour_bucket
+      FROM first_purchase
+    )
+    SELECT CAST(hour_bucket AS BIGINT) AS hour_bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(count(*)) OVER (ORDER BY hour_bucket
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM lat GROUP BY hour_bucket
+    """,
+    tags=("BEHAV",),
+)
+def behavior_conversion_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Click-to-purchase conversion latency distribution: for every
+    user, the lag from their FIRST click to their first purchase
+    strictly after it, bucketed into hours — the curve that sets
+    attribution windows and funnel timeouts from data instead of
+    convention (if 95% of conversions land within N hours, an
+    attribution window beyond N only adds noise).  Complements the
+    funnel family: funnels count WHO converts, this measures WHEN.
+
+    Exactness: latencies are epoch-second BIGINT differences with a
+    long integer hour division; the histogram and its running total
+    are pure counts.  Plan: two user-keyed aggregates share one
+    shuffle, the purchase join is user-keyed (no time-range explosion
+    — the min() collapses it), and the cumulative sum runs over the
+    hour-bucket domain (bounded by the corpus time span, one task by
+    construction)."""
+    e = table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("t_purchase")
+    )
+    firsts = (
+        purchases.join(clicks, "user_id")
+        .filter(F.col("t_purchase") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(
+            F.min("t_purchase").alias("t_purchase"),
+            F.min("t_click").alias("t_click"),
+        )
+    )
+    lat = firsts.select(
+        F.expr(
+            "(unix_timestamp(t_purchase) - unix_timestamp(t_click)) div 3600"
+        ).alias("hour_bucket")
+    )
+    hist = lat.groupBy("hour_bucket").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = Window.orderBy("hour_bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return hist.select(
+        "hour_bucket",
+        "n_users",
+        F.sum("n_users").over(w).cast("long").alias("cum_users"),
+    )

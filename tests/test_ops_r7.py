@@ -125,3 +125,27 @@ def test_range_degree_histogram_planted(spark, tmp_path):
         for r in sim.sim_range_degree_histogram(spark, sf_dir).collect()
     }
     assert got == {0: 2, 1: 2}
+
+
+def test_conversion_latency_planted(spark, monkeypatch):
+    """u1: click day1 noon, purchase day1 13:30 -> bucket 1; u2: click
+    day1, purchase 30 min later -> bucket 0; u3 purchase BEFORE any
+    click -> excluded; u4 click only -> excluded."""
+    rows = [
+        (0, dt.datetime(2024, 1, 1, 12, 0), 1, "click"),
+        (1, dt.datetime(2024, 1, 1, 13, 30), 1, "purchase"),
+        (2, dt.datetime(2024, 1, 1, 12, 0), 2, "click"),
+        (3, dt.datetime(2024, 1, 1, 12, 30), 2, "purchase"),
+        (4, dt.datetime(2024, 1, 1, 11, 0), 3, "purchase"),
+        (5, dt.datetime(2024, 1, 1, 12, 0), 3, "click"),
+        (6, dt.datetime(2024, 1, 1, 12, 0), 4, "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, t, 0.0, "{}") for i, ts, u, t in rows], _EV_SCHEMA
+    )
+    monkeypatch.setattr(beh, "table", lambda s, d, n: ev)
+    got = {
+        r["hour_bucket"]: (r["n_users"], r["cum_users"])
+        for r in beh.behavior_conversion_latency(spark, "x").collect()
+    }
+    assert got == {0: (1, 1), 1: (1, 2)}
