@@ -261,22 +261,40 @@ def shared_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARED_STARS: dict[tuple[int, str], DataFrame] = {}
 
 
-def shared_star_forest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shared_star_forest(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
     """Star-forest edges (u=component root, v=leaf) of the verified
     near-dup graph, cached per bench session under the SAME flag as
     shared_ngram_pairs — the production shape one step further: a real
     dedup pipeline labels components once and fans out (CC labels,
     canonical pick, cohesion, size histogram, bounded-ANF scope all
     read the same labels), it does not re-contract the graph per
-    report.  Fresh when the cache is off (correctness gate, sweeps)."""
-    pairs = shared_ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    report.  Fresh when the cache is off (correctness gate, sweeps).
+
+    ``pairs``: a caller-materialized (doc_a, doc_b) frame to contract
+    on the FRESH path — callers that already checkpoint the pair list
+    for another subtree (cohesion's triangle counts) pass it so the
+    cache-off plan does not compute the pairs twice; ignored when the
+    session cache serves."""
     if not _SHARED_PAIRS_ON:
+        if pairs is None:
+            pairs = shared_ngram_pairs(spark, sf_dir).select(
+                "doc_a", "doc_b"
+            )
+        edges = pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
         return alternating_components(edges)[0]
     key = (id(spark), sf_dir)
     if key not in _SHARED_STARS:
+        edges = (
+            shared_ngram_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
+        )
         _SHARED_STARS[key] = alternating_components(edges)[
             0
         ].localCheckpoint(eager=True)
@@ -2362,9 +2380,10 @@ def graph_component_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
-    stars, _ = alternating_components(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    )
+    # Fresh path contracts the SAME checkpointed pairs that feed the
+    # triangle subtree (no double pair computation); a bench session
+    # serves the contraction from the shared star-forest cache.
+    stars = shared_star_forest(spark, sf_dir, pairs=pairs)
     comp = (
         table(spark, sf_dir, "documents")
         .select("doc_id")
@@ -2501,38 +2520,16 @@ def _probe_edit_distance(spark: SparkSession, sf_dir: str) -> int:
 # ---------------------------------------------------------------------------
 
 
-#: Cross-lang pair generation blocks on the LENGTH BUCKET ONLY.  The
-#: main pair kernel blocks on (lang, bucket) — correct for monolingual
-#: dedup but structurally incapable of producing a cross-lang edge, so
-#: the old implementation (components of the lang-blocked graph,
-#: HAVING n_langs >= 2) was empty BY CONSTRUCTION and slid through six
-#: rounds as an empty-vs-empty oracle green until the r7 non-vacuous
-#: gate flagged it.
-_CROSS_LANG_CC_SQL = f"""
-    WITH RECURSIVE docs AS (
-      SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS INTEGER) AS bucket,
-             list_distinct({_DUCK_TOKENS}) AS toks
-      FROM documents
-    ),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM docs a JOIN docs b
-        ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-      WHERE CAST(len(list_filter(a.toks, t -> list_contains(b.toks, t))) AS DOUBLE)
-            / (len(a.toks) + len(b.toks)
-               - len(list_filter(a.toks, t -> list_contains(b.toks, t)))) >= 0.8
-    )
-"""
-
-
 @register(
     "dedup_cross_lang_components",
     oracle=f"""
-    {_CROSS_LANG_CC_SQL},
+    WITH RECURSIVE xpairs AS (
+      SELECT doc_a, doc_b FROM ({_MINHASH_LSH_ORACLE})
+    ),
     edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
+      SELECT doc_a AS a, doc_b AS b FROM xpairs
       UNION ALL
-      SELECT doc_b AS a, doc_a AS b FROM pairs
+      SELECT doc_b AS a, doc_a AS b FROM xpairs
     ),
     cc(node, label) AS (
       SELECT doc_id, doc_id FROM documents
@@ -2549,31 +2546,35 @@ _CROSS_LANG_CC_SQL = f"""
     GROUP BY c.component
     HAVING count(DISTINCT d.lang) >= 2
     """,
-    tags=("DD", "ITER", "CORPUS"),
+    tags=("DD", "ITER", "CORPUS", "LSH"),
 )
 def dedup_cross_lang_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate components spanning two or more LANGUAGE labels —
-    either translation duplicates (the same content relabeled, worth
-    keeping once per language at most) or language-ID errors inside a
+    translation duplicates (the same content relabeled, worth keeping
+    once per language at most) or language-ID errors inside a
     duplicate cluster (worth fixing before per-language mixture
     weights trust the labels).  Monolingual dedup never surfaces
     these; this is the multilingual-corpus screen.
 
-    Pair generation therefore blocks on the length bucket ONLY (see
-    _CROSS_LANG_CC_SQL: the lang-blocked main kernel cannot emit a
-    cross-lang edge, which made the old form vacuous by construction);
-    the same tiled incidence-matrix GEMM kernel scores each bucket.
-    Components come from the oracle-proven alternating-star
-    contraction; the sorted distinct-lang list is collected per
-    COMPONENT (bounded by duplicate-cluster size, the same bound the
-    whole dedup family rides), never per partition.  At 100 TB the
-    bucket-only blocking is the documented quadratic baseline exactly
-    like the main pair query — the scale path swaps in the
-    lang-agnostic MinHash LSH banding with the identical downstream."""
-    docs = _bucketed_token_docs(spark, sf_dir)
-    pairs = docs.groupBy("bucket").applyInPandas(
-        _jaccard_block_pairs, _BLOCK_PAIRS_SCHEMA
-    ).select("doc_a", "doc_b")
+    Edge generation HISTORY is the design lesson: the main pair kernel
+    blocks on (lang, bucket) and is therefore structurally incapable
+    of a cross-lang edge — components of that graph with n_langs >= 2
+    were empty BY CONSTRUCTION, an empty-vs-empty oracle green for six
+    rounds until the r7 non-vacuous gate flagged it.  A bucket-only
+    rewrite of the exact GEMM kernel fixed the semantics but merged
+    every language into each length block — 25x the block FLOPs, an
+    89 s 20x sweep point.  The shipped form uses the repo's LSH scale
+    path as the PRIMARY plan: edges are dedup_minhash_lsh_pairs'
+    lang-agnostic banded candidates verified at shingle-Jaccard >= 0.5
+    (md5-based signatures both engines compute bit-identically, so the
+    probabilistic candidate set is still hash-exact cross-engine), then
+    the alternating-star contraction labels components and one
+    doc-keyed join rolls up the per-component distinct-lang list
+    (bounded by duplicate-cluster size).  Shingle Jaccard is also the
+    semantically honest threshold here: token-SET overlap is inflated
+    across languages by shared vocabulary, while shared word ORDER is
+    what marks a translation-duplicate pair."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     stars, _ = alternating_components(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
@@ -2600,14 +2601,9 @@ def dedup_cross_lang_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register_probe("dedup_cross_lang_components")
 def _probe_cross_lang(spark: SparkSession, sf_dir: str) -> int:
-    """Dominant intermediate: the bucket-only-blocked near-dup edge
-    list the CC subtree contracts."""
-    docs = _bucketed_token_docs(spark, sf_dir)
-    return (
-        docs.groupBy("bucket")
-        .applyInPandas(_jaccard_block_pairs, _BLOCK_PAIRS_SCHEMA)
-        .count()
-    )
+    """Dominant intermediate: the banded candidate pair list the CC
+    subtree contracts (the LSH band join's output)."""
+    return dedup_minhash_lsh_pairs(spark, sf_dir).count()
 
 
 # ---------------------------------------------------------------------------

@@ -570,3 +570,62 @@ def funnel(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming conversion latency: first click -> first subsequent purchase
+# ---------------------------------------------------------------------------
+
+CONV_OUTPUT_SCHEMA = "user_id LONG, latency_s LONG, purchase_ts TIMESTAMP"
+#: (first click epoch-us, -1 = none yet; done = 1 after the one emission)
+CONV_STATE_SCHEMA = "click_us LONG, done LONG"
+
+
+def conversion_latency_fn(
+    key, pdf_iter: "Iterator[pd.DataFrame]", state
+) -> Iterator[pd.DataFrame]:
+    """Emit, exactly once per user, the lag from their FIRST click to
+    the first purchase STRICTLY after it — the streaming twin of
+    behavior_conversion_latency (whose hour histogram is one groupBy
+    over these rows).  State is two longs; the click anchor and the
+    done flag both survive micro-batch boundaries and checkpoint
+    restarts.  latency_s floors each timestamp to seconds BEFORE
+    subtracting, matching the batch query's unix_timestamp() grain."""
+    (user_id,) = key
+    click_us, done = state.get if state.exists else (-1, 0)
+    out_lat, out_ts = [], []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+            if done:
+                break
+            us = int(ts.value // 1000)
+            if etype == "click" and click_us < 0:
+                click_us = us
+            elif etype == "purchase" and 0 <= click_us < us:
+                done = 1
+                out_lat.append(us // 1_000_000 - click_us // 1_000_000)
+                out_ts.append(ts)
+    state.update((click_us, done))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(out_lat),
+            "latency_s": pd.Series(out_lat, dtype="int64"),
+            "purchase_ts": out_ts,
+        }
+    )
+
+
+def conversion_latency(stream: DataFrame) -> DataFrame:
+    """Streaming conversion-latency rows over an events-shaped stream.
+    Same cross-batch caveat as first_seen/funnel: the click-before-
+    purchase ordering is exact when the source preserves event-time
+    order across micro-batches (the replay harness does); within a
+    batch events are explicitly sorted."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        conversion_latency_fn,
+        outputStructType=CONV_OUTPUT_SCHEMA,
+        stateStructType=CONV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -494,21 +494,15 @@ def test_dau_mau_stickiness_planted(spark, monkeypatch):
 
 def test_cross_lang_components_planted(spark, monkeypatch):
     """Component {1,2,3} with langs {en,en,zh} -> reported with
-    langs='en,zh'; monolingual component {10,11} -> excluded.  Pairs
-    flow through the REAL bucket-only-blocked GEMM kernel (identical
-    token sets within a bucket => jaccard 1.0 edges): cross-lang edges
-    like (2,3) exist precisely because lang is NOT a blocking key."""
+    langs='en,zh'; monolingual component {10,11} -> excluded.  The
+    edge source is the lang-agnostic LSH pair kernel (planted here;
+    the oracle gate exercises the real kernel, where the fixtures'
+    planted translation duplicates make the screen non-vacuous)."""
     import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
 
-    toks = spark.createDataFrame(
-        [
-            (1, "en", 0, ["a", "b"]),
-            (2, "en", 0, ["a", "b"]),
-            (3, "zh", 0, ["a", "b"]),
-            (10, "de", 1, ["x", "y"]),
-            (11, "de", 1, ["x", "y"]),
-        ],
-        "doc_id long, lang string, bucket int, toks array<string>",
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 0.6), (10, 11, 0.9)],
+        "doc_a long, doc_b long, jaccard double",
     )
     docs = spark.createDataFrame(
         [
@@ -519,7 +513,7 @@ def test_cross_lang_components_planted(spark, monkeypatch):
         ],
         _DOC_SCHEMA,
     )
-    monkeypatch.setattr(dd, "_bucketed_token_docs", lambda s, d: toks)
+    monkeypatch.setattr(dd, "dedup_minhash_lsh_pairs", lambda s, d: pairs)
     monkeypatch.setattr(dd, "table", lambda s, d, n: docs)
     out = dd.dedup_cross_lang_components(spark, "x").collect()
     assert len(out) == 1

@@ -844,3 +844,63 @@ def test_stateful_funnel_restart_resume(spark, tmp_path):
     append_file(f2)
     got = sorted((r["user_id"], r["stage"]) for r in run_phase())
     assert got == [(1, 1), (1, 2), (1, 3), (2, 1), (2, 2), (2, 3)]
+
+
+def test_stateful_conversion_latency_restart_and_batch_match(
+    spark, tmp_path
+):
+    """Streaming conversion latency: (a) the click anchor survives a
+    checkpoint restart (click in phase 1, purchase in phase 2 -> one
+    row, correct lag); (b) replaying sf0.001 events file-per-trigger,
+    the hour histogram over the emitted rows equals the batch
+    behavior_conversion_latency table exactly."""
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    t0 = dt.datetime(2024, 3, 4, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    f1 = [
+        (1, t0, 1, "click", 0.0),
+        (2, t0 + m, 2, "click", 0.0),
+        (3, t0 + 2 * m, 2, "purchase", 0.0),
+        (4, t0 + 3 * m, 2, "purchase", 0.0),  # second purchase ignored
+    ]
+    f2 = [(5, t0 + 90 * m, 1, "purchase", 0.0)]  # phase-2 conversion
+
+    append_file, run_phase = _phased_runner(
+        spark, tmp_path, "conv_resume", stateful.conversion_latency
+    )
+    append_file(f1)
+    got1 = {(r["user_id"], r["latency_s"]) for r in run_phase()}
+    assert got1 == {(2, 60)}
+
+    append_file(f2)
+    got = {(r["user_id"], r["latency_s"]) for r in run_phase()}
+    assert got == {(2, 60), (1, 5400)}  # u1 converts across the restart
+
+    # (b) full-corpus differential vs the batch histogram
+    ev = table(spark, SF_SMALL, "events")
+    out = str(tmp_path / "conv_events")
+    ev.orderBy("ts", "event_id").coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    stream = jobs.events_stream(spark, out, max_files_per_trigger=1)
+    q = (
+        stateful.conversion_latency(stream)
+        .writeStream.format("memory")
+        .queryName("t_conv")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM t_conv").collect()
+    hist: dict = {}
+    for r in rows:
+        hist[r["latency_s"] // 3600] = hist.get(r["latency_s"] // 3600, 0) + 1
+    batch = {
+        r["hour_bucket"]: r["n_users"]
+        for r in bh.behavior_conversion_latency(spark, SF_SMALL).collect()
+    }
+    assert hist == batch
+    assert len(batch) > 0
