@@ -149,3 +149,56 @@ def test_conversion_latency_planted(spark, monkeypatch):
         for r in beh.behavior_conversion_latency(spark, "x").collect()
     }
     assert got == {0: (1, 1), 1: (1, 2)}
+
+
+def test_purchaser_lifecycle_random_differential(spark, monkeypatch):
+    """Seeded pseudo-random purchase calendar for 40 users x 12 days:
+    the operator must equal a pure-Python growth-accounting recompute
+    on every day, and the accounting identity actives(d) =
+    actives(d-1) - churned(d) + new(d) + resurrected(d) must hold on
+    every day in the span (the property that makes the decomposition
+    trustworthy, asserted beyond the hand-planted case)."""
+    import random
+
+    rng = random.Random(20260816)
+    cal = {
+        u: sorted(rng.sample(range(1, 13), rng.randint(1, 6)))
+        for u in range(1, 41)
+    }
+    rows, eid = [], 0
+    for u, days in cal.items():
+        for d in days:
+            rows.append((d, u, "purchase"))
+    ev = _ev(rows, spark)
+    monkeypatch.setattr(beh, "table", lambda s, d, n: ev)
+    got = {
+        r["day"].day: (
+            r["n_new"], r["n_retained"], r["n_resurrected"], r["n_churned"]
+        )
+        for r in beh.behavior_purchaser_lifecycle_daily(spark, "x").collect()
+    }
+
+    # pure-python recompute
+    exp: dict = {}
+    for u, days in cal.items():
+        ds = set(days)
+        for d in days:
+            state = (
+                "new" if d == days[0]
+                else "retained" if d - 1 in ds
+                else "resurrected"
+            )
+            row = exp.setdefault(d, [0, 0, 0, 0])
+            row[{"new": 0, "retained": 1, "resurrected": 2}[state]] += 1
+            if d + 1 not in ds:
+                exp.setdefault(d + 1, [0, 0, 0, 0])[3] += 1
+    assert got == {d: tuple(v) for d, v in exp.items()}
+
+    # accounting identity over the full span
+    span = range(min(got), max(got) + 1)
+    act = {d: sum(got.get(d, (0, 0, 0, 0))[:3]) for d in span}
+    for d in span:
+        if d == min(got):
+            continue
+        n, _r, res, ch = got.get(d, (0, 0, 0, 0))
+        assert act[d] == act.get(d - 1, 0) - ch + n + res, d
