@@ -2221,61 +2221,56 @@ def sim_kcenter_farthest_points(
     relevance-bounded candidate pool; k-center sweeps the WHOLE
     corpus with no query.
 
-    Architecture: each of the k-1 rounds is ONE map-only pass over the
-    corpus — the selected vectors ride along as a single broadcast
-    array-of-structs row, the per-vector score is a higher-order
-    transform + array_max (no join, no shuffle), and the argmin is a
-    TakeOrdered(1) — so nothing fact-sized ever reaches the driver
-    (the greedy's sequential k is irreducible: each pick conditions
-    the next).  The corpus is persisted once for the k rounds instead
-    of re-scanned.  At 100 TB you'd carry best-sim-so-far as a
-    checkpointed column (one new cosine per round instead of i); the
-    rebuild-from-selected form is chosen here for its statelessness,
-    k being small.  Sims are rounded 6dp before argmin in both
-    engines, ties break on vec_id, so selection is a pure function of
-    the data."""
+    Architecture — the INCREMENTAL form (the 100 TB shape the r6
+    version's docstring promised): the state is one checkpointed
+    (vec_id, embedding, fsim) frame carrying best-sim-so-far, and each
+    of the k-1 rounds folds in exactly ONE new cosine per remaining
+    vector (greatest(fsim, cos-to-new-center)) then takes the argmin
+    via TakeOrdered(1) — O(n) compute per round instead of the
+    rebuild-from-selected form's O(n * |picked|) (which re-paid every
+    prior cosine each round: Sum i = O(n k^2 / 2) total, the term that
+    bent the 20x sweep point).  The per-round localCheckpoint is the
+    state handoff — without it round r's lineage re-executes all r
+    prior cosine folds, which is exactly the rebuild cost again.
+    Nothing fact-sized reaches the driver (one (id, embedding, fsim)
+    row per round; the greedy's sequential k is irreducible: each pick
+    conditions the next).  Sims are rounded 6dp before both the max
+    fold and the argmin in both engines — max of rounded values equals
+    the rounded max the rebuild form computed, so the selection
+    sequence is bit-identical to the recursive oracle — and ties break
+    on vec_id, so selection is a pure function of the data."""
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    e = e.persist()
-    try:
-        seed = e.filter(F.col("vec_id") == 0).collect()[0]
-        picked = [(seed["vec_id"], list(seed["embedding"]))]
-        out = [(1, seed["vec_id"], None)]
-        fsim = F.array_max(
-            F.transform(
-                "sels",
-                lambda s: F.round(
-                    vectors.cosine(F.col("embedding"), s), 6
-                ),
-            )
+    seed = e.filter(F.col("vec_id") == 0).collect()[0]
+    out = [(1, seed["vec_id"], None)]
+    center = list(seed["embedding"])
+    # fsim starts at -1.0 (<= any cosine), so the first fold over the
+    # seed center initializes it exactly.
+    state = (
+        e.filter(F.col("vec_id") != seed["vec_id"])
+        .withColumn("fsim", F.lit(-1.0).cast("double"))
+        .localCheckpoint(eager=True)
+    )
+    for rank in range(2, _KCENTER_K + 1):
+        cexpr = F.array([F.lit(float(x)) for x in center])
+        state = state.select(
+            "vec_id",
+            "embedding",
+            F.greatest(
+                "fsim",
+                F.round(vectors.cosine(F.col("embedding"), cexpr), 6),
+            ).alias("fsim"),
+        ).localCheckpoint(eager=True)
+        nxt = (
+            state.orderBy(F.asc("fsim"), F.asc("vec_id"))
+            .limit(1)
+            .collect()  # bounded: one row per round, k rounds
         )
-        for rank in range(2, _KCENTER_K + 1):
-            # the selected set travels as DATA (two broadcast frames),
-            # not as literals, so every round shares ONE plan shape and
-            # whole-stage codegen compiles once, not per round
-            sel = spark.createDataFrame(
-                [(int(v), emb) for v, emb in picked],
-                "sel_id long, sel_emb array<float>",
-            )
-            sels = sel.agg(F.collect_list("sel_emb").alias("sels"))
-            nxt = (
-                e.join(
-                    F.broadcast(sel),
-                    F.col("vec_id") == F.col("sel_id"),
-                    "left_anti",
-                )
-                .crossJoin(F.broadcast(sels))
-                .select("vec_id", "embedding", fsim.alias("fsim"))
-                .orderBy(F.asc("fsim"), F.asc("vec_id"))
-                .limit(1)
-                .collect()  # bounded: one row per round, k rounds
-            )
-            if not nxt:  # corpus exhausted before k picks
-                break
-            nxt = nxt[0]
-            picked.append((nxt["vec_id"], list(nxt["embedding"])))
-            out.append((rank, nxt["vec_id"], nxt["fsim"]))
-    finally:
-        e.unpersist()
+        if not nxt:  # corpus exhausted before k picks
+            break
+        nxt = nxt[0]
+        out.append((rank, nxt["vec_id"], nxt["fsim"]))
+        center = list(nxt["embedding"])
+        state = state.filter(F.col("vec_id") != nxt["vec_id"])
     return spark.createDataFrame(
         out, "rank int, vec_id long, max_sim_to_selected double"
     )
