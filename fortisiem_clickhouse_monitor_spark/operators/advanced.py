@@ -3126,3 +3126,357 @@ def timeseries_stl_residual_outliers(
             "is_outlier"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: percentile CI for a distributed mean
+# ---------------------------------------------------------------------------
+
+#: Number of bootstrap replicates.
+_BOOT_B = 64
+
+#: Poisson(1) inverse-CDF thresholds, scaled to the 16^6 space of a
+#: 6-hex-digit md5 prefix: T[k] = floor(CDF(k) * 16^6).  A uniform
+#: draw h < T[0] means multiplicity 0, h < T[1] means 1, ... else 8
+#: (P ~ 1e-5 tail).  Literals so both engines compare the same ints.
+_BOOT_T = (6171992, 12343985, 15429982, 16458647, 16715813, 16767247,
+           16775819, 16777044)
+
+_BOOT_M_SQL = "CASE " + " ".join(
+    f"WHEN h < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+) + " ELSE 8 END"
+
+#: percentile_disc ranks for a 2.5%/97.5% CI over B sorted replicate
+#: means: ceil(q * B) with B = 64 -> 2 and 63.
+_BOOT_LO_RN = 2
+_BOOT_HI_RN = 63
+
+
+@register(
+    "stats_bootstrap_mean_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    expanded AS (
+      SELECT b.range AS b, base.cents,
+             ('0x' || substr(md5(CAST(base.event_id AS VARCHAR) || ':'
+                                 || CAST(b.range AS VARCHAR)), 1, 6))::BIGINT
+               AS h
+      FROM base, range({_BOOT_B}) b
+    ),
+    weighted AS (
+      SELECT b, cents, {_BOOT_M_SQL} AS m FROM expanded
+    ),
+    reps AS (
+      SELECT b, (1000 * sum(m * cents)) // sum(m) AS mean_mc
+      FROM weighted GROUP BY b HAVING sum(m) > 0
+    ),
+    ranked AS (
+      SELECT mean_mc, row_number() OVER (ORDER BY mean_mc, b) AS rn
+      FROM reps
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM base
+    )
+    SELECT t.n AS n_events,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicates,
+           round(CAST(t.s AS DOUBLE) / (100.0 * t.n), 6) AS mean_value,
+           round(lo.mean_mc / 100000.0, 6) AS ci_lo,
+           round(hi.mean_mc / 100000.0, 6) AS ci_hi
+    FROM tot t,
+         (SELECT mean_mc FROM ranked WHERE rn = {_BOOT_LO_RN}) lo,
+         (SELECT mean_mc FROM ranked WHERE rn = {_BOOT_HI_RN}) hi
+    """,
+    tags=("A-ext", "STATS"),
+)
+def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% percentile CI for the mean event value —
+    the distributed bootstrap (Chamandy et al., "Estimating Uncertainty
+    for Massive Data Streams", Google 2012): classic resampling draws n
+    rows WITH replacement per replicate, which a cluster cannot do
+    (it needs a global sample), but multinomial(n, 1/n) counts converge
+    to independent Poisson(1) multiplicities, so each row computes its
+    own B multiplicities from a hash and never talks to another row.
+    One pass, map-side partial aggregation into B (count, sum) pairs —
+    adding data only updates 2*B running integers.
+
+    Exactness: the multiplicity is an inverse-CDF table lookup on a
+    6-hex md5 prefix (integer thresholds, identical literals in both
+    engines); replicate sums are exact centi-unit BIGINTs; each
+    replicate mean is one truncating integer milli-cent division; the
+    CI bounds are order statistics (percentile_disc ranks 2 and 63 of
+    the 64 sorted replicate means) — selection, not interpolation, so
+    no float arithmetic precedes the final rounding."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    expanded = ev.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        F.col("event_id"),
+    ).select(
+        "b",
+        "cents",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("event_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    weighted = expanded.select("b", "cents", F.expr(_BOOT_M_SQL).alias("m"))
+    reps = (
+        weighted.groupBy("b")
+        .agg(
+            F.sum(F.col("m") * F.col("cents")).alias("ms"),
+            F.sum("m").alias("mn"),
+        )
+        .filter(F.col("mn") > 0)
+        .select("b", F.expr("(1000 * ms) DIV mn").alias("mean_mc"))
+    )
+    w = Window.orderBy("mean_mc", "b")
+    ranked = reps.select("mean_mc", F.row_number().over(w).alias("rn"))
+    lo = ranked.filter(F.col("rn") == _BOOT_LO_RN).select(
+        F.col("mean_mc").alias("lo_mc")
+    )
+    hi = ranked.filter(F.col("rn") == _BOOT_HI_RN).select(
+        F.col("mean_mc").alias("hi_mc")
+    )
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    return (
+        tot.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("n").alias("n_events"),
+            F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+            F.round(F.col("s").cast("double") / (100.0 * F.col("n")), 6)
+            .alias("mean_value"),
+            F.round(F.col("lo_mc") / 100000.0, 6).alias("ci_lo"),
+            F.round(F.col("hi_mc") / 100000.0, 6).alias("ci_hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-group statistical mode with deterministic tie-break
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mode_event_type",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT user_id, event_type, n,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn,
+             CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_total
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_type, n AS mode_count, n_total,
+           round(CAST(n AS DOUBLE) / n_total, 4) AS mode_share
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("A-ext",),
+)
+def agg_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode of event_type per user (with its count, the
+    user's total, and the mode's share) — the categorical `mode()`
+    aggregate ClickHouse spells topK(1) and ANSI leaves to
+    row_number().  Ties break deterministically to the
+    lexicographically smallest type, stated identically in both
+    engines — an arbitrary-row `any()` here would be a latent
+    cross-engine flake.
+
+    Scale shape: one partial-aggregating groupBy collapses the fact
+    table to (user, type) cells BEFORE any window runs; the
+    row_number then ranks at most |types| rows per user on the same
+    user_id exchange the rollup produced — no second shuffle, no
+    per-user arrays, heaviest-user-safe."""
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    wt = Window.partitionBy("user_id")
+    ranked = counts.select(
+        "user_id",
+        "event_type",
+        "n",
+        F.row_number().over(wr).alias("rn"),
+        F.sum("n").over(wt).cast("long").alias("n_total"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.col("event_type").alias("mode_type"),
+        F.col("n").alias("mode_count"),
+        "n_total",
+        F.round(F.col("n").cast("double") / F.col("n_total"), 4).alias(
+            "mode_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theta/KMV sketch set difference (click-users minus purchase-users)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_kmv_difference_eval",
+    oracle=f"""
+    WITH clicks AS (
+      SELECT user_id, CAST(ts AS DATE) AS d
+      FROM events WHERE event_type = 'click'
+    ),
+    anchor AS (SELECT min(d) AS d0 FROM clicks),
+    ha AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM clicks, anchor WHERE d < d0 + 7
+    ),
+    hb AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM clicks, anchor WHERE d >= d0 + 21
+    ),
+    ka AS (SELECT hv FROM ha ORDER BY hv LIMIT {_KMV_K}),
+    kb AS (SELECT hv FROM hb ORDER BY hv LIMIT {_KMV_K}),
+    ta AS (
+      SELECT CASE WHEN count(*) < {_KMV_K} THEN {2**60}
+                  ELSE max(hv) END AS theta FROM ka
+    ),
+    tb AS (
+      SELECT CASE WHEN count(*) < {_KMV_K} THEN {2**60}
+                  ELSE max(hv) END AS theta FROM kb
+    ),
+    th AS (
+      SELECT least(ta.theta, tb.theta) AS theta FROM ta CROSS JOIN tb
+    ),
+    diff AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_diff
+      FROM ka CROSS JOIN th
+      WHERE ka.hv <= th.theta
+        AND ka.hv NOT IN (SELECT hv FROM kb, th WHERE kb.hv <= th.theta)
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact
+      FROM ha WHERE hv NOT IN (SELECT hv FROM hb)
+    )
+    SELECT e.n_exact, d.n_diff,
+           round(d.n_diff * {_KMV_M!r} / t.theta, 2) AS kmv_estimate,
+           round((d.n_diff * {_KMV_M!r} / t.theta - e.n_exact)
+                 / e.n_exact, 4) AS rel_error
+    FROM diff d CROSS JOIN exact e CROSS JOIN th t
+    """,
+    tags=("SKETCH",),
+)
+def sketch_kmv_difference_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theta-sketch set DIFFERENCE |A \\ B| (first-week clickers who
+    did not click in the final week — churned clickers; the user/type
+    matrix is dense in this corpus, so the discriminating sets are
+    time slices), the third set operation of the theta family
+    (union = distinct count, intersection = kmv_intersection_eval):
+    cut both kept-hash sets at theta = min(theta_a, theta_b); A's
+    sample below theta is uniform at rate theta/M, and membership in
+    B is EXACT within the sample (B's sample below theta is all of B's
+    hashes there), so anti-joining the two k-row frames and scaling by
+    M/theta estimates the difference.  Evaluated against the exact
+    anti-join of the full hash sets.
+
+    Same integer discipline as the sibling: 60-bit md5 hashes,
+    order-statistic thetas, a k-row LEFT ANTI join — the only floats
+    are the two final divisions.  At 100 TB both sketches are
+    mergeable per-partition TakeOrdered states; the eval's exact side
+    is the audit run, not the production path."""
+    clicks = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.to_date("ts").alias("d"))
+    )
+    anchor = clicks.agg(F.min("d").alias("d0"))
+    sliced = clicks.crossJoin(F.broadcast(anchor))
+
+    def kmv(pred):
+        h = (
+            sliced.filter(pred)
+            .select(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 15
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("hv")
+            )
+            .distinct()
+        )
+        kept = h.orderBy("hv").limit(_KMV_K)
+        theta = kept.agg(
+            F.when(F.count(F.lit(1)) < _KMV_K, F.lit(2**60))
+            .otherwise(F.max("hv"))
+            .alias("theta")
+        )
+        return h, kept, theta
+
+    ha, ka, ta = kmv(F.col("d") < F.date_add("d0", 7))
+    hb, kb, tb = kmv(F.col("d") >= F.date_add("d0", 21))
+    th = ta.crossJoin(tb.withColumnRenamed("theta", "theta_b")).select(
+        F.least("theta", "theta_b").alias("theta")
+    )
+    ka_cut = ka.crossJoin(F.broadcast(th)).filter(
+        F.col("hv") <= F.col("theta")
+    )
+    kb_cut = (
+        kb.crossJoin(F.broadcast(th))
+        .filter(F.col("hv") <= F.col("theta"))
+        .select("hv")
+    )
+    diff = ka_cut.join(kb_cut, "hv", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_diff")
+    )
+    exact = ha.join(hb, "hv", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    est = F.col("n_diff") * F.lit(_KMV_M) / F.col("theta")
+    return (
+        diff.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(th))
+        .select(
+            "n_exact",
+            "n_diff",
+            F.round(est, 2).alias("kmv_estimate"),
+            F.round(
+                (est - F.col("n_exact")) / F.col("n_exact"), 4
+            ).alias("rel_error"),
+        )
+    )

@@ -2690,3 +2690,101 @@ def _probe_eff_diameter(spark: SparkSession, sf_dir: str) -> int:
     fan-in summed over the rounds (this query IS those rounds plus two
     scalar sums)."""
     return _probe_harmonic(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Bounded BFS from the hub: distance histogram (frontier expansion)
+# ---------------------------------------------------------------------------
+
+#: BFS radius — enough to cover the bipartite graph's small diameter.
+_BFS_R = 4
+
+
+def _bfs_oracle() -> str:
+    levels = []
+    seen = "SELECT node FROM d0"
+    for k in range(1, _BFS_R + 1):
+        levels.append(
+            f"""d{k} AS (
+      SELECT DISTINCT e.v AS node
+      FROM edges e JOIN d{k - 1} f ON e.u = f.node
+      WHERE e.v NOT IN ({seen}))"""
+        )
+        seen += f" UNION ALL SELECT node FROM d{k}"
+    joined = ",\n    ".join(levels)
+    hist = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS dist,"
+        f" CAST(count(*) AS BIGINT) AS n_nodes FROM d{k}"
+        for k in range(_BFS_R + 1)
+    )
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey AS u, l_suppkey + {_SUPP_OFF} AS v
+      FROM lineitem
+    ),
+    edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+    seed AS (SELECT u AS node FROM deg ORDER BY d DESC, u LIMIT 1),
+    d0 AS (SELECT node FROM seed),
+    {joined}
+    SELECT dist, n_nodes FROM ({hist}) WHERE n_nodes > 0
+    """
+
+
+@register(
+    "graph_bfs_distance_histogram",
+    oracle=_bfs_oracle(),
+    tags=("graph",),
+)
+def graph_bfs_distance_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-source BFS from the graph's hub (max-degree node, min-id
+    tie-break) on the part<->supplier graph, radius 4 (_BFS_R):
+    per-level frontier sizes — the exact-distance primitive under the
+    sketched neighborhood function (graph_anf_hll_eval estimates these
+    counts for ALL sources at once; this is the one-source truth, and
+    the per-level shape is how a 100 TB BFS actually runs: frontier =
+    distinct neighbors of the last frontier anti-joined against the
+    visited set, one equi-join + one anti-join per round, never a
+    pair-set materialization).
+
+    The edge list is checkpointed ONCE and reused by all rounds (the
+    per-round frames are frontier-sized, orders of magnitude smaller);
+    a bounded radius keeps the plan depth fixed — the same bounded-
+    rounds discipline as the HyperBall family.  The seed choice is a
+    deterministic argmax, stated identically in both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").alias("u"),
+        (F.col("l_suppkey") + F.lit(_SUPP_OFF)).alias("v"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    seed = (
+        deg.orderBy(F.desc("d"), "u").limit(1).select(F.col("u").alias("node"))
+    )
+    levels = [seed.select("node")]
+    visited = seed.select("node")
+    for _ in range(_BFS_R):
+        frontier = (
+            edges.join(
+                levels[-1].withColumnRenamed("node", "u"), "u"
+            )
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        levels.append(frontier)
+        visited = visited.unionByName(frontier)
+    hist = None
+    for k, lvl in enumerate(levels):
+        h = lvl.agg(
+            F.lit(k).cast("long").alias("dist"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+        hist = h if hist is None else hist.unionByName(h)
+    return hist.filter(F.col("n_nodes") > 0)

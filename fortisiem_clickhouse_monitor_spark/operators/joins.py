@@ -547,3 +547,149 @@ def join_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("matched", F.lit(False)).alias("is_match"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with tolerance (bounded-staleness temporal lookup)
+# ---------------------------------------------------------------------------
+
+#: Max staleness of the as-of match, in seconds (1 hour).
+_ASOF_TOL_S = 3600
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT c.event_id AS click_id, c.user_id, c.ts,
+             (SELECT p.ts FROM p
+              WHERE p.user_id = c.user_id
+                AND (p.ts < c.ts OR (p.ts = c.ts AND p.event_id < c.event_id))
+              ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS m_ts,
+             (SELECT p.value FROM p
+              WHERE p.user_id = c.user_id
+                AND (p.ts < c.ts OR (p.ts = c.ts AND p.event_id < c.event_id))
+              ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS m_value
+      FROM c
+    )
+    SELECT click_id, user_id,
+           CASE WHEN m_ts >= ts - INTERVAL {_ASOF_TOL_S} SECONDS
+                THEN m_value END AS asof_value,
+           coalesce(m_ts >= ts - INTERVAL {_ASOF_TOL_S} SECONDS, FALSE)
+             AS matched
+    FROM m
+    """,
+    tags=("J-asof",),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with TOLERANCE: each click takes the same user's most
+    recent strictly-earlier purchase value only if that purchase is at
+    most 1 hour (_ASOF_TOL_S) stale, else NULL — pandas
+    merge_asof(tolerance=...) / kdb aj with a staleness bound, the
+    variant a feature-store join actually needs (an unbounded as-of
+    happily serves a feature from last month).
+
+    Same single-shuffle shape as join_asof_last_purchase (joins.py:350):
+    union both sides, one (user_id)-partitioned window ordered by
+    (ts, event_id), last(purchase_struct, ignoreNulls) over the
+    preceding frame — the struct carries the match's ts so the
+    tolerance is one comparison AFTER the window, not a second join.
+    The oracle states the same semantics with two aligned correlated
+    subqueries (pick, then bound)."""
+    ev = table(spark, sf_dir, "events")
+    both = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct("ts", "value"),
+        ).alias("p"),
+        (F.col("event_type") == "click").alias("is_click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.col("m.ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {_ASOF_TOL_S} SECONDS"
+    )
+    return (
+        both.withColumn("m", F.last("p", ignorenulls=True).over(w))
+        .filter("is_click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.when(within, F.col("m.value")).alias("asof_value"),
+            F.coalesce(within, F.lit(False)).alias("matched"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lateral join: per-customer top-N orders via a correlated subquery
+# ---------------------------------------------------------------------------
+
+_LATERAL_N = 3
+
+
+@register(
+    "join_lateral_topn_orders",
+    oracle=f"""
+    SELECT c.c_custkey, t.o_orderkey, t.price_cents, t.rnk
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+             CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                  AS BIGINT) AS rnk
+      FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT {_LATERAL_N}
+    ) t
+    WHERE c.c_nationkey < 5
+    """,
+    tags=("J-ext", "SQL"),
+)
+def join_lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — the ANSI spelling of "top N rows
+    of B per row of A", run through spark.sql to exercise the SQL
+    surface itself (Spark supports LATERAL since 3.2; DuckDB states
+    the identical query).  Inner customers (nationkey < 5) each pick
+    their 3 (_LATERAL_N) most expensive orders with deterministic
+    (price DESC, orderkey) order and an explicit rank.
+
+    What Catalyst does with it is the point: the correlated LATERAL
+    decorrelates into a window/aggregate over a single equi-join on
+    o_custkey (DomainJoin rewrite) — NOT a per-customer re-execution
+    of the subquery, which is what a naive lateral loop would be at
+    100 TB.  Prices are compared as DOUBLEs for ordering but reported
+    as exact centi-unit BIGINTs."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, t.o_orderkey, t.price_cents, t.rnk
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+                 CAST(row_number() OVER (ORDER BY o_totalprice DESC,
+                                         o_orderkey) AS BIGINT) AS rnk
+          FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT {_LATERAL_N}
+        ) t
+        WHERE c.c_nationkey < 5
+        """
+    )

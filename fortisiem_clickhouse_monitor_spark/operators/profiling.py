@@ -2132,3 +2132,125 @@ def quality_id_continuity_screen(
             "n_duplicated"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tukey IQR-fence outlier screen per event type (exact quartiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_iqr_fence_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 1000000) AS BIGINT) AS v_micro,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY CAST(round(value * 1000000)
+                                              AS BIGINT)) AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+      FROM events
+    ),
+    q AS (
+      SELECT event_type, cnt AS n,
+             max(CASE WHEN rn = (cnt + 3) // 4 THEN v_micro END)
+               AS q1_micro,
+             max(CASE WHEN rn = (3 * cnt + 3) // 4 THEN v_micro END)
+               AS q3_micro
+      FROM v GROUP BY event_type, cnt
+    )
+    SELECT q.event_type, q.n, q.q1_micro, q.q3_micro,
+           CAST(q.q3_micro - q.q1_micro AS BIGINT) AS iqr_micro,
+           CAST(sum(CASE WHEN 2 * v.v_micro
+                              < 2 * q.q1_micro - 3 * (q.q3_micro - q.q1_micro)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(sum(CASE WHEN 2 * v.v_micro
+                              > 2 * q.q3_micro + 3 * (q.q3_micro - q.q1_micro)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           round(CAST(sum(CASE WHEN 2 * v.v_micro
+                              < 2 * q.q1_micro - 3 * (q.q3_micro - q.q1_micro)
+                              OR 2 * v.v_micro
+                              > 2 * q.q3_micro + 3 * (q.q3_micro - q.q1_micro)
+                         THEN 1 ELSE 0 END) AS DOUBLE) / q.n, 4)
+             AS outlier_rate
+    FROM q JOIN v ON v.event_type = q.event_type
+    GROUP BY q.event_type, q.n, q.q1_micro, q.q3_micro
+    """,
+    tags=("QUALITY", "STATS"),
+)
+def quality_iqr_fence_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tukey-fence outlier screen per event type: exact discrete
+    quartiles (percentile_disc semantics — the value at rank
+    ceil(q*n), a SELECTED value, never an interpolation), fences at
+    1.5 IQR, and low/high outlier counts — the boxplot rule, the
+    third member of the outlier family next to the z-score (moment-
+    based) and MAD (median-based) screens, and the one robust to BOTH
+    heavy tails and asymmetry.
+
+    Exactness discipline: values become micro-unit BIGINTs before
+    anything ranks or compares; the quartile ranks are pure integer
+    ceilings ((n+3)//4, (3n+3)//4); the 1.5x fence comparison is the
+    doubled-integer form 2v < 2q1 - 3*iqr, so no float exists anywhere
+    except the final rate.  Scale shape: one rank pass per type on one
+    exchange (quartiles via row_number, not percentile_approx — approx
+    would diverge from the oracle), then a broadcast of the 5-row
+    quartile frame back across the fact scan for the fence counts."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("long").alias("v_micro"),
+    )
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy("v_micro")
+    v = ev.select(
+        "event_type",
+        "v_micro",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("cnt"),
+    )
+    q = (
+        v.withColumn("k1", F.expr("(cnt + 3) DIV 4"))
+        .withColumn("k3", F.expr("(3 * cnt + 3) DIV 4"))
+        .groupBy("event_type", "cnt")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.col("k1"), F.col("v_micro"))
+            ).alias("q1_micro"),
+            F.max(
+                F.when(F.col("rn") == F.col("k3"), F.col("v_micro"))
+            ).alias("q3_micro"),
+        )
+        .select(
+            "event_type",
+            F.col("cnt").alias("n"),
+            "q1_micro",
+            "q3_micro",
+        )
+    )
+    iqr = F.col("q3_micro") - F.col("q1_micro")
+    lo = F.col("v_micro") * 2 < 2 * F.col("q1_micro") - 3 * iqr
+    hi = F.col("v_micro") * 2 > 2 * F.col("q3_micro") + 3 * iqr
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n", "q1_micro", "q3_micro")
+        .agg(
+            F.sum(F.when(lo, 1).otherwise(0)).cast("long").alias("n_low"),
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("n_high"),
+            F.round(
+                F.sum(F.when(lo | hi, 1).otherwise(0)).cast("double")
+                / F.first("n"),
+                4,
+            ).alias("outlier_rate"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "q1_micro",
+            "q3_micro",
+            iqr.cast("long").alias("iqr_micro"),
+            "n_low",
+            "n_high",
+            "outlier_rate",
+        )
+    )

@@ -2752,3 +2752,110 @@ def sim_range_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     deg = e.mapInPandas(degrees, schema="vec_id LONG, degree LONG")
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+# ---------------------------------------------------------------------------
+# Sign-bit binary codes + Hamming top-k (binary ANN pre-filter)
+# ---------------------------------------------------------------------------
+
+#: Number of query vectors (smallest vec_ids) and neighbors per query.
+_HAM_Q = 20
+_HAM_K = 5
+
+#: Two 32-bit words hold the sign bits of the 64-dim embeddings
+#: (DuckDB range-checks 1<<63, so a single 64-bit word is out; two
+#: half-words keep every shift <= 31 and both engines overflow-free).
+def _ham_word_sql(half: int) -> str:
+    lo, hi = (0, 32) if half == 0 else (32, 64)
+    return (
+        "aggregate(transform(embedding,"
+        f" (x, i) -> IF(x > float(0) AND i >= {lo} AND i < {hi},"
+        f" shiftleft(bigint(1), i - {lo}), bigint(0))),"
+        " bigint(0), (acc, v) -> acc + v)"
+    )
+
+
+def _ham_word_duck(half: int) -> str:
+    lo, hi = (1, 33) if half == 0 else (33, 65)
+    return (
+        "CAST(list_aggregate(list_transform(embedding,"
+        f" (x, i) -> CASE WHEN x > 0 AND i >= {lo} AND i < {hi}"
+        f" THEN (1::BIGINT << (i - {lo}))"
+        " ELSE 0::BIGINT END), 'sum') AS BIGINT)"
+    )
+
+
+@register(
+    "sim_hamming_sign_topk",
+    oracle=f"""
+    WITH codes AS (
+      SELECT vec_id, {_ham_word_duck(0)} AS w0, {_ham_word_duck(1)} AS w1
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM codes
+      ORDER BY vec_id LIMIT {_HAM_Q}
+    ),
+    d AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(q.q0, c.w0))
+                  + bit_count(xor(q.q1, c.w1)) AS BIGINT) AS hamming
+      FROM q JOIN codes c ON c.vec_id <> q.query_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rnk
+      FROM d
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, hamming
+    FROM r WHERE rnk <= {_HAM_K}
+    """,
+    tags=("SIM", "ANN"),
+)
+def sim_hamming_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-code ANN: collapse each embedding to its 64 SIGN BITS
+    (two 32-bit half-words — 8 bytes/vector, a 32x compression of the
+    float[64]) and rank neighbors by Hamming distance, the bitwise
+    pre-filter stage of binary-hashing retrieval (Charikar's SimHash
+    applied to the raw dimensions; cf. the document-side
+    dedup_simhash_pairs).  The 20 (_HAM_Q) smallest vec_ids are the
+    query set; each reports its 5 (_HAM_K) nearest codes with
+    deterministic (distance, vec_id) order.
+
+    Everything is integer bit algebra on the JVM/engine side: the
+    word is one higher-order aggregate over the array (no UDF), the
+    distance is bit_count(xor) — identical in both engines — and the
+    top-k is one window over a broadcast-able Q x n frame.  At 100 TB
+    the point IS the word column: a billion codes are 8 GB — scan-
+    rankable per partition with two-phase top-k, while the float
+    vectors they stand in for are 256 GB; production re-ranks the
+    Hamming survivors with exact cosine (sim_truncation_recall_eval
+    measures that second stage's recall discipline)."""
+    e = table(spark, sf_dir, "embeddings")
+    codes = e.select(
+        "vec_id",
+        F.expr(_ham_word_sql(0)).alias("w0"),
+        F.expr(_ham_word_sql(1)).alias("w1"),
+    )
+    q = (
+        codes.orderBy("vec_id")
+        .limit(_HAM_Q)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("w0").alias("q0"),
+            F.col("w1").alias("q1"),
+        )
+    )
+    pairs = F.broadcast(q).join(
+        codes, F.col("vec_id") != F.col("query_id")
+    )
+    ham = F.expr("bit_count(q0 ^ w0) + bit_count(q1 ^ w1)").cast("long")
+    w = Window.partitionBy("query_id").orderBy(ham.asc(), F.col("vec_id"))
+    ranked = pairs.select(
+        "query_id",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.col("vec_id").alias("neighbor_id"),
+        ham.alias("hamming"),
+    )
+    return ranked.filter(F.col("rnk") <= _HAM_K)

@@ -1810,3 +1810,73 @@ def _probe_passage_pairs(spark: SparkSession, sf_dir: str) -> int:
         .collect()[0]["s"]
     )
     return base + int(fanin or 0)
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build: postings lists with document/collection freq
+# ---------------------------------------------------------------------------
+
+#: Report the top-N tokens by document frequency ...
+_INV_TOP = 50
+#: ... with postings capped at the first P doc_ids (ascending).
+_INV_P = 20
+
+
+@register(
+    "text_inverted_index_postings",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+    ),
+    cf AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY token
+    ),
+    dt AS (SELECT DISTINCT token, doc_id FROM tok),
+    postings AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df,
+             (list(doc_id ORDER BY doc_id))[1:{_INV_P}] AS posting_head
+      FROM dt GROUP BY token
+    ),
+    ranked AS (
+      SELECT p.token, p.df, c.cf, p.posting_head,
+             row_number() OVER (ORDER BY p.df DESC, p.token) AS rn
+      FROM postings p JOIN cf c USING (token)
+    )
+    SELECT token, df, cf, posting_head
+    FROM ranked WHERE rn <= {_INV_TOP}
+    """,
+    tags=("TXT", "INDEX"),
+)
+def text_inverted_index_postings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inverted-index construction — the core retrieval/decontamination
+    artifact a corpus pipeline materializes next to the corpus itself:
+    per token, document frequency, collection frequency, and the head
+    of the sorted postings list (first 20 doc_ids, _INV_P), reported
+    for the 50 highest-df tokens (_INV_TOP; ties lexicographic).
+
+    Scale shape: explode -> one partial-aggregating groupBy(token) for
+    cf, one distinct + groupBy(token) for df and postings.  The
+    postings HEAD is the point: collect_set is bounded per token only
+    because the output is capped at P ids — a full postings list for a
+    stopword would be |corpus|-sized in one task (the classic index-
+    build skew), so production shards postings by (token, doc_id
+    range) and this query reports only the head block.  Top-N
+    selection is a row_number over the token summary, not the corpus."""
+    d = bind(table(spark, sf_dir, "documents"), toks=textfns.tokens("text"))
+    tok = d.select("doc_id", F.explode("toks").alias("token"))
+    cf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cf"))
+    dt = tok.distinct()
+    postings = dt.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, _INV_P).alias(
+            "posting_head"
+        ),
+    )
+    w = Window.orderBy(F.col("df").desc(), "token")
+    ranked = postings.join(cf, "token").select(
+        "token", "df", "cf", "posting_head",
+        F.row_number().over(w).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") <= _INV_TOP).drop("rn")

@@ -1,0 +1,270 @@
+"""Planted-fixture tests for the round-7b operators: Poisson
+bootstrap CI, per-group mode, theta-sketch set difference."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+import fortisiem_clickhouse_monitor_spark.operators.advanced as adv
+
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _ev(rows, spark):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, d, 12, 0, 0), u, t, v, "{}")
+            for i, (d, u, t, v) in enumerate(rows)
+        ],
+        _EV_SCHEMA,
+    )
+
+
+def _poisson_mult(key: str) -> int:
+    """Reference multiplicity: same md5-prefix inverse-CDF as the op."""
+    h = int(hashlib.md5(key.encode()).hexdigest()[:6], 16)
+    for k, t in enumerate(adv._BOOT_T):
+        if h < t:
+            return k
+    return 8
+
+
+def test_bootstrap_mean_ci_planted(spark, monkeypatch):
+    """Pure-Python recompute of every replicate mean from the same
+    hash spec: the op's CI bounds must be exactly the 2nd and 63rd of
+    the 64 sorted replicate milli-cent means."""
+    rows = [(1 + (i % 28), 1, "view", float(i)) for i in range(40)]
+    ev = _ev(rows, spark)
+    monkeypatch.setattr(adv, "table", lambda s, d, n: ev)
+    out = adv.stats_bootstrap_mean_ci(spark, "x").collect()[0]
+    cents = {i: math.floor(float(i) * 100) for i in range(40)}
+    means = []
+    for b in range(adv._BOOT_B):
+        ms = mn = 0
+        for eid, c in cents.items():
+            m = _poisson_mult(f"{eid}:{b}")
+            ms += m * c
+            mn += m
+        if mn > 0:
+            means.append((1000 * ms) // mn)
+    means.sort()
+    assert out["n_events"] == 40
+    assert out["n_replicates"] == adv._BOOT_B
+    assert out["ci_lo"] == round(means[adv._BOOT_LO_RN - 1] / 100000.0, 6)
+    assert out["ci_hi"] == round(means[adv._BOOT_HI_RN - 1] / 100000.0, 6)
+    assert out["ci_lo"] <= out["mean_value"] <= out["ci_hi"]
+
+
+def test_mode_event_type_planted(spark, monkeypatch):
+    """u1: 2 views / 1 click -> view.  u2: 1-1 tie between click and
+    view -> lexicographically smaller 'click' wins deterministically."""
+    ev = _ev(
+        [(1, 1, "view", 0.0), (2, 1, "view", 0.0), (3, 1, "click", 0.0),
+         (1, 2, "view", 0.0), (2, 2, "click", 0.0)],
+        spark,
+    )
+    monkeypatch.setattr(adv, "table", lambda s, d, n: ev)
+    got = {
+        r["user_id"]: (r["mode_type"], r["mode_count"], r["n_total"],
+                       r["mode_share"])
+        for r in adv.agg_mode_event_type(spark, "x").collect()
+    }
+    assert got == {
+        1: ("view", 2, 3, round(2 / 3, 4)),
+        2: ("click", 1, 2, 0.5),
+    }
+
+
+def test_kmv_difference_planted(spark, monkeypatch):
+    """Under-k branch: sets smaller than K make theta = M, so the
+    estimate must equal the exact difference.  Week-1 clickers {1,2,3},
+    final-week clickers {2,3,4} -> |A \\ B| = 1 (user 1)."""
+    ev = _ev(
+        [(1, 1, "click", 0.0), (2, 2, "click", 0.0), (3, 3, "click", 0.0),
+         (22, 2, "click", 0.0), (23, 3, "click", 0.0),
+         (24, 4, "click", 0.0),
+         (5, 9, "view", 0.0)],  # non-click ignored
+        spark,
+    )
+    monkeypatch.setattr(adv, "table", lambda s, d, n: ev)
+    out = adv.sketch_kmv_difference_eval(spark, "x").collect()[0]
+    assert out["n_exact"] == 1
+    assert out["n_diff"] == 1
+    assert out["kmv_estimate"] == 1.0
+    assert out["rel_error"] == 0.0
+
+
+def test_pettitt_planted_shift(spark, monkeypatch):
+    """Six days: 10,10,10,50,50,50.  U_t peaks (|U|=9) at the last
+    low day (day 3): every (low, high) crossing pair contributes -1,
+    3x3 pairs.  Pure-python recompute of U per boundary confirms."""
+    import fortisiem_clickhouse_monitor_spark.operators.slo as slo
+
+    rows = []
+    eid = 0
+    counts = [10, 10, 10, 50, 50, 50]
+    for d, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append((eid, dt.datetime(2024, 1, d), 7, "view", 0.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(rows, _EV_SCHEMA)
+    monkeypatch.setattr(slo, "table", lambda s, d, n: ev)
+    out = slo.changepoint_pettitt_daily(spark, "x").collect()
+    assert len(out) == 1
+    r = out[0]
+
+    def sgn(x):
+        return (x > 0) - (x < 0)
+
+    us = {}
+    for t in range(len(counts) - 1):
+        us[t] = sum(
+            sgn(counts[i] - counts[j])
+            for i in range(t + 1)
+            for j in range(t + 1, len(counts))
+        )
+    k, t_star = max(((abs(u), -t) for t, u in us.items()))
+    assert r["k_stat"] == k == 9
+    assert str(r["change_day"]) == f"2024-01-0{-t_star + 1}"
+    n = 6
+    p = round(2 * math.exp(-6.0 * k * k / (n**3 + n**2)), 4)
+    assert r["p_approx"] == p
+
+
+def test_iqr_fences_planted(spark, monkeypatch):
+    """n=8 values with one extreme high point.  Quartile ranks are
+    ceil(8/4)=2 and ceil(24/4)=6; the planted 1000.0 sits above
+    q3 + 1.5*IQR, nothing sits below."""
+    import fortisiem_clickhouse_monitor_spark.operators.profiling as pf
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 1000.0]
+    ev = _ev([(1, 1, "view", v) for v in vals], spark)
+    monkeypatch.setattr(pf, "table", lambda s, d, n: ev)
+    r = pf.quality_iqr_fence_outliers(spark, "x").collect()[0]
+    assert r["n"] == 8
+    assert r["q1_micro"] == 2_000_000 and r["q3_micro"] == 6_000_000
+    assert r["iqr_micro"] == 4_000_000
+    # fences: lo = 2 - 6 = -4, hi = 6 + 6 = 12 -> only 1000.0 is out
+    assert r["n_low"] == 0 and r["n_high"] == 1
+    assert r["outlier_rate"] == round(1 / 8, 4)
+
+
+def test_inverted_index_planted(spark, monkeypatch):
+    """Three docs; 'a' appears in all (df=3, cf=4 with the repeat),
+    'b' in two, 'c' in one; postings are ascending doc_ids; ranking
+    is df desc then token asc."""
+    import fortisiem_clickhouse_monitor_spark.operators.text as tx
+
+    docs = spark.createDataFrame(
+        [(10, "a b", "en", "s", 3), (20, "b a a", "en", "s", 5),
+         (30, "a c", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    monkeypatch.setattr(tx, "table", lambda s, d, n: docs)
+    rows = tx.text_inverted_index_postings(spark, "x").collect()
+    assert [r["token"] for r in rows] == ["a", "b", "c"]
+    by = {r["token"]: r for r in rows}
+    assert (by["a"]["df"], by["a"]["cf"]) == (3, 4)
+    assert by["a"]["posting_head"] == [10, 20, 30]
+    assert (by["b"]["df"], by["b"]["cf"]) == (2, 2)
+    assert by["b"]["posting_head"] == [10, 20]
+    assert (by["c"]["df"], by["c"]["cf"]) == (1, 1)
+    assert by["c"]["posting_head"] == [30]
+
+
+def test_asof_tolerance_planted(spark, monkeypatch):
+    """u1 clicks 13:00 with purchase at 12:30 (within 1h -> matched,
+    value 9.0) and clicks 18:00 with nothing since 12:30 (stale ->
+    NULL, matched False).  u2 has no purchase at all -> NULL."""
+    import fortisiem_clickhouse_monitor_spark.operators.joins as jn
+
+    rows = [
+        (1, dt.datetime(2024, 1, 5, 12, 30), 1, "purchase", 9.0, "{}"),
+        (2, dt.datetime(2024, 1, 5, 13, 0), 1, "click", 0.0, "{}"),
+        (3, dt.datetime(2024, 1, 5, 18, 0), 1, "click", 0.0, "{}"),
+        (4, dt.datetime(2024, 1, 5, 13, 0), 2, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(rows, _EV_SCHEMA)
+    monkeypatch.setattr(jn, "table", lambda s, d, n: ev)
+    got = {
+        r["click_id"]: (r["asof_value"], r["matched"])
+        for r in jn.join_asof_tolerance(spark, "x").collect()
+    }
+    assert got == {2: (9.0, True), 3: (None, False), 4: (None, False)}
+
+
+def test_lateral_topn_planted(spark, monkeypatch):
+    """Customer 1 (nation 0) has 4 orders -> top 3 by price with
+    ranks; customer 2 (nation 9) is filtered out by nationkey < 5."""
+    import fortisiem_clickhouse_monitor_spark.operators.joins as jn
+
+    cust = spark.createDataFrame(
+        [(1, "a", 0, 0.0, "B"), (2, "b", 9, 0.0, "B")],
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(10, 1, "O", 50.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+         (11, 1, "O", 70.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+         (12, 1, "O", 60.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+         (13, 1, "O", 40.0, dt.datetime(2024, 1, 1), "1-URGENT"),
+         (20, 2, "O", 99.0, dt.datetime(2024, 1, 1), "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    tabs = {"customer": cust, "orders": orders}
+    monkeypatch.setattr(jn, "table", lambda s, d, n: tabs[n])
+    rows = jn.join_lateral_topn_orders(spark, "x").collect()
+    got = sorted((r["c_custkey"], r["rnk"], r["o_orderkey"],
+                  r["price_cents"]) for r in rows)
+    assert got == [(1, 1, 11, 7000), (1, 2, 12, 6000), (1, 3, 10, 5000)]
+
+
+def test_hamming_sign_topk_planted(spark, monkeypatch):
+    """Four 64-dim vectors: v2 equals v1's signs (distance 0), v3
+    flips one dim (1), v4 flips three (3).  Query set = all four; v1's
+    neighbor ranking must be v2, v3, v4."""
+    import fortisiem_clickhouse_monitor_spark.operators.similarity as sm
+
+    base = [1.0 if i % 2 == 0 else -1.0 for i in range(64)]
+    flip1 = base.copy(); flip1[5] = -flip1[5]
+    flip3 = base.copy()
+    for i in (7, 8, 9):
+        flip3[i] = -flip3[i]
+    emb = spark.createDataFrame(
+        [(1, base, 0), (2, base.copy(), 0), (3, flip1, 0), (4, flip3, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(sm, "table", lambda s, d, n: emb)
+    rows = sm.sim_hamming_sign_topk(spark, "x").collect()
+    v1 = sorted(
+        ((r["rnk"], r["neighbor_id"], r["hamming"])
+         for r in rows if r["query_id"] == 1)
+    )
+    assert v1 == [(1, 2, 0), (2, 3, 1), (3, 4, 3)]
+
+
+def test_bfs_histogram_planted(spark, monkeypatch):
+    """Star + path: supplier 1 supplies parts 1..3 (hub, degree 3);
+    part 3 is also supplied by supplier 2, who also supplies part 4.
+    Seed = supplier hub; levels: 1 hub, 3 parts at dist 1, 1 supplier
+    at dist 2, 1 part at dist 3."""
+    import fortisiem_clickhouse_monitor_spark.operators.graph as gr
+
+    li = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (3, 2), (4, 2)],
+        "l_partkey long, l_suppkey long",
+    )
+    monkeypatch.setattr(gr, "table", lambda s, d, n: li)
+    got = {
+        r["dist"]: r["n_nodes"]
+        for r in gr.graph_bfs_distance_histogram(spark, "x").collect()
+    }
+    assert got == {0: 1, 1: 3, 2: 1, 3: 1}
