@@ -25,9 +25,12 @@ def _ev(rows, spark):
     )
 
 
-def _poisson_mult(key: str) -> int:
-    """Reference multiplicity: same md5-prefix inverse-CDF as the op."""
-    h = int(hashlib.md5(key.encode()).hexdigest()[:6], 16)
+def _poisson_mult(eid: int, b: int) -> int:
+    """Reference multiplicity: same grouped-digest inverse-CDF as the
+    op — replicate b reads 6-hex slice b%5 of md5(f"{eid}:{b//5}")."""
+    g, j = divmod(b, 5)
+    digest = hashlib.md5(f"{eid}:{g}".encode()).hexdigest()
+    h = int(digest[6 * j : 6 * j + 6], 16)
     for k, t in enumerate(adv._BOOT_T):
         if h < t:
             return k
@@ -47,7 +50,7 @@ def test_bootstrap_mean_ci_planted(spark, monkeypatch):
     for b in range(adv._BOOT_B):
         ms = mn = 0
         for eid, c in cents.items():
-            m = _poisson_mult(f"{eid}:{b}")
+            m = _poisson_mult(eid, b)
             ms += m * c
             mn += m
         if mn > 0:
