@@ -3503,3 +3503,128 @@ def sketch_kmv_difference_eval(
             ).alias("rel_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral entropy of the candidate-period power spectrum
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_spectral_entropy",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ), anchored AS (
+      SELECT CAST(day - (SELECT min(day) FROM daily) AS BIGINT) AS d, c
+      FROM daily
+    ), centered AS (
+      SELECT d, c - (SELECT avg(c) FROM anchored) AS x FROM anchored
+    ), spec AS (
+      SELECT p.period,
+             round(pow(sum(x * cos(2 * pi() * d / p.period)), 2)
+                 + pow(sum(x * sin(2 * pi() * d / p.period)), 2), 4)
+               AS power
+      FROM centered, (SELECT unnest({list(_PERIODS)!r}) AS period) p
+      GROUP BY p.period
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_periods,
+             sum(power) AS total_power
+      FROM spec
+    ), peak AS (
+      SELECT period AS peak_period, power AS peak_power
+      FROM spec ORDER BY power DESC, period LIMIT 1
+    )
+    SELECT t.n_periods, p.peak_period,
+           round(p.peak_power / t.total_power, 6) AS peak_share,
+           round(-sum(CASE WHEN s.power > 0
+                           THEN (s.power / t.total_power)
+                                * ln(s.power / t.total_power)
+                           ELSE 0 END), 6) AS spectral_entropy,
+           round(-sum(CASE WHEN s.power > 0
+                           THEN (s.power / t.total_power)
+                                * ln(s.power / t.total_power)
+                           ELSE 0 END) / ln(t.n_periods), 6)
+             AS entropy_norm
+    FROM spec s CROSS JOIN tot t CROSS JOIN peak p
+    GROUP BY t.n_periods, p.peak_period, p.peak_power, t.total_power
+    """,
+    tags=("TS", "STATS"),
+)
+def timeseries_spectral_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spectral entropy of the daily series' candidate-period power
+    spectrum: normalize the 13 periodogram powers into a distribution
+    and take -sum(p ln p) — the single-number "how seasonal is this
+    series" score (entropy_norm ~ 0: one dominant cycle; ~ 1: white
+    noise), plus the argmax period and its power share.  The
+    forecastability screen a capacity planner runs across thousands
+    of series before deciding which deserve a seasonal model
+    (tsfeatures' spectral_entropy, catch22's analog).
+
+    Float discipline: the entropy is computed from the 4dp-ROUNDED
+    powers — the exact values the sibling periodogram query already
+    hash-verifies cross-engine — so the only new float ops are the
+    shared p*ln(p) expression and the final 6dp rounds; argmax ties
+    break to the smallest period in both engines.  Plan: identical to
+    timeseries_periodogram_daily (one daily rollup does all the fact
+    work) plus three single-row broadcasts."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    anchors = daily.agg(F.min("day").alias("day0"), F.avg("c").alias("mu"))
+    centered = daily.crossJoin(F.broadcast(anchors)).select(
+        F.datediff("day", "day0").cast("long").alias("d"),
+        (F.col("c") - F.col("mu")).alias("x"),
+    )
+    periods = spark.range(2, 15).select(
+        F.col("id").cast("int").alias("period")
+    )
+    theta = F.lit(2.0 * math.pi) * F.col("d") / F.col("period")
+    spec = (
+        centered.crossJoin(F.broadcast(periods))
+        .groupBy("period")
+        .agg(
+            F.round(
+                F.pow(F.sum(F.col("x") * F.cos(theta)), 2)
+                + F.pow(F.sum(F.col("x") * F.sin(theta)), 2),
+                4,
+            ).alias("power")
+        )
+    )
+    tot = spec.agg(
+        F.count(F.lit(1)).alias("n_periods"),
+        F.sum("power").alias("total_power"),
+    )
+    peak = (
+        spec.orderBy(F.desc("power"), "period")
+        .limit(1)
+        .select(
+            F.col("period").alias("peak_period"),
+            F.col("power").alias("peak_power"),
+        )
+    )
+    p_i = F.col("power") / F.col("total_power")
+    ent = -F.sum(F.when(F.col("power") > 0, p_i * F.log(p_i)).otherwise(0.0))
+    return (
+        spec.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(peak))
+        .groupBy("n_periods", "peak_period", "peak_power", "total_power")
+        .agg(
+            F.round(ent, 6).alias("spectral_entropy"),
+            F.round(ent / F.log(F.col("n_periods").cast("double")), 6)
+            .alias("entropy_norm"),
+        )
+        .select(
+            "n_periods",
+            "peak_period",
+            F.round(F.col("peak_power") / F.col("total_power"), 6).alias(
+                "peak_share"
+            ),
+            "spectral_entropy",
+            "entropy_norm",
+        )
+    )

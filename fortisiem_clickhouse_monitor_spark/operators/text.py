@@ -1880,3 +1880,130 @@ def text_inverted_index_postings(
         F.row_number().over(w).alias("rn"),
     )
     return ranked.filter(F.col("rn") <= _INV_TOP).drop("rn")
+
+
+# ---------------------------------------------------------------------------
+# TextRank keywords: weighted PageRank over token co-occurrence
+# ---------------------------------------------------------------------------
+
+_TR_ITERS = 6
+_TR_SCALE = 1_000_000
+_TR_TOP = 20
+
+
+def _textrank_oracle() -> str:
+    rounds = []
+    prev = "r0"
+    for k in range(1, _TR_ITERS + 1):
+        rounds.append(
+            f"""r{k} AS (
+      SELECT e.b AS token,
+             CAST(150000 + (85 * CAST(sum((p.pr * e.w) // s.s) AS BIGINT))
+                  // 100 AS BIGINT) AS pr
+      FROM eagg e
+      JOIN strength s ON s.token = e.a
+      JOIN {prev} p ON p.token = e.a
+      GROUP BY e.b)"""
+        )
+        prev = f"r{k}"
+    joined = ",\n    ".join(rounds)
+    return f"""
+    WITH pairs AS (
+      SELECT g.g AS pair
+      FROM (SELECT {_DUCK_TOKENS} AS tk FROM documents) s,
+           unnest(CASE WHEN len(tk) >= 2 THEN
+                    list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])
+                  ELSE [] END) AS g(g)
+    ),
+    e0 AS (
+      SELECT string_split(pair, ' ')[1] AS a,
+             string_split(pair, ' ')[2] AS b,
+             CAST(count(*) AS BIGINT) AS w
+      FROM pairs
+      WHERE string_split(pair, ' ')[1] <> string_split(pair, ' ')[2]
+      GROUP BY 1, 2
+    ),
+    eagg AS (
+      SELECT a, b, CAST(sum(w) AS BIGINT) AS w
+      FROM (SELECT a, b, w FROM e0
+            UNION ALL SELECT b AS a, a AS b, w FROM e0)
+      GROUP BY a, b
+    ),
+    strength AS (
+      SELECT a AS token, CAST(sum(w) AS BIGINT) AS s FROM eagg GROUP BY a
+    ),
+    r0 AS (
+      SELECT token, CAST({_TR_SCALE} AS BIGINT) AS pr FROM strength
+    ),
+    {joined}
+    SELECT token, pr FROM {prev} ORDER BY pr DESC, token LIMIT {_TR_TOP}
+    """
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=_textrank_oracle(),
+    tags=("TXT", "graph"),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004) corpus keywords: weighted
+    PageRank over the token co-occurrence graph (edge = adjacent token
+    pair, weight = corpus co-occurrence count, symmetrized), damping
+    0.85, 6 fixed-point rounds (_TR_ITERS), top 20 tokens — keyword
+    extraction as a GRAPH centrality, the classic unsupervised
+    alternative to TF-IDF's frequency lens (text_tfidf_top_terms ranks
+    what is distinctive; TextRank ranks what is structurally central).
+
+    Same integer fixed-point discipline as graph_pagerank_top20
+    (graph.py:119): ranks are BIGINT micro-units, each round
+    contributes (pr * w) // strength per edge — the weighted
+    generalization of pr // degree — so both engines iterate
+    bit-identically and need no convergence tolerance.  Scale shape:
+    tokenize -> one bigram groupBy builds the edge list (vocabulary-
+    sized, not corpus-sized); each round is one broadcast join of the
+    rank vector against the static edge list + one groupBy — the
+    rank vector is |vocab| rows, orders of magnitude under the token
+    stream it summarizes."""
+    d = bind(table(spark, sf_dir, "documents"), toks=textfns.tokens("text"))
+    n = F.size("toks")
+    prs = d.filter(n >= 2).select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, n - 1).alias("a"),
+                F.slice("toks", 2, n - 1).alias("b"),
+            )
+        ).alias("p")
+    )
+    e0 = (
+        prs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    eagg = (
+        e0.unionByName(
+            e0.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), "w"
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").cast("long").alias("w"))
+    )
+    strength = eagg.groupBy("a").agg(F.sum("w").cast("long").alias("s"))
+    ed = eagg.join(F.broadcast(strength), "a").localCheckpoint(eager=True)
+    ranks = strength.select(
+        F.col("a").alias("token"),
+        F.lit(_TR_SCALE).cast("long").alias("pr"),
+    )
+    for _ in range(_TR_ITERS):
+        contrib = ed.join(
+            F.broadcast(ranks), ed["a"] == ranks["token"]
+        ).select(F.col("b"), F.expr("(pr * w) DIV s").alias("c"))
+        ranks = contrib.groupBy("b").agg(
+            F.expr(
+                "CAST(150000 + (85 * CAST(sum(c) AS BIGINT)) DIV 100"
+                " AS BIGINT)"
+            ).alias("pr")
+        ).select(F.col("b").alias("token"), "pr")
+    return ranks.orderBy(F.desc("pr"), "token").limit(_TR_TOP)

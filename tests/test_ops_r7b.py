@@ -271,3 +271,68 @@ def test_bfs_histogram_planted(spark, monkeypatch):
         for r in gr.graph_bfs_distance_histogram(spark, "x").collect()
     }
     assert got == {0: 1, 1: 3, 2: 1, 3: 1}
+
+
+def test_textrank_planted_hub(spark, monkeypatch):
+    """Star vocabulary: 'hub' co-occurs with x/y/z, the leaves only
+    with hub.  Pure-python mirror of the integer fixed point (6
+    rounds, damping 85/100, (pr*w) DIV strength) must reproduce the
+    op's scores exactly; hub must rank first."""
+    import fortisiem_clickhouse_monitor_spark.operators.text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "hub x hub y", "en", "s", 11), (2, "hub z", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    monkeypatch.setattr(tx, "table", lambda s, d, n: docs)
+    rows = tx.text_textrank_keywords(spark, "x").collect()
+    got = {r["token"]: r["pr"] for r in rows}
+
+    # adjacency: hub-x, x-hub, hub-y, hub-z -> weights (symmetrized):
+    # hub<->x 2, hub<->y 1, hub<->z 1
+    edges = {("hub", "x"): 2, ("x", "hub"): 2, ("hub", "y"): 1,
+             ("y", "hub"): 1, ("hub", "z"): 1, ("z", "hub"): 1}
+    strength = {}
+    for (a, _), w in edges.items():
+        strength[a] = strength.get(a, 0) + w
+    pr = {t: 1_000_000 for t in strength}
+    for _ in range(tx._TR_ITERS):
+        contrib = {}
+        for (a, b), w in edges.items():
+            contrib[b] = contrib.get(b, 0) + (pr[a] * w) // strength[a]
+        pr = {b: 150000 + (85 * c) // 100 for b, c in contrib.items()}
+    assert got == pr
+    assert rows[0]["token"] == "hub"
+
+
+def test_spectral_entropy_planted_period2(spark, monkeypatch):
+    """Alternating 10/50 daily counts over 14 days: the periodogram
+    peaks at period 2 and the python mirror of the rounded-power
+    entropy matches."""
+    import fortisiem_clickhouse_monitor_spark.operators.advanced as adv2
+
+    rows = []
+    eid = 0
+    counts = [10, 50] * 7
+    for d, c in enumerate(counts, start=1):
+        for _ in range(c):
+            rows.append((eid, dt.datetime(2024, 1, d), 3, "view", 0.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(rows, _EV_SCHEMA)
+    monkeypatch.setattr(adv2, "table", lambda s, d, n: ev)
+    r = adv2.timeseries_spectral_entropy(spark, "x").collect()[0]
+    assert r["peak_period"] == 2
+    mu = sum(counts) / len(counts)
+    powers = []
+    for p in range(2, 15):
+        re = sum((c - mu) * math.cos(2 * math.pi * d / p)
+                 for d, c in enumerate(counts))
+        im = sum((c - mu) * math.sin(2 * math.pi * d / p)
+                 for d, c in enumerate(counts))
+        powers.append(round(re * re + im * im, 4))
+    tot = sum(powers)
+    ent = -sum((p / tot) * math.log(p / tot) for p in powers if p > 0)
+    assert r["spectral_entropy"] == round(ent, 6)
+    assert r["entropy_norm"] == round(ent / math.log(13), 6)
+    assert r["peak_share"] == round(max(powers) / tot, 6)
