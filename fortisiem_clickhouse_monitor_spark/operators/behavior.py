@@ -4447,3 +4447,129 @@ def behavior_conversion_latency(
         "n_users",
         F.sum("n_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC log compaction: last-write-wins with tombstones (Kafka semantics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_log_compaction",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(floor(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_versions
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type, cents AS last_value_cents,
+           n_versions
+    FROM log
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("CDC",),
+)
+def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log compaction with tombstones — Kafka's compacted-topic
+    contract applied to the event stream as a change log keyed by
+    user_id: keep only each key's LATEST record ((ts, event_id)
+    order), and drop the key entirely when its latest record is a
+    tombstone ('error' plays the delete marker in this fixture
+    corpus).  The third CDC primitive next to SCD2 history
+    (cdc_scd2_user_state keeps every version with validity windows)
+    and snapshot diff (cdc_snapshot_diff_monthly compares two points):
+    compaction is the one that bounds storage by LIVE KEYS, which is
+    why a changelog can be replayed into a table of any age.
+
+    One window on one user_id exchange — rank DESC, keep rn=1, filter
+    tombstones; n_versions reports how much log the compaction
+    retired per key.  At 100 TB this is the textbook map-side-free
+    single shuffle; no per-key arrays, heaviest-key-safe."""
+    ev = table(spark, sf_dir, "events")
+    wk = Window.partitionBy("user_id")
+    wr = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    log = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wk).cast("long").alias("n_versions"),
+    )
+    return log.filter(
+        (F.col("rn") == 1) & (F.col("event_type") != "error")
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.col("cents").alias("last_value_cents"),
+        "n_versions",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase gap curve: inter-purchase interval distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "behavior_repeat_purchase_gaps",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT CAST(date_diff('day', CAST(prev_ts AS TIMESTAMP),
+                            CAST(ts AS TIMESTAMP)) AS BIGINT) AS gap_days
+      FROM p WHERE prev_ts IS NOT NULL
+    )
+    SELECT gap_days, CAST(count(*) AS BIGINT) AS n_repeats
+    FROM gaps GROUP BY gap_days
+    """,
+    tags=("BEHAV",),
+)
+def behavior_repeat_purchase_gaps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-purchase interval distribution: for every repeat purchase,
+    the whole-day gap since the same user's previous purchase,
+    histogrammed — the repeat-cycle curve that prices retention
+    campaigns (its mode is the natural reorder cadence; the tail is
+    the win-back window), and the purchase-side sibling of
+    behavior_conversion_latency's click->purchase lag.
+
+    Gap semantics: date_diff('day') counts CALENDAR-DAY boundaries
+    (stated identically in both engines via timestamp day-diff, not
+    seconds//86400 — the two disagree around midnight).  One lag()
+    per user on one exchange, then a histogram groupBy whose
+    cardinality is bounded by the calendar span."""
+    p = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        p.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            F.datediff(F.to_date("ts"), F.to_date("prev_ts"))
+            .cast("long")
+            .alias("gap_days")
+        )
+    )
+    return gaps.groupBy("gap_days").agg(
+        F.count(F.lit(1)).alias("n_repeats")
+    )

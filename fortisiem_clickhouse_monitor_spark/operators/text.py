@@ -2007,3 +2007,103 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr")
         ).select(F.col("b").alias("token"), "pr")
     return ranks.orderBy(F.desc("pr"), "token").limit(_TR_TOP)
+
+
+# ---------------------------------------------------------------------------
+# Jelinek-Mercer interpolated bigram LM score
+# ---------------------------------------------------------------------------
+
+#: Interpolation weight on the bigram term (the unigram gets 1 - it).
+_JM_L_NUM, _JM_L_DEN = 7, 10
+
+
+@register(
+    "text_bigram_jm_logprob",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, g.g AS gram
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents) s,
+           unnest(CASE WHEN len(tk) >= 2 THEN
+                    list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i+1])
+                  ELSE [] END) AS g(g)
+    ),
+    bc AS (SELECT gram, count(*) AS cab FROM grams GROUP BY gram),
+    ctx AS (
+      SELECT string_split(gram, ' ')[1] AS a, sum(cab) AS ca
+      FROM bc GROUP BY 1
+    ),
+    uni AS (
+      SELECT t.w, count(*) AS cw
+      FROM documents, unnest({_DUCK_TOKENS}) AS t(w)
+      GROUP BY t.w
+    ),
+    tot AS (SELECT sum(cw) AS n FROM uni)
+    SELECT g.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln(({_JM_L_NUM} / {_JM_L_DEN}.0)
+                        * bc.cab / ctx.ca
+                        + (1 - {_JM_L_NUM} / {_JM_L_DEN}.0)
+                        * uni.cw / tot.n)), 4) AS avg_logprob_jm
+    FROM grams g
+    JOIN bc USING (gram)
+    JOIN ctx ON ctx.a = string_split(g.gram, ' ')[1]
+    JOIN uni ON uni.w = string_split(g.gram, ' ')[2]
+    CROSS JOIN tot
+    GROUP BY g.doc_id
+    """,
+    tags=("TXT", "quality"),
+)
+def text_bigram_jm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM score per document:
+    mean ln(0.7 * P_ML(w|a) + 0.3 * P_ML(w)) — the OTHER classic
+    smoothing next to text_bigram_logprob's add-one (add-one bleeds
+    probability mass to the V-sized unseen space and is famously
+    pessimal for large V; interpolation backs off to the unigram
+    instead, the form Chen & Goodman showed dominates it).  Scoring
+    both ways brackets a document's real LM fluency.
+
+    Same scale shape as the sibling (one tokenize; bigram/context/
+    unigram tables all vocabulary-sized and broadcast back onto the
+    gram stream); zero-probability grams cannot occur because every
+    scored gram was observed (cab >= 1), so the ln never sees 0 even
+    though JM, unlike add-one, assigns unseen bigrams mass only
+    through the unigram term."""
+    d = bind(spread(table(spark, sf_dir, "documents"), "doc_id"),
+             toks=textfns.tokens("text"))
+    grams = d.select(
+        "doc_id", F.explode(textfns.shingles(F.col("toks"), 2)).alias("gram")
+    )
+    bc = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cab"))
+    ctx = (
+        bc.withColumn("a", F.split_part("gram", F.lit(" "), F.lit(1)))
+        .groupBy("a")
+        .agg(F.sum("cab").alias("ca"))
+    )
+    uni = d.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("cw")
+    )
+    tot = uni.agg(F.sum("cw").alias("n"))
+    lam = F.lit(_JM_L_NUM) / F.lit(float(_JM_L_DEN))
+    lp_tbl = (
+        bc.withColumn("a", F.split_part("gram", F.lit(" "), F.lit(1)))
+        .withColumn("w", F.split_part("gram", F.lit(" "), F.lit(2)))
+        .join(F.broadcast(ctx), "a")
+        .join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "gram",
+            F.log(
+                lam * F.col("cab") / F.col("ca")
+                + (1 - lam) * F.col("cw") / F.col("n")
+            ).alias("lp"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(lp_tbl), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob_jm"),
+        )
+    )

@@ -336,3 +336,69 @@ def test_spectral_entropy_planted_period2(spark, monkeypatch):
     assert r["spectral_entropy"] == round(ent, 6)
     assert r["entropy_norm"] == round(ent / math.log(13), 6)
     assert r["peak_share"] == round(max(powers) / tot, 6)
+
+
+def test_log_compaction_planted(spark, monkeypatch):
+    """u1: view then purchase -> compacts to the purchase with
+    n_versions=2.  u2: purchase then tombstone ('error') latest ->
+    key dropped.  u3: single view survives."""
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as beh
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 2), 1, "purchase", 5.5, "{}"),
+        (3, dt.datetime(2024, 1, 1), 2, "purchase", 2.0, "{}"),
+        (4, dt.datetime(2024, 1, 3), 2, "error", 0.0, "{}"),
+        (5, dt.datetime(2024, 1, 1), 3, "view", 3.25, "{}"),
+    ]
+    ev = spark.createDataFrame(rows, _EV_SCHEMA)
+    monkeypatch.setattr(beh, "table", lambda s, d, n: ev)
+    got = {
+        r["user_id"]: (r["last_event_id"], r["last_type"],
+                       r["last_value_cents"], r["n_versions"])
+        for r in beh.cdc_log_compaction(spark, "x").collect()
+    }
+    assert got == {
+        1: (2, "purchase", 550, 2),
+        3: (5, "view", 325, 1),
+    }
+
+
+def test_repeat_purchase_gaps_planted(spark, monkeypatch):
+    """u1 purchases on days 1, 3, 10 -> gaps 2 and 7; u2 once -> no
+    gap.  Calendar-day semantics: 23:50 -> next day 00:10 is 1 day."""
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as beh
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 12), 1, "purchase", 0.0, "{}"),
+        (2, dt.datetime(2024, 1, 3, 12), 1, "purchase", 0.0, "{}"),
+        (3, dt.datetime(2024, 1, 10, 12), 1, "purchase", 0.0, "{}"),
+        (4, dt.datetime(2024, 1, 5, 23, 50), 2, "purchase", 0.0, "{}"),
+        (5, dt.datetime(2024, 1, 6, 0, 10), 2, "purchase", 0.0, "{}"),
+        (6, dt.datetime(2024, 1, 1), 3, "purchase", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(rows, _EV_SCHEMA)
+    monkeypatch.setattr(beh, "table", lambda s, d, n: ev)
+    got = {
+        r["gap_days"]: r["n_repeats"]
+        for r in beh.behavior_repeat_purchase_gaps(spark, "x").collect()
+    }
+    assert got == {2: 1, 7: 1, 1: 1}
+
+
+def test_bigram_jm_logprob_planted(spark, monkeypatch):
+    """One doc 'a b a b': bigrams ab, ba, ab.  JM score mirrors the
+    closed form with lambda=0.7: P(b|a)=1, P(a|b)=1, unigram
+    P(a)=P(b)=1/2."""
+    import fortisiem_clickhouse_monitor_spark.operators.text as tx
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    monkeypatch.setattr(tx, "table", lambda s, d, n: docs)
+    r = tx.text_bigram_jm_logprob(spark, "x").collect()[0]
+    assert r["n_bigrams"] == 3
+    # every bigram: 0.7 * 1.0 + 0.3 * 0.5 = 0.85
+    assert r["avg_logprob_jm"] == round(math.log(0.85), 4)
