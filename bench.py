@@ -151,6 +151,14 @@ def main() -> None:
     )
 
     enable_shared_hb_cache(True)
+    # And the LPA labels: communities are detected once per session;
+    # graph_modularity_lpa scores that partition instead of
+    # re-propagating it (the registered LPA query stays fresh).
+    from fortisiem_clickhouse_monitor_spark.operators.graph import (
+        enable_shared_lpa_cache,
+    )
+
+    enable_shared_lpa_cache(True)
     qs = entrymod.queries()
     # Full-registry coverage: the curated HEADLINE order first (stable
     # names keep round-over-round comparisons meaningful), then every
