@@ -159,6 +159,13 @@ def main() -> None:
     )
 
     enable_shared_lpa_cache(True)
+    # And the k-means assignment: SemDeDup dedups within the clusters
+    # Lloyd's iterations produce; cluster once per session.
+    from fortisiem_clickhouse_monitor_spark.operators.similarity import (
+        enable_shared_kmeans_cache,
+    )
+
+    enable_shared_kmeans_cache(True)
     qs = entrymod.queries()
     # Full-registry coverage: the curated HEADLINE order first (stable
     # names keep round-over-round comparisons meaningful), then every
