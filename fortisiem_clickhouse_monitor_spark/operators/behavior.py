@@ -4573,3 +4573,125 @@ def behavior_repeat_purchase_gaps(
     return gaps.groupBy("gap_days").agg(
         F.count(F.lit(1)).alias("n_repeats")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast backtest: naive vs SES one-step-ahead MAE per series
+# ---------------------------------------------------------------------------
+
+#: SES smoothing weight alpha = _SES_A / _SES_D (0.3).
+_SES_A, _SES_D = 3, 10
+_SES_S = 1 << 20  # fixed-point scale, same as the Holt family
+
+
+@register(
+    "ts_forecast_backtest_mae",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY CAST(ts AS DATE)) AS BIGINT)
+               AS rn
+      FROM events GROUP BY 1, 2
+    ),
+    ses(event_type, rn, n, lvl) AS (
+      SELECT event_type, rn, n, n * {_SES_S}
+      FROM daily WHERE rn = 1
+      UNION ALL
+      SELECT d.event_type, d.rn, d.n,
+             ({_SES_D - _SES_A} * s.lvl + {_SES_A} * d.n * {_SES_S})
+               // {_SES_D}
+      FROM ses s
+      JOIN daily d ON d.event_type = s.event_type AND d.rn = s.rn + 1
+    ),
+    scored AS (
+      SELECT s.event_type, s.rn, s.n,
+             lag(s.n) OVER w AS prev_n,
+             lag(s.lvl) OVER w AS prev_lvl
+      FROM ses s
+      WINDOW w AS (PARTITION BY s.event_type ORDER BY s.rn)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(abs(n - prev_n) * {_SES_S}) // count(*) AS BIGINT)
+             AS mae_naive_fp,
+           CAST(sum(abs(n * {_SES_S} - prev_lvl)) // count(*) AS BIGINT)
+             AS mae_ses_fp,
+           sum(abs(n * {_SES_S} - prev_lvl))
+             < sum(abs(n - prev_n) * {_SES_S}) AS ses_wins
+    FROM scored WHERE prev_n IS NOT NULL
+    GROUP BY event_type
+    """,
+    tags=("TS", "ITER", "EVAL"),
+)
+def ts_forecast_backtest_mae(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One-step-ahead forecast BACKTEST per event type: walk the daily
+    series, at each day score yesterday's forecast against today's
+    actual, and report the mean absolute error of (a) the naive
+    carry-forward (forecast = yesterday's value — the no-skill
+    baseline every forecaster must beat) and (b) simple exponential
+    smoothing (alpha = 0.3, forecast = yesterday's level), plus which
+    one won.  This is the eval harness the Holt/Holt-Winters family
+    (ts_holt_smoothing_daily) plugs into before anyone trusts a
+    forecast column — a model that cannot beat naive MAE has no
+    business alerting.
+
+    Exactness: the SES recursion is int64 fixed-point (scale 2^20,
+    truncating division, all-positive operands so `//` and DIV agree),
+    mirrored by an actual recursive CTE; both MAEs are exact integer
+    sums divided once, and the winner flag compares the integer SUMS
+    (not the divided means) so no rounding precedes the comparison.
+    Scale shape: the fold runs per type over the |types x days| daily
+    rollup via applyInPandas — the same honest minimal
+    materialization as the Holt fold; everything else is one window
+    and one aggregate on the summary frame."""
+    import pandas as pd
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    schema = (
+        "event_type string, n_scored long, mae_naive_fp long,"
+        " mae_ses_fp long, ses_wins boolean"
+    )
+
+    def backtest(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        lvl = 0
+        sum_naive = sum_ses = n_scored = 0
+        prev_n = None
+        for i, n in enumerate(pdf["n"]):
+            n = int(n)
+            if i == 0:
+                lvl = n * _SES_S
+            else:
+                sum_naive += abs(n - prev_n) * _SES_S
+                sum_ses += abs(n * _SES_S - lvl)
+                n_scored += 1
+                lvl = (
+                    (_SES_D - _SES_A) * lvl + _SES_A * n * _SES_S
+                ) // _SES_D
+            prev_n = n
+        if n_scored == 0:
+            return pd.DataFrame(
+                columns=[
+                    "event_type", "n_scored", "mae_naive_fp",
+                    "mae_ses_fp", "ses_wins",
+                ]
+            )
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_scored": [n_scored],
+                "mae_naive_fp": [sum_naive // n_scored],
+                "mae_ses_fp": [sum_ses // n_scored],
+                "ses_wins": [sum_ses < sum_naive],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(backtest, schema)

@@ -2254,3 +2254,106 @@ def quality_iqr_fence_outliers(
             "outlier_rate",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-table reconciliation: order totals vs lineitem rollup
+# ---------------------------------------------------------------------------
+
+#: Tolerance (cents) within which a header total and its detail
+#: rollup are called consistent.
+_RECON_TOL_CENTS = 100
+
+
+@register(
+    "quality_order_total_reconciliation",
+    oracle=f"""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS detail_cents,
+             CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o.o_orderstatus AS orderstatus,
+             CAST(floor(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+             li.detail_cents, li.n_items
+      FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN detail_cents IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_headless,
+           CAST(sum(CASE WHEN detail_cents IS NOT NULL
+                          AND abs(header_cents - detail_cents)
+                              <= {_RECON_TOL_CENTS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+           CAST(max(CASE WHEN detail_cents IS NOT NULL
+                         THEN abs(header_cents - detail_cents) END)
+                AS BIGINT) AS max_abs_diff_cents,
+           round(CAST(sum(CASE WHEN detail_cents IS NOT NULL
+                          AND abs(header_cents - detail_cents)
+                              <= {_RECON_TOL_CENTS}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+             AS consistency_rate
+    FROM j GROUP BY orderstatus
+    """,
+    tags=("DQ",),
+)
+def quality_order_total_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Header/detail reconciliation — the cross-TABLE consistency
+    check that quality_fk_orphans (existence) and the checksum family
+    (drift) don't cover: does each order's header total equal its
+    lineitem rollup within tolerance?  Reported per order status:
+    order count, headless orders (no lineitems at all), consistent
+    count, worst absolute gap, and the consistency rate.  On this
+    synthetic corpus the totals do NOT reconcile — which is the
+    point: the screen quantifies the books-vs-detail gap instead of
+    assuming it away, and is non-vacuous at every scale factor.
+
+    Plan: one groupBy(l_orderkey) collapses the detail table, one
+    equi-join against the header (both sides shuffle on the order
+    key — the natural co-partitioning; at 100 TB bucket both tables
+    by orderkey and the join is exchange-free), one status rollup.
+    All money is exact centi-unit BIGINTs."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("detail_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderstatus").alias("orderstatus"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias(
+            "header_cents"
+        ),
+    )
+    j = o.join(li, "l_orderkey", "left")
+    diff = F.abs(F.col("header_cents") - F.col("detail_cents"))
+    has_detail = F.col("detail_cents").isNotNull()
+    consistent = has_detail & (diff <= _RECON_TOL_CENTS)
+    return j.groupBy("orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(~has_detail, 1).otherwise(0))
+        .cast("long")
+        .alias("n_headless"),
+        F.sum(F.when(consistent, 1).otherwise(0))
+        .cast("long")
+        .alias("n_consistent"),
+        F.max(F.when(has_detail, diff)).cast("long").alias(
+            "max_abs_diff_cents"
+        ),
+        F.round(
+            F.sum(F.when(consistent, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("consistency_rate"),
+    )

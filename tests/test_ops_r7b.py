@@ -402,3 +402,82 @@ def test_bigram_jm_logprob_planted(spark, monkeypatch):
     assert r["n_bigrams"] == 3
     # every bigram: 0.7 * 1.0 + 0.3 * 0.5 = 0.85
     assert r["avg_logprob_jm"] == round(math.log(0.85), 4)
+
+
+def test_forecast_backtest_planted(spark, monkeypatch):
+    """Constant series 10,10,10,10: both models are perfect (MAE 0),
+    SES does not beat naive (strict <).  Trending series 10,20,30:
+    python mirror of the integer SES fold confirms the MAEs."""
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as beh
+
+    rows = []
+    eid = 0
+    for d in range(1, 5):
+        for _ in range(10):
+            rows.append((eid, dt.datetime(2024, 1, d), 1, "view", 0.0, "{}"))
+            eid += 1
+    for d, c in ((1, 10), (2, 20), (3, 30)):
+        for _ in range(c):
+            rows.append((eid, dt.datetime(2024, 1, d), 1, "click", 0.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(rows, _EV_SCHEMA)
+    monkeypatch.setattr(beh, "table", lambda s, d, n: ev)
+    got = {
+        r["event_type"]: r
+        for r in beh.ts_forecast_backtest_mae(spark, "x").collect()
+    }
+    v = got["view"]
+    assert (v["n_scored"], v["mae_naive_fp"], v["mae_ses_fp"]) == (3, 0, 0)
+    assert v["ses_wins"] is False
+
+    S, A, D = beh._SES_S, beh._SES_A, beh._SES_D
+    series = [10, 20, 30]
+    lvl = series[0] * S
+    sum_n = sum_s = 0
+    for prev, n in zip(series, series[1:]):
+        sum_n += abs(n - prev) * S
+        sum_s += abs(n * S - lvl)
+        lvl = ((D - A) * lvl + A * n * S) // D
+    c = got["click"]
+    assert c["n_scored"] == 2
+    assert c["mae_naive_fp"] == sum_n // 2
+    assert c["mae_ses_fp"] == sum_s // 2
+    assert c["ses_wins"] == (sum_s < sum_n)
+
+
+def test_order_reconciliation_planted(spark, monkeypatch):
+    """Order 1 reconciles within the 100-cent tolerance, order 2 is
+    off by 50.00, order 3 has no lineitems (headless)."""
+    import fortisiem_clickhouse_monitor_spark.operators.profiling as pf
+
+    orders = spark.createDataFrame(
+        [(1, 1, "O", 100.00, dt.datetime(2024, 1, 1), "x"),
+         (2, 1, "O", 100.00, dt.datetime(2024, 1, 1), "x"),
+         (3, 1, "F", 100.00, dt.datetime(2024, 1, 1), "x")],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1, 1.0, 99.50, 0.0, 0.0, "N", "O",
+          dt.datetime(2024, 1, 2)),
+         (2, 1, 1, 1, 1.0, 50.00, 0.0, 0.0, "N", "O",
+          dt.datetime(2024, 1, 2))],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    tabs = {"orders": orders, "lineitem": li}
+    monkeypatch.setattr(pf, "table", lambda s, d, n: tabs[n])
+    got = {
+        r["orderstatus"]: r
+        for r in pf.quality_order_total_reconciliation(spark, "x").collect()
+    }
+    o = got["O"]
+    assert (o["n_orders"], o["n_headless"], o["n_consistent"]) == (2, 0, 1)
+    assert o["max_abs_diff_cents"] == 5000
+    assert o["consistency_rate"] == 0.5
+    f = got["F"]
+    assert (f["n_orders"], f["n_headless"], f["n_consistent"]) == (1, 1, 0)
+    assert f["max_abs_diff_cents"] is None
