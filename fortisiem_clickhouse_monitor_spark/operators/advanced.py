@@ -3628,3 +3628,162 @@ def timeseries_spectral_entropy(
             "entropy_norm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted exact percentiles (quantilesExactWeighted analog)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentiles_weighted_exact",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(floor(l_quantity) AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT l_returnflag, cents, CAST(sum(wt) AS BIGINT) AS wt
+      FROM w GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, cents, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag ORDER BY cents
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM cells
+    )
+    SELECT l_returnflag,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN cents END) AS BIGINT)
+             AS p50_cents,
+           CAST(min(CASE WHEN 10 * cw >= 9 * tw THEN cents END) AS BIGINT)
+             AS p90_cents,
+           CAST(min(CASE WHEN 100 * cw >= 99 * tw THEN cents END) AS BIGINT)
+             AS p99_cents
+    FROM cum GROUP BY l_returnflag
+    """,
+    tags=("A-ext", "STATS"),
+)
+def percentiles_weighted_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WEIGHTED exact percentiles (ClickHouse quantilesExactWeighted):
+    the p-quantile of unit price where each lineitem counts
+    l_quantity times — the "per unit sold" distribution a revenue
+    analysis actually wants, vs the per-ROW percentiles of
+    percentiles_order_price that overweight small orders.  Selected
+    value = smallest v whose cumulative weight reaches p * total
+    (weighted percentile_disc semantics).
+
+    All integer: centi-unit prices, integral quantities as BIGINT
+    weights, and the threshold test is the cross-multiplied form
+    (2*cw >= tw, 10*cw >= 9*tw, 100*cw >= 99*tw) so no division
+    exists at all.  Scale shape: collapse to (group, value) cells
+    FIRST (one partial-aggregating shuffle), then one running-sum
+    window over the cells — the window runs on |distinct values| per
+    group, not |rows|; at 100 TB with near-unique values, swap in the
+    bucketed histogram form (sketch_histogram_quantiles) — this is
+    the exact-forensics variant."""
+    w = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.floor(F.col("l_quantity")).cast("long").alias("wt"),
+    )
+    cells = w.groupBy("l_returnflag", "cents").agg(
+        F.sum("wt").cast("long").alias("wt")
+    )
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt_all = Window.partitionBy("l_returnflag")
+    cum = cells.select(
+        "l_returnflag",
+        "cents",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(wt_all).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("tw").cast("long").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents")))
+        .cast("long")
+        .alias("p50_cents"),
+        F.min(F.when(10 * F.col("cw") >= 9 * F.col("tw"), F.col("cents")))
+        .cast("long")
+        .alias("p90_cents"),
+        F.min(F.when(100 * F.col("cw") >= 99 * F.col("tw"), F.col("cents")))
+        .cast("long")
+        .alias("p99_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sumMap analog: per-day event_type -> value map, merged and sorted
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_summap_daily_type_values",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    nested AS (
+      SELECT day,
+             to_json(list(struct_pack(k := event_type, v := cents)
+                          ORDER BY event_type)) AS type_values_json,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM cells GROUP BY day
+    )
+    SELECT day, n_types, type_values_json FROM nested
+    """,
+    tags=("A-ext", "NEST"),
+)
+def agg_summap_daily_type_values(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse sumMap analog: per day, the event_type -> summed
+    value mapping as ONE nested column (sorted (k, v) structs
+    serialized to JSON — the deterministic wire form of a map, since
+    map-typed columns hash by undefined entry order and raw struct
+    payloads canonicalize engine-specifically; same to_json
+    discipline as the nest family, reshape.py:25).  This is
+    the rollup shape monitoring dashboards store: one row per day,
+    the per-type breakdown payload inside it, mergeable by
+    concatenating maps and re-summing (sumMap's defining property).
+
+    Plan: one partial-aggregating groupBy to (day, type) cells — the
+    only fact-table pass — then a day-keyed nest whose payload is
+    bounded by |event types|; exact centi-unit BIGINTs inside the
+    structs."""
+    cells = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    return cells.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.to_json(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("event_type").alias("k"),
+                        F.col("cents").alias("v"),
+                    )
+                )
+            )
+        ).alias("type_values_json"),
+    ).select("day", "n_types", "type_values_json")

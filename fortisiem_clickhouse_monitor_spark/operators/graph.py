@@ -2821,3 +2821,85 @@ def graph_bfs_distance_histogram(
         )
         hist = h if hist is None else hist.unionByName(h)
     return hist.filter(F.col("n_nodes") > 0)
+
+
+# ---------------------------------------------------------------------------
+# Degree inequality: exact Gini over the degree distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_degree_gini",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey AS u, l_suppkey + {_SUPP_OFF} AS v
+      FROM lineitem
+    ),
+    edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY u),
+    ranked AS (
+      SELECT d, row_number() OVER (ORDER BY d, node) AS i FROM deg
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d) AS BIGINT) AS total,
+             CAST(sum(i * d) AS BIGINT) AS s_id,
+             CAST(max(d) AS BIGINT) AS max_degree
+      FROM ranked
+    )
+    SELECT n AS n_nodes, total AS total_degree, max_degree,
+           round(CAST(2 * s_id AS DOUBLE) / (n * total)
+                 - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+    FROM agg
+    """,
+    tags=("graph", "STATS"),
+)
+def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini coefficient of the part<->supplier graph's degree
+    distribution — the one-number hub-dominance screen that decides
+    whether degree-keyed operations need skew handling at all (Gini
+    near 0: uniform degrees, hash-partition and go; near 1: a few
+    hubs own the edge mass — salt them, cap their wedges, or broadcast
+    their adjacency, exactly the decisions the k-truss gate and the
+    capped-wedge kernels already encode).  Numeric complement of
+    graph_degree_distribution's full histogram and the rich-club
+    coefficient's top-slice view.
+
+    Same rank-formula discipline as behavior_activity_gini
+    (behavior.py:2177): G = 2*sum(i*d_i)/(n*sum(d)) - (n+1)/n over
+    ascending-ranked degrees with node-id tie-break; everything until
+    the final division is exact BIGINT.  The rank window is the only
+    super-linear step — one sort of the |nodes|-row degree frame, not
+    the edge list."""
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").alias("u"),
+        (F.col("l_suppkey") + F.lit(_SUPP_OFF)).alias("v"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ranked = deg.select(
+        "d", F.row_number().over(Window.orderBy("d", "node")).alias("i")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").cast("long").alias("total"),
+        F.sum(F.col("i") * F.col("d")).cast("long").alias("s_id"),
+        F.max("d").cast("long").alias("max_degree"),
+    )
+    return agg.select(
+        F.col("n").alias("n_nodes"),
+        F.col("total").alias("total_degree"),
+        "max_degree",
+        F.round(
+            (2 * F.col("s_id")).cast("double")
+            / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1).cast("double") / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -481,3 +481,63 @@ def test_order_reconciliation_planted(spark, monkeypatch):
     f = got["F"]
     assert (f["n_orders"], f["n_headless"], f["n_consistent"]) == (1, 1, 0)
     assert f["max_abs_diff_cents"] is None
+
+
+def test_weighted_percentiles_planted(spark, monkeypatch):
+    """Prices 1.00 (weight 9) and 100.00 (weight 1): per-row p50
+    would be mid-way; weighted p50 must sit at 1.00 (cum weight 9/10
+    crosses 50%), p99 at 100.00 (needs 99%)."""
+    import fortisiem_clickhouse_monitor_spark.operators.advanced as adv2
+
+    li = spark.createDataFrame(
+        [(1, 1, 1, 1, 9.0, 1.00, 0.0, 0.0, "N", "O",
+          dt.datetime(2024, 1, 2)),
+         (2, 1, 1, 1, 1.0, 100.00, 0.0, 0.0, "N", "O",
+          dt.datetime(2024, 1, 2))],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    monkeypatch.setattr(adv2, "table", lambda s, d, n: li)
+    r = adv2.percentiles_weighted_exact(spark, "x").collect()[0]
+    assert r["total_weight"] == 10
+    assert r["p50_cents"] == 100
+    assert r["p90_cents"] == 100
+    assert r["p99_cents"] == 10000
+
+
+def test_summap_planted(spark, monkeypatch):
+    """Two days; payload is the sorted (type, cents) JSON."""
+    import fortisiem_clickhouse_monitor_spark.operators.advanced as adv2
+
+    ev = _ev(
+        [(1, 1, "view", 1.25), (1, 2, "click", 2.00), (1, 3, "view", 0.50),
+         (2, 1, "view", 3.00)],
+        spark,
+    )
+    monkeypatch.setattr(adv2, "table", lambda s, d, n: ev)
+    got = {
+        str(r["day"]): (r["n_types"], r["type_values_json"])
+        for r in adv2.agg_summap_daily_type_values(spark, "x").collect()
+    }
+    assert got["2024-01-01"] == (
+        2, '[{"k":"click","v":200},{"k":"view","v":175}]'
+    )
+    assert got["2024-01-02"] == (1, '[{"k":"view","v":300}]')
+
+
+def test_degree_gini_planted(spark, monkeypatch):
+    """Star: supplier 1 supplies parts 1..4 -> degrees [4,1,1,1,1].
+    Rank formula over ascending [1,1,1,1,4]: G = 2*(1+2+3+4+20)/(5*8)
+    - 6/5 = 0.3."""
+    import fortisiem_clickhouse_monitor_spark.operators.graph as gr
+
+    li = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1)],
+        "l_partkey long, l_suppkey long",
+    )
+    monkeypatch.setattr(gr, "table", lambda s, d, n: li)
+    r = gr.graph_degree_gini(spark, "x").collect()[0]
+    assert (r["n_nodes"], r["total_degree"], r["max_degree"]) == (5, 8, 4)
+    assert r["gini"] == 0.3
