@@ -2897,3 +2897,64 @@ def sim_hamming_sign_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ham.alias("hamming"),
     )
     return ranked.filter(F.col("rnk") <= _HAM_K)
+
+
+# ---------------------------------------------------------------------------
+# Embedding norm-distribution screen (norm collapse / outlier scale)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_norm_distribution_screen",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_aggregate(list_transform(embedding::DOUBLE[],
+                                                x -> x * x), 'sum'))
+               AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(floor(nrm * 10) AS BIGINT) AS norm_decibucket,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM n GROUP BY 1
+    """,
+    tags=("SIM", "QUALITY"),
+)
+def sim_norm_distribution_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding L2-norm histogram in 0.1-wide buckets with per-bucket
+    min/max — the five-second sanity screen an embedding pipeline
+    runs before ANY cosine math: a spike at bucket 0 is norm collapse
+    (dead encoder / zero rows that will NaN a naive normalize), a fat
+    right tail means un-normalized mixtures where dot-product ranking
+    silently favors long vectors, and a single tight bucket confirms
+    pre-normalized inputs.  Complements sim_dead_dimension_screen
+    (per-DIMENSION variance) with the per-VECTOR scale view.
+
+    The norm is the same left-fold sum of squares in both engines
+    (sequential over the array — no cross-row float order issues),
+    bucketed by floor(10*norm) into exact integers; min/max round at
+    6dp.  Map-only + one bounded-cardinality groupBy: at 100 TB this
+    is a single scan pass whose aggregate is histogram-sized."""
+    e = table(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x * x,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    n = e.select(nrm.alias("nrm"))
+    return n.groupBy(
+        F.floor(F.col("nrm") * 10).cast("long").alias("norm_decibucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )

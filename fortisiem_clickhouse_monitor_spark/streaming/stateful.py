@@ -19,6 +19,7 @@ State design (the part that must survive 100 TB):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -626,6 +627,93 @@ def conversion_latency(stream: DataFrame) -> DataFrame:
         conversion_latency_fn,
         outputStructType=CONV_OUTPUT_SCHEMA,
         stateStructType=CONV_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateful log compaction: last-write-wins changelog with tombstones
+# ---------------------------------------------------------------------------
+
+COMPACT_OUTPUT_SCHEMA = (
+    "user_id LONG, last_event_id LONG, last_ts TIMESTAMP,"
+    " last_type STRING, last_value_cents LONG, n_versions LONG,"
+    " is_tombstone BOOLEAN"
+)
+COMPACT_STATE_SCHEMA = (
+    "last_us LONG, last_eid LONG, last_type STRING,"
+    " cents LONG, n_versions LONG"
+)
+
+#: Event type that plays the delete marker (matches the batch twin
+#: cdc_log_compaction, operators/behavior.py).
+COMPACT_TOMBSTONE = "error"
+
+
+def compact_fn(
+    key, pdf_iter: "Iterator[pd.DataFrame]", state
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch into the key's compacted record ((ts,
+    event_id) max wins) and emit the NEW compacted value — i.e. the
+    downstream sees exactly the changelog a Kafka compacted topic
+    would publish: one row per (key, batch-with-changes), each
+    superseding the last, tombstones flagged rather than dropped so a
+    consumer can delete.  State is O(1) per key (5 fields), the
+    minimum for exact last-write-wins."""
+    (user_id,) = key
+    cur = list(state.get) if state.exists else None
+    n_new = 0
+    for pdf in pdf_iter:
+        for r in pdf.itertuples():
+            us = int(r.ts.value // 1000)
+            eid = int(r.event_id)
+            n_new += 1
+            if cur is None or (us, eid) > (cur[0], cur[1]):
+                cur = [
+                    us,
+                    eid,
+                    str(r.event_type),
+                    int(math.floor(r.value * 100)),
+                    0,
+                ]
+    if n_new == 0 or cur is None:
+        yield pd.DataFrame(
+            {c: [] for c in (
+                "user_id", "last_event_id", "last_ts", "last_type",
+                "last_value_cents", "n_versions", "is_tombstone",
+            )}
+        )
+        return
+    prev_versions = state.get[4] if state.exists else 0
+    cur[4] = prev_versions + n_new
+    state.update(tuple(cur))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "last_event_id": [cur[1]],
+            "last_ts": [pd.Timestamp(cur[0], unit="us")],
+            "last_type": [cur[2]],
+            "last_value_cents": [cur[3]],
+            "n_versions": [cur[4]],
+            "is_tombstone": [cur[2] == COMPACT_TOMBSTONE],
+        }
+    )
+
+
+def compact(stream: DataFrame) -> DataFrame:
+    """Streaming twin of the batch cdc_log_compaction: the batch form
+    compacts a complete log in one window; this form maintains the
+    compacted table INCREMENTALLY, emitting a changelog row whenever
+    a key's latest record changes.  The differential test replays the
+    ordered log and checks the final emission per key equals the
+    batch compaction (tombstoned keys emit flagged rather than
+    vanishing — a streaming consumer needs the delete event; the
+    batch form's drop is the terminal materialization of it)."""
+    return stream.groupBy("user_id").applyInPandasWithState(
+        compact_fn,
+        outputStructType=COMPACT_OUTPUT_SCHEMA,
+        stateStructType=COMPACT_STATE_SCHEMA,
         outputMode="append",
         timeoutConf="NoTimeout",
     )

@@ -541,3 +541,23 @@ def test_degree_gini_planted(spark, monkeypatch):
     r = gr.graph_degree_gini(spark, "x").collect()[0]
     assert (r["n_nodes"], r["total_degree"], r["max_degree"]) == (5, 8, 4)
     assert r["gini"] == 0.3
+
+
+def test_norm_screen_planted(spark, monkeypatch):
+    """Unit vector -> bucket 10; zero vector -> bucket 0 (collapse);
+    3-4-0... vector -> norm 5.0 -> bucket 50."""
+    import fortisiem_clickhouse_monitor_spark.operators.similarity as sm
+
+    z = [0.0] * 64
+    unit = [1.0] + [0.0] * 63
+    v5 = [3.0, 4.0] + [0.0] * 62
+    emb = spark.createDataFrame(
+        [(1, unit, 0), (2, z, 0), (3, v5, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(sm, "table", lambda s, d, n: emb)
+    got = {
+        r["norm_decibucket"]: (r["n_vectors"], r["min_norm"], r["max_norm"])
+        for r in sm.sim_norm_distribution_screen(spark, "x").collect()
+    }
+    assert got == {10: (1, 1.0, 1.0), 0: (1, 0.0, 0.0), 50: (1, 5.0, 5.0)}

@@ -904,3 +904,55 @@ def test_stateful_conversion_latency_restart_and_batch_match(
     }
     assert hist == batch
     assert len(batch) > 0
+
+
+def test_stateful_log_compaction_matches_batch(spark, tmp_path):
+    """Streaming compaction differential: replaying sf0.001 events in
+    (ts, event_id) order, each key's FINAL changelog emission must
+    equal the batch cdc_log_compaction row — same last event, value,
+    and total version count — and keys whose latest record is a
+    tombstone must be flagged here and absent from the batch output."""
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    batch = {
+        r["user_id"]: r
+        for r in bh.cdc_log_compaction(spark, SF_SMALL).collect()
+    }
+    ev = table(spark, SF_SMALL, "events")
+    out = str(tmp_path / "lc_events")
+    ev.orderBy("ts", "event_id").coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    stream = jobs.events_stream(spark, out, max_files_per_trigger=1)
+    q = (
+        stateful.compact(stream)
+        .writeStream.format("memory")
+        .queryName("t_compact")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM t_compact").collect()
+    final: dict = {}
+    for r in rows:
+        # versions grow monotonically, so max n_versions = last emission
+        if (
+            r["user_id"] not in final
+            or r["n_versions"] > final[r["user_id"]]["n_versions"]
+        ):
+            final[r["user_id"]] = r
+    n_events = ev.count()
+    assert sum(r["n_versions"] for r in final.values()) == n_events
+    for uid, r in final.items():
+        if r["is_tombstone"]:
+            assert uid not in batch
+        else:
+            b = batch[uid]
+            assert r["last_event_id"] == b["last_event_id"]
+            assert r["last_type"] == b["last_type"]
+            assert r["last_value_cents"] == b["last_value_cents"]
+            assert r["n_versions"] == b["n_versions"]
+    live = {u for u, r in final.items() if not r["is_tombstone"]}
+    assert live == set(batch)
