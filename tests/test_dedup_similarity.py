@@ -640,18 +640,19 @@ def test_scale_route_activates_above_threshold(spark, monkeypatch):
     assert len(counts) == 500 and all(r["count"] <= 3 for r in counts)
 
 
-def test_alternating_components_raises_on_non_convergence(spark):
+def test_alternating_components_raises_on_non_convergence(spark, monkeypatch):
     """max_rounds too small must raise, not silently return a chained
-    (non-star-forest) edge set that would duplicate doc_ids downstream."""
-    from fortisiem_clickhouse_monitor_spark.operators.dedup import (
-        alternating_components,
-    )
+    (non-star-forest) edge set that would duplicate doc_ids downstream.
+    The driver-union-find gate is forced off: max_rounds only governs
+    the distributed contraction path."""
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
 
+    monkeypatch.setattr(dd, "CC_DRIVER_MAX_EDGES", 0)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "src LONG, dst LONG"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        alternating_components(chain, max_rounds=0)
+        dd.alternating_components(chain, max_rounds=0)
 
 
 def test_incremental_dedup_planted(spark, monkeypatch):

@@ -143,3 +143,48 @@ def test_hyperball_merge_shuffle_path_matches_broadcast(spark, monkeypatch):
     # sanity: registers cover every node and rho values are positive
     assert {n for n, _, _ in forced} == {1, 2, 3, 4, 5, 6}
     assert all(r >= 1 for _, _, r in forced)
+
+
+def test_cc_distributed_path_matches_driver_union_find(spark, monkeypatch):
+    """alternating_components routes tiny edge lists to a driver-side
+    union-find (dedup.CC_DRIVER_MAX_EDGES); forcing the gate to 0 must
+    run the distributed star contraction and produce the IDENTICAL
+    star forest — root per component = min node id, every non-root a
+    leaf exactly once — on both a planted multi-component fixture
+    (chain + triangle + isolated pair, ids chosen so hook order and
+    canonical orientation are both exercised) and the sf0.001 near-dup
+    graph."""
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dedup
+
+    planted = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 7),          # chain, min 3
+         (20, 21), (21, 22), (22, 20),    # triangle, min 20
+         (101, 100)],                     # pair, min 100
+        "src long, dst long",
+    )
+    real = (
+        dedup.dedup_ngram_jaccard_pairs(spark, SF_SMALL)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    assert real.count() > 0
+
+    for edges in (planted, real):
+        driver, rounds_d = dedup.alternating_components(edges)
+        assert rounds_d == 0  # gate took the union-find path
+        got_driver = sorted(
+            (r["u"], r["v"]) for r in driver.collect()
+        )
+
+        monkeypatch.setattr(dedup, "CC_DRIVER_MAX_EDGES", 0)
+        dist, rounds_x = dedup.alternating_components(edges)
+        monkeypatch.undo()
+        assert rounds_x > 0  # gate forced the star contraction
+        got_dist = sorted((r["u"], r["v"]) for r in dist.collect())
+
+        assert got_driver == got_dist
+        roots = {u for u, _ in got_driver}
+        leaves = [v for _, v in got_driver]
+        assert len(leaves) == len(set(leaves))
+        assert not roots & set(leaves)
+        assert all(u < v for u, v in got_driver)  # root = component min
