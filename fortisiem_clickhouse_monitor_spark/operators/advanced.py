@@ -3787,3 +3787,114 @@ def agg_summap_daily_type_values(
             )
         ).alias("type_values_json"),
     ).select("day", "n_types", "type_values_json")
+
+
+# ---------------------------------------------------------------------------
+# Two-proportion z-test: conversion-rate change between periods
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_conversion_rate_ztest",
+    oracle="""
+    WITH span AS (
+      SELECT min(CAST(ts AS DATE)) AS d0 FROM events
+    ),
+    base AS (
+      SELECT CASE WHEN CAST(ts AS DATE) < d0 + 7 THEN 'week1'
+                  WHEN CAST(ts AS DATE) >= d0 + 21 THEN 'week4' END AS p,
+             event_type
+      FROM events, span
+    ),
+    counts AS (
+      SELECT p,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchases
+      FROM base WHERE p IS NOT NULL GROUP BY p
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN p = 'week1' THEN n_events END) AS c1,
+        max(CASE WHEN p = 'week1' THEN n_purchases END) AS x1,
+        max(CASE WHEN p = 'week4' THEN n_events END) AS c2,
+        max(CASE WHEN p = 'week4' THEN n_purchases END) AS x2
+      FROM counts
+    )
+    SELECT c1 AS week1_events, x1 AS week1_purchases,
+           c2 AS week4_events, x2 AS week4_purchases,
+           round(CAST(x1 AS DOUBLE) / c1, 6) AS rate1,
+           round(CAST(x2 AS DOUBLE) / c2, 6) AS rate2,
+           round((CAST(x2 AS DOUBLE) / c2 - CAST(x1 AS DOUBLE) / c1)
+                 / sqrt((CAST(x1 + x2 AS DOUBLE) / (c1 + c2))
+                        * (1 - CAST(x1 + x2 AS DOUBLE) / (c1 + c2))
+                        * (1.0 / c1 + 1.0 / c2)), 4) AS z_score
+    FROM wide
+    """,
+    tags=("A-ext", "STATS", "EVAL"),
+)
+def stats_conversion_rate_ztest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-proportion z-test on the purchase SHARE of all events,
+    first week vs final week — the PROPORTION sibling of
+    behavior_ab_lift_welch's mean test, and the statistic every
+    conversion dashboard needs before calling a rate change real:
+    z = (p2 - p1) / sqrt(p_pool (1-p_pool) (1/n1 + 1/n2)) under the
+    pooled null.
+
+    Counts are exact BIGINTs from ONE conditional aggregate over the
+    fact scan (no join — the period and type splits are CASE
+    expressions); the z formula runs once on a 1-row frame in both
+    engines and rounds at 4dp.  The proportion is purchases over ALL
+    period events — a true subset share, so the pooled variance
+    p(1-p) is always well-defined (a per-click 'rate' can exceed 1
+    when purchases aren't funneled through clicks, and its sqrt
+    blows up — found by the sf0.1 gate)."""
+    ev = table(spark, sf_dir, "events")
+    span = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    base = ev.crossJoin(F.broadcast(span)).select(
+        F.when(F.to_date("ts") < F.date_add("d0", 7), "week1")
+        .when(F.to_date("ts") >= F.date_add("d0", 21), "week4")
+        .alias("p"),
+        "event_type",
+    )
+    counts = (
+        base.filter(F.col("p").isNotNull())
+        .groupBy("p")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_purchases"),
+        )
+    )
+    wide = counts.agg(
+        F.max(F.when(F.col("p") == "week1", F.col("n_events"))).alias("c1"),
+        F.max(F.when(F.col("p") == "week1", F.col("n_purchases"))).alias(
+            "x1"
+        ),
+        F.max(F.when(F.col("p") == "week4", F.col("n_events"))).alias("c2"),
+        F.max(F.when(F.col("p") == "week4", F.col("n_purchases"))).alias(
+            "x2"
+        ),
+    )
+    r1 = F.col("x1").cast("double") / F.col("c1")
+    r2 = F.col("x2").cast("double") / F.col("c2")
+    pool = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("c1") + F.col("c2")
+    )
+    z = (r2 - r1) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("c1") + 1.0 / F.col("c2"))
+    )
+    return wide.select(
+        F.col("c1").alias("week1_events"),
+        F.col("x1").alias("week1_purchases"),
+        F.col("c2").alias("week4_events"),
+        F.col("x2").alias("week4_purchases"),
+        F.round(r1, 6).alias("rate1"),
+        F.round(r2, 6).alias("rate2"),
+        F.round(z, 4).alias("z_score"),
+    )

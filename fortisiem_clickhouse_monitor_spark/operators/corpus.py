@@ -2200,3 +2200,82 @@ def sample_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
         ).alias("allocation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Balanced class downsampling (hash-deterministic, no RNG)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_balanced_label_downsample",
+    oracle="""
+    WITH sized AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_before
+      FROM embeddings GROUP BY label
+    ),
+    floor_n AS (SELECT CAST(min(n_before) AS BIGINT) AS m FROM sized),
+    ranked AS (
+      SELECT label, vec_id,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM embeddings
+    ),
+    kept AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
+      FROM ranked, floor_n WHERE rn <= m GROUP BY label
+    )
+    SELECT s.label, s.n_before, k.n_kept, k.kept_id_sum,
+           f.m AS target_per_class
+    FROM sized s JOIN kept k USING (label) CROSS JOIN floor_n f
+    """,
+    tags=("CORPUS", "SAMPLE"),
+)
+def sample_balanced_label_downsample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Balanced class downsampling: every label keeps exactly
+    min-class-size rows, chosen by content-independent md5 hash order
+    (with id tie-break) — the RNG-free majority-class downsample that
+    precedes any classifier fine-tune on skewed labels, deterministic
+    across engines, runs, and partitionings (same hash-order
+    discipline as corpus_train_val_test_split's bucket assignment).
+    Reported per label: before/after counts, the kept-id checksum
+    (pins the exact selected SET, not just its size), and the target.
+
+    Scale shape: one count rollup, a 1-row broadcast of the floor,
+    and one rank window per label partition — the rank runs on the
+    label exchange, the same shuffle the per-class cap needs anyway.
+    A skewed majority label ranks in parallel across its partition's
+    sort spill; nothing driver-side."""
+    e = table(spark, sf_dir, "embeddings")
+    sized = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_before"))
+    floor_n = sized.agg(F.min("n_before").cast("long").alias("m"))
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = e.select(
+        "label", "vec_id", F.row_number().over(w).alias("rn")
+    )
+    kept = (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rn") <= F.col("m"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("vec_id").cast("long").alias("kept_id_sum"),
+        )
+    )
+    return (
+        sized.join(kept, "label")
+        .crossJoin(F.broadcast(floor_n))
+        .select(
+            "label",
+            "n_before",
+            "n_kept",
+            "kept_id_sum",
+            F.col("m").alias("target_per_class"),
+        )
+    )

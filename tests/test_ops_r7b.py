@@ -561,3 +561,52 @@ def test_norm_screen_planted(spark, monkeypatch):
         for r in sm.sim_norm_distribution_screen(spark, "x").collect()
     }
     assert got == {10: (1, 1.0, 1.0), 0: (1, 0.0, 0.0), 50: (1, 5.0, 5.0)}
+
+
+def test_conversion_ztest_planted(spark, monkeypatch):
+    """Week1: 10 events, 2 purchases (0.2).  Week4: 10 events, 5
+    purchases (0.5).  Closed-form z must match; middle weeks ignored."""
+    import fortisiem_clickhouse_monitor_spark.operators.advanced as adv2
+
+    rows = []
+    eid = 0
+    for d, n_p in ((1, 2), (25, 5)):
+        for i in range(10):
+            t = "purchase" if i < n_p else "view"
+            rows.append((eid, dt.datetime(2024, 1, d), 1, t, 0.0, "{}"))
+            eid += 1
+    rows.append((eid, dt.datetime(2024, 1, 12), 1, "purchase", 0.0, "{}"))
+    ev = spark.createDataFrame(rows, _EV_SCHEMA)
+    monkeypatch.setattr(adv2, "table", lambda s, d, n: ev)
+    r = adv2.stats_conversion_rate_ztest(spark, "x").collect()[0]
+    assert (r["week1_events"], r["week1_purchases"]) == (10, 2)
+    assert (r["week4_events"], r["week4_purchases"]) == (10, 5)
+    pool = 7 / 20
+    z = (0.5 - 0.2) / math.sqrt(pool * (1 - pool) * (0.1 + 0.1))
+    assert r["z_score"] == round(z, 4)
+
+
+def test_balanced_downsample_planted(spark, monkeypatch):
+    """Labels 0 (4 vecs) and 1 (2 vecs): both keep exactly 2; label
+    1 keeps everything (checksum = full id sum); label 0's kept set
+    matches the md5-order python mirror."""
+    import fortisiem_clickhouse_monitor_spark.operators.corpus as cp
+
+    emb = spark.createDataFrame(
+        [(i, [0.0] * 64, 0) for i in (1, 2, 3, 4)]
+        + [(i, [0.0] * 64, 1) for i in (10, 11)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(cp, "table", lambda s, d, n: emb)
+    got = {
+        r["label"]: r
+        for r in cp.sample_balanced_label_downsample(spark, "x").collect()
+    }
+    assert got[1]["n_before"] == 2 and got[1]["n_kept"] == 2
+    assert got[1]["kept_id_sum"] == 21
+    assert got[0]["n_before"] == 4 and got[0]["n_kept"] == 2
+    order = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), i) for i in (1, 2, 3, 4)
+    )
+    assert got[0]["kept_id_sum"] == order[0][1] + order[1][1]
+    assert got[0]["target_per_class"] == 2
