@@ -2196,7 +2196,13 @@ def quality_iqr_fence_outliers(
     except the final rate.  Scale shape: one rank pass per type on one
     exchange (quartiles via row_number, not percentile_approx — approx
     would diverge from the oracle), then a broadcast of the 5-row
-    quartile frame back across the fact scan for the fence counts."""
+    quartile frame back across the fact scan for the fence counts.
+    The rank sorts each type WITHIN one partition — fine while a
+    type's rows fit a task's sort spill; at 100 TB swap the quartile
+    step for the value-cell running-weight form
+    (percentiles_weighted_exact) or the bucketed histogram
+    (sketch_histogram_quantiles), both of which rank distinct VALUES
+    rather than rows — the fence comparison is unchanged."""
     ev = table(spark, sf_dir, "events").select(
         "event_type",
         F.round(F.col("value") * 1000000).cast("long").alias("v_micro"),
