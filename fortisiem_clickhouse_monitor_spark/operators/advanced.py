@@ -3413,8 +3413,9 @@ def agg_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.n_exact, d.n_diff,
            round(d.n_diff * {_KMV_M!r} / t.theta, 2) AS kmv_estimate,
-           round((d.n_diff * {_KMV_M!r} / t.theta - e.n_exact)
-                 / e.n_exact, 4) AS rel_error
+           CASE WHEN e.n_exact > 0
+                THEN round((d.n_diff * {_KMV_M!r} / t.theta - e.n_exact)
+                           / e.n_exact, 4) END AS rel_error
     FROM diff d CROSS JOIN exact e CROSS JOIN th t
     """,
     tags=("SKETCH",),
@@ -3498,8 +3499,12 @@ def sketch_kmv_difference_eval(
             "n_exact",
             "n_diff",
             F.round(est, 2).alias("kmv_estimate"),
-            F.round(
-                (est - F.col("n_exact")) / F.col("n_exact"), 4
+            # NULL when the exact difference is empty (sf0.001 has no
+            # churned clickers) — an unguarded ratio divides by zero
+            # under ANSI mode; stated identically in the oracle.
+            F.when(
+                F.col("n_exact") > 0,
+                F.round((est - F.col("n_exact")) / F.col("n_exact"), 4),
             ).alias("rel_error"),
         )
     )
