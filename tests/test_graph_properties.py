@@ -149,3 +149,69 @@ def test_prefix_filter_matches_bruteforce(spark, texts, monkeypatch):
     }
     want = _brute_jaccard_pairs(texts, dd._PFX_NUM, dd._PFX_DEN)
     assert got == want
+
+
+_cc_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=0, max_value=20),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=_cc_edges)
+def test_cc_driver_and_distributed_agree_on_random_graphs(spark, edges):
+    """Property form of the CC forced-path differential: on arbitrary
+    small multigraphs (self-loops and duplicate/reversed edges
+    included), the driver union-find and the forced star contraction
+    must emit the identical min-rooted star forest, and it must match
+    a pure-python reference closure."""
+    import fortisiem_clickhouse_monitor_spark.operators.dedup as dd
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long"
+    )
+
+    old_gate = dd.CC_DRIVER_MAX_EDGES
+    try:
+        dd.CC_DRIVER_MAX_EDGES = 10**9
+        driver, r0 = dd.alternating_components(df)
+        got_driver = sorted((r["u"], r["v"]) for r in driver.collect())
+        dd.CC_DRIVER_MAX_EDGES = 0
+        dist, _ = dd.alternating_components(df)
+        got_dist = sorted((r["u"], r["v"]) for r in dist.collect())
+    finally:
+        dd.CC_DRIVER_MAX_EDGES = old_gate
+
+    assert got_driver == got_dist
+
+    # pure-python reference: min label per component
+    adj: dict = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen: set = set()
+    expected = []
+    for n in adj:
+        if n in seen:
+            continue
+        comp, stack = [], [n]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            comp.append(x)
+            stack.extend(adj[x] - seen)
+        root = min(comp)
+        expected.extend((root, x) for x in comp if x != root)
+    assert got_driver == sorted(expected)

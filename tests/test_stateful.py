@@ -956,3 +956,48 @@ def test_stateful_log_compaction_matches_batch(spark, tmp_path):
             assert r["n_versions"] == b["n_versions"]
     live = {u for u, r in final.items() if not r["is_tombstone"]}
     assert live == set(batch)
+
+
+def test_stateful_log_compaction_order_independent(spark, tmp_path):
+    """Adversarial replay: feeding the log in REVERSE (ts, event_id)
+    order must converge to the same final compacted state — last-write
+    -wins is a max over (ts, event_id), which no arrival order can
+    change.  (Emission ORDER differs; the terminal state must not.)"""
+    import fortisiem_clickhouse_monitor_spark.operators.behavior as bh
+
+    batch = {
+        r["user_id"]: r
+        for r in bh.cdc_log_compaction(spark, SF_SMALL).collect()
+    }
+    ev = table(spark, SF_SMALL, "events")
+    out = str(tmp_path / "lc_rev")
+    ev.orderBy(F.desc("ts"), F.desc("event_id")).coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    stream = jobs.events_stream(spark, out, max_files_per_trigger=1)
+    q = (
+        stateful.compact(stream)
+        .writeStream.format("memory")
+        .queryName("t_compact_rev")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM t_compact_rev").collect()
+    final: dict = {}
+    for r in rows:
+        if (
+            r["user_id"] not in final
+            or r["n_versions"] > final[r["user_id"]]["n_versions"]
+        ):
+            final[r["user_id"]] = r
+    assert sum(r["n_versions"] for r in final.values()) == ev.count()
+    live = {u for u, r in final.items() if not r["is_tombstone"]}
+    assert live == set(batch)
+    for uid in live:
+        r, b = final[uid], batch[uid]
+        assert r["last_event_id"] == b["last_event_id"]
+        assert r["last_value_cents"] == b["last_value_cents"]
+        assert r["n_versions"] == b["n_versions"]
