@@ -202,3 +202,59 @@ def test_kaplan_meier_invariants(spark, monkeypatch, users):
         assert r["n_deaths"] + r["n_censored"] <= r["n_at_risk"]
         prev = r["survival"]
     assert sum(r["n_deaths"] + r["n_censored"] for r in out) == n_total
+
+
+_wp_items = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=999),   # price cents/100
+        st.integers(min_value=1, max_value=50),    # integral quantity
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(items=_wp_items)
+def test_weighted_percentiles_match_expansion(spark, monkeypatch, items):
+    """percentiles_weighted_exact on arbitrary (price, weight) rows
+    must equal the UNweighted percentile_disc over the fully expanded
+    multiset (each value repeated weight times) — the defining
+    property of a weighted quantile — and be monotone p50<=p90<=p99."""
+    import datetime as dt
+
+    li = spark.createDataFrame(
+        [
+            (i, 1, 1, 1, float(w), float(c), 0.0, 0.0, "N", "O",
+             dt.datetime(2024, 1, 2))
+            for i, (c, w) in enumerate(items)
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    monkeypatch.setattr(adv, "table", lambda s, d, n: li)
+    r = adv.percentiles_weighted_exact(spark, "x").collect()[0]
+
+    expanded = sorted(
+        c * 100 for c, w in items for _ in range(w)
+    )
+    n = len(expanded)
+
+    def disc(q_num, q_den):
+        # smallest value whose cumulative count reaches q * n
+        import math as _m
+
+        k = _m.ceil(q_num * n / q_den)
+        return expanded[k - 1]
+
+    assert r["total_weight"] == n
+    assert r["p50_cents"] == disc(1, 2)
+    assert r["p90_cents"] == disc(9, 10)
+    assert r["p99_cents"] == disc(99, 100)
+    assert r["p50_cents"] <= r["p90_cents"] <= r["p99_cents"]
