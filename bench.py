@@ -2,8 +2,12 @@
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {heaviest-15 name: sec}, "sf": ..., "n_queries": ...,
+"n_errors": ..., "artifact": "docs/bench_latest_full.json"} — kept
+under 1500 chars because the driver records only the last 2000 stdout
+chars (the full per-query dict overflowed it every round r1-r7).  The
+complete per-query timing dict is persisted to the artifact file(s).
 
 Each query is materialized with a count-style full execution (noop-like:
 we foreach-discard via ``df.write.format("noop")``) so the timing covers
@@ -119,6 +123,26 @@ HEADLINE = [
 ]
 
 
+def compact_line(result: dict, timings: dict, errors: dict) -> str:
+    """The one stdout JSON line, < 1500 chars no matter the registry
+    size: totals plus only the heaviest per-query timings (the driver
+    keeps the last 2000 stdout chars — a full ~400-query dict is
+    ~15 KB and reached it truncated mid-JSON every round r1-r7)."""
+    compact = dict(result)
+    compact["n_queries"] = len(timings)
+    compact["n_errors"] = len(errors)
+    compact.pop("errors", None)
+    compact["artifact"] = "docs/bench_latest_full.json"
+    heaviest = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    line = ""
+    for top in (15, 10, 5, 0):
+        compact["queries"] = dict(heaviest[:top])
+        line = json.dumps(compact)
+        if len(line) < 1500:
+            break
+    return line
+
+
 def materialize(df) -> None:
     try:
         df.write.format("noop").mode("overwrite").save()
@@ -199,24 +223,41 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"[bench] warmup failed for {name}: {errors[name]}", file=sys.stderr)
 
-    # Best-of-3: robust to the residual one-time JIT storm landing inside
-    # a single rep (it never recurs once that code path is compiled).
+    # Light queries: best-of-3 — robust to the residual one-time JIT
+    # storm landing inside a single rep (it never recurs once that code
+    # path is compiled).  Heavy queries (best-of-3 > HEAVY_SEC): two
+    # more reps and report the MEDIAN of all five — the suite's
+    # heaviest query swung 6.1<->9.2 s across close artifacts with no
+    # code change (VERDICT r7 "What's wrong" #1), and a min is one
+    # lucky GC window while a median-of-5 is a statement about the
+    # session; a System.gc() nudge before the extra reps levels the
+    # heap state the earlier queries left behind.
+    HEAVY_SEC = 4.0
     timings: dict[str, float] = {}
     for name in names:
         if name in errors:
             continue
-        best = float("inf")
-        for _ in range(3):
+        reps: list[float] = []
+        for rep in range(5):
+            if rep == 3:
+                if min(reps) <= HEAVY_SEC:
+                    break
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:  # noqa: BLE001 — stabilizer only
+                    pass
             try:
                 t0 = time.time()
                 materialize(qs[name](spark, sf_dir))
-                best = min(best, time.time() - t0)
+                reps.append(time.time() - t0)
             except Exception as exc:  # noqa: BLE001
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
                 print(f"[bench] timing failed for {name}: {errors[name]}", file=sys.stderr)
                 break
-        if name not in errors and best < float("inf"):
-            timings[name] = round(best, 3)
+        if name not in errors and reps:
+            reps.sort()
+            val = reps[len(reps) // 2] if len(reps) == 5 else reps[0]
+            timings[name] = round(val, 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -253,7 +294,7 @@ def main() -> None:
                 f"[bench] could not persist {full_path}: {exc}",
                 file=sys.stderr,
             )
-    print(json.dumps(result))
+    print(compact_line(result, timings, errors))
 
 
 if __name__ == "__main__":

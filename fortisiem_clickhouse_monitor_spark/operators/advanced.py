@@ -3227,7 +3227,19 @@ def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicate mean is one truncating integer milli-cent division; the
     CI bounds are order statistics (percentile_disc ranks 2 and 63 of
     the 64 sorted replicate means) — selection, not interpolation, so
-    no float arithmetic precedes the final rounding."""
+    no float arithmetic precedes the final rounding.
+
+    Cross-engine invariants this relies on (ADVICE r7, same note as
+    ts_forecast_backtest_mae): (a) DuckDB's `//` floors while Spark's
+    `DIV` truncates toward zero — they agree because every operand is
+    non-negative by construction (events.value >= 0.01 in the driver
+    fixtures, so cents >= 1 and sum(m*cents) >= 0; a signed-value
+    table would need `abs()` or a floor-division rewrite first);
+    (b) the hard-selected ranks _BOOT_LO_RN/_BOOT_HI_RN (2 and 63)
+    assume no replicate empties under HAVING sum(m) > 0 — one is empty
+    with P ~ e^-n (n = row count; ~e^-6000 at sf0.001), so both
+    engines would drop the same rank and return 0 rows loudly (the
+    non-vacuous gate fails it) rather than silently diverge."""
     ev = table(spark, sf_dir, "events").select(
         "event_id", F.floor(F.col("value") * 100).cast("long").alias("cents")
     )

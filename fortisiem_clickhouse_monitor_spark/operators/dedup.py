@@ -238,6 +238,12 @@ def enable_shared_pairs_cache(on: bool = True) -> None:
     global _SHARED_PAIRS_ON
     _SHARED_PAIRS_ON = on
     if not on:
+        # Release the checkpoint blocks, not just the dict refs
+        # (ADVICE r7: toggling off used to leak them for the session).
+        from ..session import free_local_checkpoint
+
+        free_local_checkpoint(_SHARED_PAIRS)
+        free_local_checkpoint(_SHARED_STARS)
         _SHARED_PAIRS.clear()
         _SHARED_STARS.clear()
 
@@ -729,8 +735,10 @@ _CC_PAIRS_SQL = f"""
 #: gate) instead of the O(log n) star-contraction rounds.  Sizing:
 #: each distributed round costs 4+ exchanges and two driver barriers
 #: (count + fixpoint check) regardless of data — pure fixed latency
-#: on small graphs — while the driver pass is linear with ~16 B/edge
-#: memory.  1M edges keeps the collect far under driver headroom;
+#: on small graphs — while the driver pass is linear: ~16 B/edge for
+#: the Arrow collect plus ~100-200 MB of Python union-find dict at
+#: the gate's up-to-2M node keys (the real peak — ADVICE r7).  1M
+#: edges keeps both far under the host-derived driver heap;
 #: production graphs past the gate take the contraction path.  The
 #: forced-path differential (tests/test_forced_paths.py) pins both
 #: paths to identical star forests.
@@ -787,7 +795,17 @@ def alternating_components(edges: DataFrame, max_rounds: int = 25):
                 x = parent[x]
             return x
 
-        pdf = E.toPandas()  # Arrow path: columnar, ~16 B/edge
+        # Driver footprint, honestly (ADVICE r7): the Arrow collect is
+        # ~16 B/edge (<= 16 MB at the gate), but the Python union-find
+        # dict over up to ~2M node keys peaks at ~100-200 MB — still
+        # far under the host-derived driver heap, and freed when this
+        # frame returns.  The result goes back through pandas so the
+        # return path stays columnar Arrow (a list-of-tuples
+        # createDataFrame would re-serialize ~2M Python tuples through
+        # the driver row-by-row).
+        import pandas as pd
+
+        pdf = E.toPandas()
         for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
             parent.setdefault(u, u)
             parent.setdefault(v, v)
@@ -797,14 +815,17 @@ def alternating_components(edges: DataFrame, max_rounds: int = 25):
                     parent[rv] = ru
                 else:
                     parent[ru] = rv
-        stars = [
-            (find(x), x) for x in parent if find(x) != x
-        ]
-        spark = edges.sparkSession
-        return (
-            spark.createDataFrame(stars, schema=E.schema),
-            0,
+        roots = {x: find(x) for x in parent}
+        stars = pd.DataFrame(
+            {
+                "u": [r for x, r in roots.items() if r != x],
+                "v": [x for x, r in roots.items() if r != x],
+            }
         )
+        spark = edges.sparkSession
+        if stars.empty:
+            return spark.createDataFrame([], schema=E.schema), 0
+        return spark.createDataFrame(stars, schema=E.schema), 0
     rounds = 0
     while n_edges and rounds < max_rounds:
         rounds += 1

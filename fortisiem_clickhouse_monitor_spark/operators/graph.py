@@ -1613,6 +1613,12 @@ def enable_shared_lpa_cache(on: bool = True) -> None:
     global _SHARED_LPA_ON
     _SHARED_LPA_ON = on
     if not on:
+        # Release the checkpoint blocks, not just the dict refs — a
+        # localCheckpoint survives DataFrame GC for the session's
+        # lifetime (ADVICE r7: toggling off used to leak them).
+        from ..session import free_local_checkpoint
+
+        free_local_checkpoint(_SHARED_LPA)
         _SHARED_LPA.clear()
 
 
@@ -1644,6 +1650,12 @@ def enable_shared_hb_cache(on: bool = True) -> None:
     global _SHARED_HB_ON
     _SHARED_HB_ON = on
     if not on:
+        # The cached value is (sym, [round states]) — every element is
+        # a localCheckpoint; release the blocks, not just the refs
+        # (ADVICE r7, same fix as the LPA/k-means toggles).
+        from ..session import free_local_checkpoint
+
+        free_local_checkpoint(_SHARED_HB)
         _SHARED_HB.clear()
 
 

@@ -57,6 +57,35 @@ def _default_driver_memory() -> str:
     return f"{min(24, half_gib)}g"
 
 
+def free_local_checkpoint(obj) -> None:
+    """Best-effort release of the persisted blocks behind a
+    ``localCheckpoint(eager=True)`` DataFrame (or any nesting of them
+    in tuples/lists/dicts).
+
+    ``DataFrame.unpersist()`` is a no-op for local checkpoints — the
+    blocks belong to the checkpointed RDD inside the plan's LogicalRDD
+    node, not to the CacheManager — so toggling a session cache off
+    used to leak one block set per cached entry for the session's
+    lifetime (ADVICE r7).  The LogicalRDD exposes that RDD; unpersist
+    it directly.  Best-effort by design: a non-LogicalRDD plan (cache
+    populated some other way) is silently skipped rather than raising
+    into the toggle path."""
+    if isinstance(obj, (tuple, list)):
+        for x in obj:
+            free_local_checkpoint(x)
+        return
+    if isinstance(obj, dict):
+        for x in obj.values():
+            free_local_checkpoint(x)
+        return
+    try:
+        plan = obj._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — releasing memory must never raise
+        pass
+
+
 def get_spark(app_name: str = "fcm-spark") -> SparkSession:
     """Build a local session mirroring the driver's environment."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")

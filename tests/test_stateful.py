@@ -1001,3 +1001,98 @@ def test_stateful_log_compaction_order_independent(spark, tmp_path):
         assert r["last_event_id"] == b["last_event_id"]
         assert r["last_value_cents"] == b["last_value_cents"]
         assert r["n_versions"] == b["n_versions"]
+
+
+def test_stateful_heavy_hitters_restart_resume(spark, tmp_path):
+    """Misra-Gries shard state must survive a checkpoint restart
+    (VERDICT r7 #7): phase 1 folds two micro-batches into shard 0's
+    counters, phase 2 restarts from the checkpoint and folds one more.
+    The final snapshot must equal the Python _mg_merge fold over ALL
+    three batches — a lost state would reset `processed` and drop the
+    phase-1 counts.  (NoTimeout op, so the adversarial shape is the
+    restart itself, not a watermark timeout.)"""
+    t0 = dt.datetime(2024, 3, 6, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    # all users ~ 0 (mod MG_SHARDS) -> one shard carries every counter
+    f1 = [(i, t0 + i * s, [8, 8, 8, 16, 16][i - 1], "click", 0.0)
+          for i in range(1, 6)]
+    f2 = [(i, t0 + i * s, [24, 24, 8][i - 6], "click", 0.0)
+          for i in range(6, 9)]
+    f3 = [(i, t0 + i * s, [16, 32, 32, 8][i - 9], "click", 0.0)
+          for i in range(9, 13)]
+
+    append_file, run_phase = _phased_runner(
+        spark, tmp_path, "hh_resume", stateful.heavy_hitters
+    )
+    for f in (f1, f2):
+        append_file(f)
+    rows1 = run_phase()
+    latest1 = max(r["processed"] for r in rows1)
+    assert latest1 == len(f1) + len(f2)
+
+    append_file(f3)
+    rows = run_phase()
+    proc_final = max(r["processed"] for r in rows)
+    assert proc_final == len(f1) + len(f2) + len(f3)  # state resumed
+    got = {
+        r["user_id"]: r["est_count"]
+        for r in rows
+        if r["processed"] == proc_final
+    }
+    expected: dict = {}
+    for batch in (f1, f2, f3):
+        counts: dict = {}
+        for _eid, _ts, uid, _t, _v in batch:
+            counts[uid] = counts.get(uid, 0) + 1
+        expected = stateful._mg_merge(expected, counts, stateful.MG_K)
+    assert got == expected
+
+
+def test_stateful_compact_restart_resume(spark, tmp_path):
+    """Log-compaction state must survive a checkpoint restart
+    (VERDICT r7 #7): phase 1 compacts two batches (user 1 updated
+    twice, user 2 once), phase 2 restarts and delivers a newer record
+    for user 1, an OLDER (late) record for user 1 that must NOT win,
+    and a tombstone for user 2.  Final per-key emissions must carry
+    phase-1-inclusive version counts and last-write-wins fields equal
+    to the Python fold over the full log."""
+    t0 = dt.datetime(2024, 3, 7, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    f1 = [
+        (1, t0, 1, "click", 1.00),
+        (2, t0 + m, 1, "view", 2.50),
+    ]
+    f2 = [(3, t0 + 2 * m, 2, "click", 7.25)]
+    f3 = [
+        (4, t0 + 10 * m, 1, "purchase", 9.75),
+        (5, t0 + 5 * m, 1, "view", 0.10),  # late: loses to event 4
+        (6, t0 + 11 * m, 2, stateful.COMPACT_TOMBSTONE, 0.0),
+    ]
+
+    append_file, run_phase = _phased_runner(
+        spark, tmp_path, "cpt_resume", stateful.compact
+    )
+    for f in (f1, f2):
+        append_file(f)
+    rows1 = run_phase()
+    u1_phase1 = max(
+        (r for r in rows1 if r["user_id"] == 1),
+        key=lambda r: r["n_versions"],
+    )
+    assert u1_phase1["n_versions"] == 2 and u1_phase1["last_event_id"] == 2
+
+    append_file(f3)
+    rows = run_phase()
+    final: dict = {}
+    for r in rows:
+        if (
+            r["user_id"] not in final
+            or r["n_versions"] > final[r["user_id"]]["n_versions"]
+        ):
+            final[r["user_id"]] = r
+    u1, u2 = final[1], final[2]
+    assert u1["n_versions"] == 4  # 2 from phase 1 + 2 from phase 2
+    assert u1["last_event_id"] == 4 and u1["last_type"] == "purchase"
+    assert u1["last_value_cents"] == 975 and not u1["is_tombstone"]
+    assert u2["n_versions"] == 2 and u2["is_tombstone"]
+    assert u2["last_event_id"] == 6

@@ -102,3 +102,32 @@ def test_diff_curves_clean_pair_exits_zero(tmp_path, capsys):
     old = _curves(tmp_path, "o.json", {"q": {"alpha": 0.8}})
     new = _curves(tmp_path, "n.json", {"q": {"alpha": 0.75}})
     assert bench_diff.diff_curves(old, new, 0.1) == 0
+
+
+def test_bench_compact_line_fits_driver_tail():
+    """The one bench stdout line must stay under 1500 chars for ANY
+    registry size (the driver records only the last 2000 stdout chars;
+    the full per-query dict overflowed it rounds 1-7) and must parse
+    as JSON with the contract fields intact."""
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import bench
+
+    timings = {f"some_operator_family_query_name_{i:03d}": i / 7.0 for i in range(450)}
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+    }
+    line = bench.compact_line(result, timings, {"broken_q": "boom"})
+    assert len(line) < 1500
+    parsed = json.loads(line)
+    assert parsed["metric"] == "headline_queries_total"
+    assert parsed["n_queries"] == 450
+    assert parsed["n_errors"] == 1
+    assert 0 < len(parsed["queries"]) <= 15
+    # heaviest-first: every reported query is in the true top-15
+    top15 = sorted(timings, key=timings.get, reverse=True)[:15]
+    assert set(parsed["queries"]) <= set(top15)
+    assert parsed["artifact"] == "docs/bench_latest_full.json"

@@ -5,6 +5,13 @@ DuckDB over the same parquet tables (row count + sorted schema +
 order-insensitive canonical value hash).
 
 Usage:  python tools/check_oracle.py [sf_dir] [query ...]
+        python tools/check_oracle.py --sweep [sf_dir sf_dir ...]
+
+``--sweep`` is the two-SF vacuity gate (VERDICT r7 #6): every
+registered query must return >0 rows at EVERY swept SF (default
+sf0.01 AND sf0.1).  Two r7 evals divided by a legitimately-zero count
+at one SF and were caught only by a hand run at the other — an
+SF-dependent vacuity must fail loudly, at close, by machine.
 """
 
 from __future__ import annotations
@@ -32,7 +39,36 @@ from fortisiem_clickhouse_monitor_spark.testing import (
 ALLOW_EMPTY: set[str] = set()
 
 
+def sweep(sf_dirs: list[str]) -> int:
+    """rows>0 for every registered query at every swept SF (no oracle
+    run — non-vacuity only, so the whole-registry two-SF pass stays
+    affordable at close time)."""
+    spark = get_spark("oracle-sweep")
+    qs = entrymod.queries()
+    n_fail = 0
+    t_all = time.time()
+    for name, fn in qs.items():
+        for sf_dir in sf_dirs:
+            try:
+                n = fn(spark, sf_dir).count()
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL  {name:40s} @ {sf_dir}: error: {e}")
+                n_fail += 1
+                break
+            if n == 0 and name not in ALLOW_EMPTY:
+                print(f"FAIL  {name:40s} @ {sf_dir}: vacuous (0 rows)")
+                n_fail += 1
+    print(
+        f"\nsweep over {sf_dirs}: {len(qs)} queries, {n_fail} vacuity "
+        f"failures [{time.time() - t_all:.0f}s]"
+    )
+    return 1 if n_fail else 0
+
+
 def main() -> int:
+    if len(sys.argv) > 1 and sys.argv[1] == "--sweep":
+        dirs = sys.argv[2:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+        return sweep(dirs)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 

@@ -6,7 +6,12 @@ builder bench).
 Checks, in order:
 1. the freshest bench artifact's query names == the live registry
    (and the artifact reported zero errors);
-2. the working tree is clean (nothing uncommitted at close).
+2. the working tree is clean (nothing uncommitted at close);
+3. the two-SF vacuity sweep (check_oracle.py --sweep): every
+   registered query returns >0 rows at BOTH sf0.01 and sf0.1
+   (VERDICT r7 #6 — an SF-dependent vacuity must fail at close, not
+   wait for a hand run at the other SF).  Skippable for quick local
+   iteration with SPARK_GRAFT_SKIP_SWEEP=1; the round close runs it.
 
 Exit 0 = safe to close; nonzero prints what to fix (usually: re-run
 ``SPARK_GRAFT_ROUND=<n> python bench.py`` and commit the snapshot).
@@ -65,6 +70,21 @@ def main() -> int:
         rc = 1
     else:
         print("OK: working tree clean")
+
+    if os.environ.get("SPARK_GRAFT_SKIP_SWEEP"):
+        print("SKIP: two-SF vacuity sweep (SPARK_GRAFT_SKIP_SWEEP set)")
+    else:
+        sweep = subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "check_oracle.py"),
+             "--sweep"],
+            cwd=repo, capture_output=True, text=True,
+        )
+        tail = "\n".join(sweep.stdout.strip().splitlines()[-6:])
+        if sweep.returncode != 0:
+            print(f"FAIL: two-SF vacuity sweep:\n{tail}")
+            rc = 1
+        else:
+            print(f"OK: {tail.splitlines()[-1] if tail else 'sweep clean'}")
     return rc
 
 
