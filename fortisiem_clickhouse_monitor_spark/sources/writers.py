@@ -70,6 +70,25 @@ def compact(df: DataFrame, path: str, target_files: int) -> None:
     df.repartition(target_files).write.mode("overwrite").parquet(path)
 
 
+def write_artifact_group(parts: dict[str, DataFrame], path: str) -> None:
+    """Persist a named group of DataFrames as one on-disk artifact —
+    ``{path}/{name}`` parquet per entry.  The 100 TB contract for
+    derived structures (ANN indexes, trained codebooks, dedup labels):
+    they are WRITTEN once and loaded by every consumer, not recomputed
+    per query; a rebuild is an explicit pipeline stage.  Plain parquet
+    per part keeps loaders on the vectorized scan + pushdown path and
+    the artifact readable by any engine (DuckDB included)."""
+    for name, df in parts.items():
+        df.write.mode("overwrite").parquet(f"{path}/{name}")
+
+
+def read_artifact_group(
+    spark, path: str, names: tuple[str, ...]
+) -> dict[str, DataFrame]:
+    """Load the named parts of a :func:`write_artifact_group` artifact."""
+    return {n: spark.read.parquet(f"{path}/{n}") for n in names}
+
+
 def _interleave_bits(a, b, bits: int = 16):
     """Morton (Z-order) code of two columns already rank-mapped into
     [0, 2^bits): interleaves their bits so points close in BOTH
