@@ -1908,6 +1908,250 @@ def sim_pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Trained PQ codebook: per-subspace k-means, then the same ADC eval
+# ---------------------------------------------------------------------------
+
+#: Lloyd iterations for the per-subspace codebook training (unrolled in
+#: both engines; deterministic init = the first _PQ_K subvectors, i.e.
+#: exactly the codebook the untrained ADC path uses, so the eval
+#: isolates what TRAINING buys).
+_PQ_TI = 2
+
+
+def _pq_trained_oracle() -> str:
+    def dist(v: str, c: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, {_PQ_SUB + 1}), "
+            f"i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i]))) AS BIGINT)"
+        )
+
+    # one Lloyd iteration: assign to nearest centroid, recompute each
+    # centroid as the per-dim floored mean of its members (floor of an
+    # IEEE-double division of small exact integers — identical in both
+    # engines), keep the previous centroid for emptied clusters
+    def lloyd(prev: str, a: str, av: str, u: str, out: str) -> str:
+        return f"""
+    {a} AS (
+      SELECT sub.vec_id, sub.s,
+             min(struct_pack(d := {dist("sub.v", "c.c")}, c := c.cid)) AS m
+      FROM sub JOIN {prev} c USING (s)
+      GROUP BY sub.vec_id, sub.s
+    ),
+    {av} AS (
+      SELECT a.s, a.m.c AS cid, d.i AS dim, sub.v[d.i] AS x
+      FROM {a} a JOIN sub USING (vec_id, s), range(1, {_PQ_SUB + 1}) d(i)
+    ),
+    {u} AS (
+      SELECT s, cid, list(cx ORDER BY dim) AS c
+      FROM (
+        SELECT s, cid, dim,
+               CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)
+                 AS cx
+        FROM {av} GROUP BY s, cid, dim
+      ) GROUP BY s, cid
+    ),
+    {out} AS (
+      SELECT p.s, p.cid, COALESCE(u.c, p.c) AS c
+      FROM {prev} p LEFT JOIN {u} u ON u.s = p.s AND u.cid = p.cid
+    )"""
+
+    rounds = ",".join(
+        lloyd(f"c{i}", f"a{i + 1}", f"av{i + 1}", f"u{i + 1}", f"c{i + 1}")
+        for i in range(_PQ_TI)
+    )
+    grid2 = float(_PQ_GRID) ** 2
+    return f"""
+    WITH eq AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * {_PQ_GRID}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, t.s,
+             list_slice(qv, t.s * {_PQ_SUB} + 1, (t.s + 1) * {_PQ_SUB}) AS v
+      FROM eq, range({_PQ_M}) t(s)
+    ),
+    c0 AS (
+      SELECT s, CAST(vec_id AS INT) AS cid, v AS c
+      FROM sub WHERE vec_id < {_PQ_K}
+    ),{rounds},
+    codes AS (
+      SELECT sub.vec_id, sub.s,
+             min(struct_pack(d := {dist("sub.v", "c.c")}, c := c.cid)).c
+               AS cid
+      FROM sub JOIN c{_PQ_TI} c USING (s)
+      WHERE sub.vec_id <> 0
+      GROUP BY sub.vec_id, sub.s
+    ),
+    qsub AS (SELECT s, v AS qv FROM sub WHERE vec_id = 0),
+    lut AS (
+      SELECT c.s, c.cid, {dist("q.qv", "c.c")} AS l
+      FROM c{_PQ_TI} c JOIN qsub q USING (s)
+    ),
+    adc AS (
+      SELECT k.vec_id, sum(l.l) AS adist
+      FROM codes k JOIN lut l ON l.s = k.s AND l.cid = k.cid
+      GROUP BY k.vec_id
+    ),
+    q AS (SELECT qv AS qq FROM eq WHERE vec_id = 0),
+    exact AS (
+      SELECT e.vec_id,
+             CAST(list_sum(list_transform(range(1, {_DIM + 1}),
+                  i -> (e.qv[i]-q.qq[i])*(e.qv[i]-q.qq[i]))) AS BIGINT)
+               AS edist
+      FROM eq e, q WHERE e.vec_id <> 0
+    ),
+    top AS (SELECT vec_id FROM exact ORDER BY edist, vec_id LIMIT 10)
+    SELECT a.vec_id,
+           round(a.adist / {grid2}, 6) AS adc_dist,
+           round(x.edist / {grid2}, 6) AS exact_dist,
+           t.vec_id IS NOT NULL AS in_exact_top10
+    FROM adc a
+    JOIN exact x ON x.vec_id = a.vec_id
+    LEFT JOIN top t ON t.vec_id = a.vec_id
+    ORDER BY a.adist, a.vec_id LIMIT 10
+    """
+
+
+@register(
+    "sim_pq_trained_recall_eval",
+    oracle=_pq_trained_oracle(),
+    tags=("ANN", "PQ", "eval"),
+)
+def sim_pq_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 with a TRAINED PQ codebook — the direct answer to
+    the r8 finding that the deterministic codebook, not cell pruning,
+    binds the composed path's recall (PERF_NOTES r8): each subspace's
+    codebook is refined by 2 unrolled Lloyd iterations (init = the
+    untrained codebook, so the delta vs sim_pq_adc_recall_eval is
+    exactly what training buys), then the identical ADC ranking and
+    in-exact-top10 audit run against it.  Everything stays engine-
+    exact: subvectors and distances are integers on the grid; the only
+    float step, the centroid-mean update, is floor(double-division of
+    small exact integers) — bit-identical across engines — and argmin
+    ties break on codebook id.  Emptied clusters keep their previous
+    centroid.
+
+    Scale shape: training is the textbook distributed Lloyd —
+    assignment joins each (vector, subspace) row against a broadcast
+    64-row codebook, the update is one (s, cid, dim) partial-agg
+    exchange per iteration; at 100 TB you train on a sample (this
+    corpus IS sample-sized) and assignment remains the only
+    corpus-wide pass, same as sim_pq_codes."""
+    e = fanout(table(spark, sf_dir, "embeddings"))
+    eq = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _PQ_GRID).cast("long"),
+        ).alias("qv"),
+    )
+    slices = F.array(
+        *[F.slice("qv", s * _PQ_SUB + 1, _PQ_SUB) for s in range(_PQ_M)]
+    )
+    sub = eq.select("vec_id", F.posexplode(slices).alias("s", "v"))
+    cent = sub.filter(F.col("vec_id") < _PQ_K).select(
+        "s", F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
+    )
+
+    def sdist(v: str, c: str):
+        return F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cb):
+        return (
+            sub.join(F.broadcast(cb), "s")
+            .select(
+                "vec_id",
+                "s",
+                "v",
+                F.struct(
+                    sdist("v", "c").alias("d"), F.col("cid").alias("cid")
+                ).alias("dc"),
+            )
+            .groupBy("vec_id", "s")
+            .agg(F.min("dc").alias("m"))
+            .select("vec_id", "s", F.col("m.cid").alias("cid"))
+        )
+
+    for _ in range(_PQ_TI):
+        a = assign(cent)
+        av = a.join(sub, ["vec_id", "s"]).select(
+            "s", "cid", F.posexplode("v").alias("dim0", "x")
+        )
+        upd = (
+            av.groupBy("s", "cid", "dim0")
+            .agg(
+                F.floor(
+                    F.sum("x").cast("double") / F.count(F.lit(1))
+                )
+                .cast("long")
+                .alias("cx")
+            )
+            .groupBy("s", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("dim0"), F.col("cx")))
+                    ),
+                    lambda st: st["cx"],
+                ).alias("cu")
+            )
+        )
+        cent = cent.join(upd, ["s", "cid"], "left").select(
+            "s", "cid", F.coalesce(F.col("cu"), F.col("c")).alias("c")
+        )
+
+    codes = assign(cent).filter(F.col("vec_id") != 0)
+    qsub = sub.filter(F.col("vec_id") == 0).select(
+        "s", F.col("v").alias("qv_s")
+    )
+    lut = cent.join(F.broadcast(qsub), "s").select(
+        "s", "cid", sdist("qv_s", "c").alias("l")
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("l").alias("adist"))
+    )
+    q = eq.filter(F.col("vec_id") == 0).select(F.col("qv").alias("qq"))
+    exact = (
+        eq.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("qv", "qq", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("edist"),
+        )
+    )
+    top = (
+        exact.orderBy("edist", "vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("tvid"))
+    )
+    grid2 = float(_PQ_GRID) ** 2
+    return (
+        adc.join(exact, "vec_id")
+        .join(F.broadcast(top), adc["vec_id"] == F.col("tvid"), "left")
+        .orderBy("adist", "vec_id")
+        .limit(10)
+        .select(
+            "vec_id",
+            F.round(F.col("adist") / grid2, 6).alias("adc_dist"),
+            F.round(F.col("edist") / grid2, 6).alias("exact_dist"),
+            F.col("tvid").isNotNull().alias("in_exact_top10"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF + PQ composed: probe coarse cells, ADC-score only their members
 # ---------------------------------------------------------------------------
 

@@ -171,3 +171,63 @@ def test_ivf_pq_index_roundtrip_matches_in_session(spark, tmp_path):
             tuple(r) for r in ivf_pq_topk_from_index(spark, sf_dir, idx).collect()
         ]
         assert got == want and len(got) == 10
+
+
+def test_pq_trained_codebook_matches_numpy_lloyd(spark):
+    """Independent numpy replication of sim_pq_trained_recall_eval's
+    training + ADC pipeline (grid snap, first-K init, 2 Lloyd
+    iterations with floored-mean updates and keep-on-empty, argmin
+    tie-break on cid, ADC top-10 with vec_id tie-break) must produce
+    the same rows — the same differential discipline as the other
+    numpy-backed similarity evals."""
+    import duckdb
+    import numpy as np
+
+    from fortisiem_clickhouse_monitor_spark.operators import similarity as sim
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF_SMALL}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    qv = np.floor(
+        np.array([r[1] for r in rows], dtype="float64") * sim._PQ_GRID
+    ).astype("int64")
+    K, M, S, TI = sim._PQ_K, sim._PQ_M, sim._PQ_SUB, sim._PQ_TI
+    subs = [qv[:, s * S : (s + 1) * S] for s in range(M)]
+    cents = [subs[s][:K].copy() for s in range(M)]
+
+    def assign(s):
+        d = ((subs[s][:, None, :] - cents[s][None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)  # argmin takes lowest index on ties = cid
+
+    for _ in range(TI):
+        for s in range(M):
+            a = assign(s)
+            for c in range(K):
+                members = subs[s][a == c]
+                if len(members):
+                    cents[s][c] = np.floor(
+                        members.sum(axis=0).astype("float64") / len(members)
+                    ).astype("int64")
+    q = qv[ids == 0][0]
+    mask = ids != 0
+    adist = np.zeros(mask.sum(), dtype="int64")
+    for s in range(M):
+        lut = ((q[s * S : (s + 1) * S][None, :] - cents[s]) ** 2).sum(axis=1)
+        adist += lut[assign(s)[mask]]
+    edist = ((qv[mask] - q[None, :]) ** 2).sum(axis=1)
+    order = np.lexsort((ids[mask], adist))[:10]
+    top10 = set(ids[mask][np.lexsort((ids[mask], edist))[:10]])
+    g2 = float(sim._PQ_GRID) ** 2
+    want = [
+        (
+            int(ids[mask][i]),
+            round(adist[i] / g2, 6),
+            round(edist[i] / g2, 6),
+            bool(ids[mask][i] in top10),
+        )
+        for i in order
+    ]
+    got = [tuple(r) for r in sim.sim_pq_trained_recall_eval(spark, SF_SMALL).collect()]
+    assert got == want
