@@ -3915,3 +3915,421 @@ def stats_conversion_rate_ztest(
         F.round(r2, 6).alias("rate2"),
         F.round(z, 4).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nonparametric two-sample tests: Kolmogorov-Smirnov and Mann-Whitney U
+# ---------------------------------------------------------------------------
+
+#: The two event-type samples the nonparametric tests compare.
+_NP_A, _NP_B = "click", "purchase"
+
+
+@register(
+    "stats_ks_two_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type = '{_NP_A}' AS is_a,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('{_NP_A}', '{_NP_B}')
+    ),
+    counts AS (
+      SELECT cents,
+             CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb_v
+      FROM t GROUP BY cents
+    ),
+    cum AS (
+      SELECT cents,
+             sum(na_v) OVER (ORDER BY cents) AS ca,
+             sum(nb_v) OVER (ORDER BY cents) AS cb
+      FROM counts
+    ),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      FROM t
+    ),
+    d AS (
+      SELECT c.cents, abs(c.ca * t.nb - c.cb * t.na) AS dnum
+      FROM cum c, tot t
+    ),
+    best AS (SELECT cents, dnum FROM d ORDER BY dnum DESC, cents ASC LIMIT 1)
+    SELECT t.na AS n_a, t.nb AS n_b,
+           CAST(b.dnum AS BIGINT) AS d_num,
+           round(CAST(b.dnum AS DOUBLE) / (t.na * t.nb), 6) AS ks_d,
+           b.cents AS ks_at_cents
+    FROM tot t, best b
+    """,
+    tags=("A-ext", "STATS"),
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    click and purchase value distributions — the distribution-drift
+    test a curation pipeline runs between a candidate batch and the
+    corpus (are these values drawn from the same distribution?).
+    Exactness: values snap to integer cents; the sup over x of
+    |F_a(x) - F_b(x)| is maximized over the distinct cents values with
+    the common denominator n_a*n_b kept OUT of the comparison —
+    d_num = max |ca*nb - cb*na| is an exact BIGINT, so the argmax and
+    the tie-break (smallest cents achieving the sup) are engine-exact;
+    only the final normalized ks_d divides.
+
+    Scale shape: one conditional-count aggregate to DISTINCT values
+    (6.4k cells here, bounded by value cardinality, not row count),
+    one cumulative window over those cells (a range-partitioned sort
+    exchange at scale — never the raw rows), one max. The raw table
+    is touched exactly once, map-side."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_NP_A, _NP_B)
+    )
+    t = ev.select(
+        (F.col("event_type") == _NP_A).alias("is_a"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    counts = t.groupBy("cents").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na_v"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("nb_v"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.select(
+        "cents",
+        F.sum("na_v").over(w).alias("ca"),
+        F.sum("nb_v").over(w).alias("cb"),
+    )
+    tot = t.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("na"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1))
+        .cast("long")
+        .alias("nb"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "na",
+        "nb",
+        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).alias(
+            "dnum"
+        ),
+    )
+    best = d.orderBy(F.desc("dnum"), F.asc("cents")).limit(1)
+    return best.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("dnum").cast("long").alias("d_num"),
+        F.round(
+            F.col("dnum").cast("double") / (F.col("na") * F.col("nb")), 6
+        ).alias("ks_d"),
+        F.col("cents").alias("ks_at_cents"),
+    )
+
+
+@register(
+    "stats_mann_whitney_u",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type = '{_NP_A}' AS is_a,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('{_NP_A}', '{_NP_B}')
+    ),
+    counts AS (
+      SELECT cents,
+             CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na_v,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM t GROUP BY cents
+    ),
+    ranked AS (
+      SELECT cents, na_v, cnt,
+             sum(cnt) OVER (ORDER BY cents) - cnt AS cum_before
+      FROM counts
+    ),
+    agg AS (
+      SELECT CAST(sum(na_v * (2 * cum_before + cnt + 1)) AS BIGINT) AS r1_2,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties
+      FROM ranked
+    ),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS n
+      FROM t
+    )
+    SELECT t.na AS n_a, t.nb AS n_b,
+           CAST(a.r1_2 - t.na * (t.na + 1) AS BIGINT) AS u2,
+           round((a.r1_2 - t.na * (t.na + 1)) / 2.0, 1) AS u_stat,
+           round(
+             ((a.r1_2 - t.na * (t.na + 1)) / 2.0 - t.na * t.nb / 2.0)
+             / sqrt((CAST(t.na AS DOUBLE) * t.nb / 12.0)
+                    * ((t.n + 1) - CAST(a.ties AS DOUBLE)
+                       / (CAST(t.n AS DOUBLE) * (t.n - 1)))),
+             4) AS z_score
+    FROM agg a, tot t
+    """,
+    tags=("A-ext", "STATS"),
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between the click and purchase
+    value samples, with the standard tie correction — the
+    location-shift companion to stats_ks_two_sample's shape test.
+    Exactness: ranks never materialize per row; the tie-averaged rank
+    of a distinct value is (2*cum_before + cnt + 1)/2, so DOUBLED rank
+    sums stay exact BIGINTs (r1_2), u2 = 2U is exact, and the only
+    float arithmetic is the final z normalization from those exact
+    integers (identical expression both engines, rounded).
+
+    Scale shape: same as the KS plan — one aggregate to distinct
+    values, one cumulative window over value cells, one fold; the tie
+    term sum(t^3 - t) rides the same cell frame.  No per-row rank
+    window ever exists, which is what makes rank tests feasible at
+    100 TB (a global row_number over raw rows would be a single-sort
+    bottleneck)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(_NP_A, _NP_B)
+    )
+    t = ev.select(
+        (F.col("event_type") == _NP_A).alias("is_a"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    counts = t.groupBy("cents").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("na_v"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = counts.select(
+        "na_v",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("na_v") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r1_2"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("long")
+        .alias("ties"),
+    )
+    tot = t.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    j = agg.crossJoin(F.broadcast(tot))
+    u2 = F.col("r1_2") - F.col("na") * (F.col("na") + 1)
+    u = u2 / 2.0
+    mu = F.col("na") * F.col("nb") / 2.0
+    var = (F.col("na").cast("double") * F.col("nb") / 12.0) * (
+        (F.col("n") + 1)
+        - F.col("ties").cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return j.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        u2.cast("long").alias("u2"),
+        F.round(u, 1).alias("u_stat"),
+        F.round((u - mu) / F.sqrt(var), 4).alias("z_score"),
+    )
+
+
+@register(
+    "stats_spearman_rank_corr",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS x,
+             CAST(floor(sum(value) * 100) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    rx AS (
+      SELECT x, 2 * (sum(cnt) OVER (ORDER BY x) - cnt) + cnt + 1 AS r2
+      FROM (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY x)
+    ),
+    ry AS (
+      SELECT y, 2 * (sum(cnt) OVER (ORDER BY y) - cnt) + cnt + 1 AS r2
+      FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM u GROUP BY y)
+    ),
+    r AS (
+      SELECT CAST(rx.r2 AS BIGINT) AS a, CAST(ry.r2 AS BIGINT) AS b
+      FROM u JOIN rx USING (x) JOIN ry USING (y)
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+             CAST(sum(a * a) AS BIGINT) AS saa,
+             CAST(sum(b * b) AS BIGINT) AS sbb,
+             CAST(sum(a * b) AS BIGINT) AS sab
+      FROM r
+    )
+    SELECT n AS n_users,
+           round((n * sab - sa * sb)
+                 / (sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                    * sqrt(CAST(n * sbb - sb * sb AS DOUBLE))), 6)
+             AS rho_spearman
+    FROM s
+    """,
+    tags=("A-ext", "STATS"),
+)
+def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between per-user activity (event
+    count) and per-user spend (total cents) — the monotone-association
+    screen that survives outliers where Pearson does not.  Ranks use
+    the same doubled-tie-averaged-rank trick as stats_mann_whitney_u
+    (rank2 = 2*cum_before + cnt + 1 over DISTINCT value cells), so
+    every sum entering the Pearson-on-ranks formula is an exact
+    BIGINT; the one float step is the final normalized division,
+    identical in both engines.
+
+    Scale shape: one per-user aggregate, two cell-frame cumulative
+    windows (cardinality = distinct x / distinct y, not users), two
+    broadcast-sized joins back, one fold.  No per-row global rank
+    window.  BIGINT headroom: sums of rank products are ~4n^3 — fine
+    to ~10^6 groups; past that, move the moment sums to DOUBLE (the
+    rho itself is already float)."""
+    u = table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("x"),
+        F.floor(F.sum("value") * 100).cast("long").alias("y"),
+    )
+    w_x = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_y = Window.orderBy("y").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    rx = (
+        u.groupBy("x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "x",
+            (
+                2 * (F.sum("cnt").over(w_x) - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            ).alias("r2"),
+        )
+    )
+    ry = (
+        u.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "y",
+            (
+                2 * (F.sum("cnt").over(w_y) - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            ).alias("r2"),
+        )
+    )
+    r = (
+        u.join(F.broadcast(rx), "x")
+        .join(F.broadcast(ry.withColumnRenamed("r2", "r2y")), "y")
+        .select(
+            F.col("r2").cast("long").alias("a"),
+            F.col("r2y").cast("long").alias("b"),
+        )
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    dx = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast(
+        "double"
+    )
+    dy = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("rho_spearman"),
+    )
+
+
+@register(
+    "stats_kendall_tau_daily",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+             CAST(floor(sum(value) * 100) AS BIGINT) AS tot
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT CASE WHEN a.tot < b.tot THEN 1 ELSE 0 END AS conc,
+             CASE WHEN a.tot > b.tot THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.tot = b.tot THEN 1 ELSE 0 END AS tie_y
+      FROM d a JOIN d b ON a.day < b.day
+    ),
+    s AS (
+      SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n,
+             CAST(sum(conc) AS BIGINT) AS c,
+             CAST(sum(disc) AS BIGINT) AS dd,
+             CAST(sum(tie_y) AS BIGINT) AS ty
+      FROM p
+    )
+    SELECT n AS n_days, c AS concordant, dd AS discordant, ty AS ties_y,
+           round((c - dd) / (sqrt(CAST(n * (n - 1) / 2 AS DOUBLE))
+                 * sqrt(CAST(n * (n - 1) / 2 - ty AS DOUBLE))), 6)
+             AS tau_b
+    FROM s
+    """,
+    tags=("A-ext", "STATS", "TS"),
+)
+def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between calendar day and daily total spend — the
+    nonparametric monotone-TREND test (is activity rising?), the rank
+    sibling of trend_theil_sen_daily.  The x variable (day) is
+    strictly ordered, so concordance reduces to sign counts over day
+    pairs with tau-b's tie-in-y correction; counts are exact BIGINTs
+    from exact cent totals, and only the final normalization is float.
+
+    Scale shape: the pair join is over the DAILY aggregate — calendar-
+    bounded (30 rows here; 36.5k pairs for a decade), never raw rows;
+    the daily rollup itself is one map-side-combined aggregate.  The
+    O(n^2) on days is a deliberate, bounded truth computation, the
+    same contract as the bounded ANF pair expansion."""
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.floor(F.sum("value") * 100).cast("long").alias("tot"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    p = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        F.when(F.col("a.tot") < F.col("b.tot"), 1).otherwise(0).alias("conc"),
+        F.when(F.col("a.tot") > F.col("b.tot"), 1).otherwise(0).alias("disc"),
+        F.when(F.col("a.tot") == F.col("b.tot"), 1).otherwise(0).alias(
+            "tie_y"
+        ),
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    s = (
+        p.agg(
+            F.sum("conc").cast("long").alias("c"),
+            F.sum("disc").cast("long").alias("dd"),
+            F.sum("tie_y").cast("long").alias("ty"),
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    n0 = F.col("n") * (F.col("n") - 1) / 2
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.col("c").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        F.col("ty").alias("ties_y"),
+        F.round(
+            (F.col("c") - F.col("dd"))
+            / (
+                F.sqrt(n0.cast("double"))
+                * F.sqrt((n0 - F.col("ty")).cast("double"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )

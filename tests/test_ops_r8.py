@@ -231,3 +231,45 @@ def test_pq_trained_codebook_matches_numpy_lloyd(spark):
     ]
     got = [tuple(r) for r in sim.sim_pq_trained_recall_eval(spark, SF_SMALL).collect()]
     assert got == want
+
+
+def test_ks_and_mwu_hand_computed_micro_case(spark, tmp_path):
+    """The nonparametric tests' arithmetic on a hand-worked example:
+    A = {1.00, 2.00, 2.00, 5.00}, B = {2.00, 3.00, 3.00}.
+    KS: sup gap is at cents=200 with |ca*nb - cb*na| = |3*3-1*4| = 5,
+    D = 5/12.  MWU: U = 4 by direct pair counting (two A=200 vs B=200
+    ties at 1/2 each, A=500 beats all three), so u2 = 8."""
+    import datetime as dt
+
+    from fortisiem_clickhouse_monitor_spark.operators.advanced import (
+        stats_ks_two_sample,
+        stats_mann_whitney_u,
+    )
+    from fortisiem_clickhouse_monitor_spark.streaming import jobs
+
+    t0 = dt.datetime(2024, 4, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1, "click", 1.00, "{}"),
+        (2, t0, 1, "click", 2.00, "{}"),
+        (3, t0, 2, "click", 2.00, "{}"),
+        (4, t0, 2, "click", 5.00, "{}"),
+        (5, t0, 3, "purchase", 2.00, "{}"),
+        (6, t0, 3, "purchase", 3.00, "{}"),
+        (7, t0, 4, "purchase", 3.00, "{}"),
+        (8, t0, 4, "view", 99.0, "{}"),  # other types must be ignored
+    ]
+    spark.createDataFrame(rows, schema=jobs.EVENTS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+
+    ks = stats_ks_two_sample(spark, str(tmp_path)).collect()
+    assert len(ks) == 1
+    r = ks[0]
+    assert (r["n_a"], r["n_b"], r["d_num"], r["ks_at_cents"]) == (4, 3, 5, 200)
+    assert r["ks_d"] == round(5 / 12, 6)
+
+    mw = stats_mann_whitney_u(spark, str(tmp_path)).collect()
+    assert len(mw) == 1
+    r = mw[0]
+    assert (r["n_a"], r["n_b"], r["u2"]) == (4, 3, 8)
+    assert r["u_stat"] == 4.0
