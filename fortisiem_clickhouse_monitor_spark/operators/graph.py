@@ -2836,6 +2836,201 @@ def graph_bfs_distance_histogram(
 
 
 # ---------------------------------------------------------------------------
+# Seeded closeness centrality: multi-source bounded BFS
+# ---------------------------------------------------------------------------
+
+_CLO_SEEDS = 5  # deterministic sources: top-degree nodes, id tie-break
+_CLO_R = 4      # BFS radius (covers the bipartite graph's diameter)
+
+
+def _closeness_oracle() -> str:
+    seen_parts = ["SELECT seed, node FROM d0"]
+    levels = []
+    for k in range(1, _CLO_R + 1):
+        seen = " UNION ALL ".join(seen_parts)
+        levels.append(
+            f"""d{k} AS (
+      SELECT DISTINCT f.seed, e.v AS node
+      FROM edges e JOIN d{k - 1} f ON e.u = f.node
+      LEFT JOIN ({seen}) s{k} ON s{k}.seed = f.seed AND s{k}.node = e.v
+      WHERE s{k}.node IS NULL)"""
+        )
+        seen_parts.append(f"SELECT seed, node FROM d{k}")
+    joined = ",\n    ".join(levels)
+    all_l = " UNION ALL ".join(
+        f"SELECT seed, node, CAST({k} AS BIGINT) AS dist FROM d{k}"
+        for k in range(_CLO_R + 1)
+    )
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey AS u, l_suppkey + {_SUPP_OFF} AS v
+      FROM lineitem
+    ),
+    edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+    seeds AS (SELECT u AS seed FROM deg ORDER BY d DESC, u
+              LIMIT {_CLO_SEEDS}),
+    d0 AS (SELECT seed, seed AS node FROM seeds),
+    {joined},
+    reach AS ({all_l})
+    SELECT seed,
+           CAST(count(*) - 1 AS BIGINT) AS n_reached,
+           CAST(sum(dist) AS BIGINT) AS sum_dist,
+           round(CAST(count(*) - 1 AS DOUBLE) / sum(dist), 6) AS closeness
+    FROM reach GROUP BY seed
+    """
+
+
+@register(
+    "graph_closeness_seeded", oracle=_closeness_oracle(), tags=("graph",)
+)
+def graph_closeness_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness centrality for 5 deterministic seed nodes (top degree,
+    id tie-break) via one MULTI-SOURCE bounded BFS on the
+    part<->supplier graph: per seed, the nodes reached within radius 4,
+    their distance sum, and closeness = reached/sum_dist — the
+    sampled-sources form in which closeness is actually computable at
+    scale (exact all-nodes closeness is all-pairs distances; seeded
+    closeness is the standard estimator, and the seed set here is a
+    deterministic argmax so the oracle can replay it).
+
+    Plan shape: the _CLO_SEEDS sources ride ONE frontier expansion —
+    the frontier frame is (seed, node) keyed, so each round is still
+    one equi-join + one per-seed anti-join, with the work proportional
+    to the UNION of the frontiers, not seeds x graph.  Same bounded-
+    radius, checkpoint-the-edges-once discipline as
+    graph_bfs_distance_histogram; radius-bounded closeness is the
+    documented semantic (nodes beyond R contribute nothing), which is
+    also the production choice — distant mass adds negligible
+    closeness but unbounded rounds."""
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").alias("u"),
+        (F.col("l_suppkey") + F.lit(_SUPP_OFF)).alias("v"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    seeds = (
+        deg.orderBy(F.desc("d"), "u")
+        .limit(_CLO_SEEDS)
+        .select(F.col("u").alias("seed"))
+    )
+    level = seeds.select("seed", F.col("seed").alias("node"))
+    levels = [level]
+    visited = level
+    for _ in range(_CLO_R):
+        frontier = (
+            edges.join(
+                levels[-1].withColumnRenamed("node", "u"), "u"
+            )
+            .select("seed", F.col("v").alias("node"))
+            .distinct()
+            .join(visited, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        levels.append(frontier)
+        visited = visited.unionByName(frontier)
+    reach = None
+    for k, lvl in enumerate(levels):
+        h = lvl.select(
+            "seed", "node", F.lit(k).cast("long").alias("dist")
+        )
+        reach = h if reach is None else reach.unionByName(h)
+    return reach.groupBy("seed").agg(
+        (F.count(F.lit(1)) - 1).cast("long").alias("n_reached"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+        F.round(
+            (F.count(F.lit(1)) - 1).cast("double") / F.sum("dist"), 6
+        ).alias("closeness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Walk-count (power-iteration) centrality: exact integer eigenvector proxy
+# ---------------------------------------------------------------------------
+
+_EV_ROUNDS = 4
+
+
+def _walk_centrality_oracle() -> str:
+    rounds = []
+    for k in range(1, _EV_ROUNDS + 1):
+        rounds.append(
+            f"""r{k} AS (
+      SELECT e.v AS node, CAST(sum(r.pr) AS BIGINT) AS pr
+      FROM edges e JOIN r{k - 1} r ON r.node = e.u
+      GROUP BY e.v)"""
+        )
+    joined = ",\n    ".join(rounds)
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_partkey AS u, l_suppkey + {_SUPP_OFF} AS v
+      FROM lineitem
+    ),
+    edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    r0 AS (SELECT node, CAST(1 AS BIGINT) AS pr FROM nodes),
+    {joined}
+    SELECT node, pr AS n_walks FROM r{_EV_ROUNDS}
+    ORDER BY pr DESC, node LIMIT 20
+    """
+
+
+@register(
+    "graph_walk_centrality_top20",
+    oracle=_walk_centrality_oracle(),
+    tags=("graph",),
+)
+def graph_walk_centrality_top20(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eigenvector-centrality ranking by UNNORMALIZED power iteration:
+    4 rounds of s <- A s from the all-ones vector, i.e. each node's
+    exact count of length-4 walks ending at it — the integer-exact
+    proxy whose ranking converges to eigenvector centrality as rounds
+    grow (the normalization constant cancels in ORDER BY, so skipping
+    it removes the only float step; cf. PageRank's damped/normalized
+    fixed-point, pagerank_int).  Complements degree (round 1) and
+    PageRank (damped) with the undamped spectral view.
+
+    Plan shape per round: one broadcast join of the node-cardinality
+    score vector against the static checkpointed edge list + one
+    groupBy — identical to pagerank_int's round.  Overflow headroom:
+    walk counts reach at most (max_degree)^rounds; with the fixture's
+    hub degrees (~10^3) that is ~10^12 of BIGINT's 9.2*10^18 — at
+    larger scale, renormalize per round (divide by the round's max)
+    before the next multiply, which preserves the ranking."""
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.col("l_partkey").alias("u"),
+        (F.col("l_suppkey") + F.lit(_SUPP_OFF)).alias("v"),
+    ).distinct()
+    edges = e0.unionByName(
+        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
+    ranks = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.lit(1).cast("long").alias("pr"))
+    )
+    for _ in range(_EV_ROUNDS):
+        ranks = (
+            edges.join(F.broadcast(ranks), edges["u"] == ranks["node"])
+            .select("v", "pr")
+            .groupBy("v")
+            .agg(F.sum("pr").alias("pr"))
+            .select(F.col("v").alias("node"), F.col("pr"))
+        )
+    return (
+        ranks.select("node", F.col("pr").alias("n_walks"))
+        .orderBy(F.desc("n_walks"), "node")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Degree inequality: exact Gini over the degree distribution
 # ---------------------------------------------------------------------------
 

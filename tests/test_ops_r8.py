@@ -273,3 +273,37 @@ def test_ks_and_mwu_hand_computed_micro_case(spark, tmp_path):
     r = mw[0]
     assert (r["n_a"], r["n_b"], r["u2"]) == (4, 3, 8)
     assert r["u_stat"] == 4.0
+
+
+def test_closeness_and_walk_centrality_on_path_graph(spark, tmp_path):
+    """Hand-computable micro-graph (path p1 - s - p2 via one supplier):
+    closeness from the hub is 1.0 (two nodes at distance 1); from a
+    leaf it is 2/3 (distances 1 and 2); and every node ends exactly 4
+    length-4 walks (path-graph walk counts 4/4/4 after rounds
+    1/2/3/4 = (1,2,1)->(2,2,2)->(2,4,2)->(4,4,4))."""
+    from fortisiem_clickhouse_monitor_spark.operators.graph import (
+        _SUPP_OFF,
+        graph_closeness_seeded,
+        graph_walk_centrality_top20,
+    )
+
+    spark.createDataFrame(
+        [(1, 1), (2, 1)], "l_partkey LONG, l_suppkey LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    s = 1 + _SUPP_OFF
+    clo = {
+        r["seed"]: (r["n_reached"], r["sum_dist"], r["closeness"])
+        for r in graph_closeness_seeded(spark, str(tmp_path)).collect()
+    }
+    assert clo == {
+        s: (2, 2, 1.0),
+        1: (2, 3, round(2 / 3, 6)),
+        2: (2, 3, round(2 / 3, 6)),
+    }
+
+    walks = {
+        r["node"]: r["n_walks"]
+        for r in graph_walk_centrality_top20(spark, str(tmp_path)).collect()
+    }
+    assert walks == {1: 4, 2: 4, s: 4}
