@@ -2976,3 +2976,98 @@ def dedup_survivorship_by_source(
             F.expr("(1000000 * n_dropped) div n_docs").alias("drop_ppm"),
         )
     )
+
+
+@register(
+    "dedup_component_lang_purity",
+    oracle=f"""
+    {_CC_PAIRS_SQL},
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    cc(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, cc.label FROM cc JOIN edges e ON cc.node = e.a
+    ),
+    comp AS (
+      SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node
+    ),
+    bylang AS (
+      SELECT c.component, d.lang, CAST(count(*) AS BIGINT) AS cnt
+      FROM comp c JOIN documents d USING (doc_id)
+      GROUP BY c.component, d.lang
+    ),
+    ranked AS (
+      SELECT component, lang, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY component) AS BIGINT)
+               AS n_members,
+             CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+               AS n_langs,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY cnt DESC, lang) AS rn
+      FROM bylang
+    )
+    SELECT component, n_members, n_langs, lang AS top_lang,
+           round(CAST(cnt AS DOUBLE) / n_members, 4) AS purity
+    FROM ranked WHERE rn = 1 AND n_members >= 2
+    """,
+    tags=("DD", "QUALITY"),
+)
+def dedup_component_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language purity per near-dup component (clusters of size >= 2):
+    member count, distinct languages, the majority language (count
+    desc, lang tie-break) and its share — the audit that separates
+    true duplicates (purity 1.0) from cross-language contamination or
+    translation pairs (purity < 1), and the per-cluster drill-down
+    under dedup_cross_lang_components' corpus-level screen.  A
+    curation pipeline routes low-purity clusters to translation-dedup
+    review instead of blind keep-longest.
+
+    Rides the shared star forest (one contraction serves CC labels,
+    canonical pick, cohesion, and this screen); the lang join is
+    doc-keyed against the documents scan, and the majority pick is a
+    window over the (component, lang) frame — cluster-count
+    cardinality, tiny next to the corpus."""
+    comp = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .join(
+            shared_star_forest(spark, sf_dir).select(
+                F.col("v").alias("doc_id"), F.col("u").alias("component")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+            "lang",
+        )
+    )
+    bylang = comp.groupBy("component", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wc = Window.partitionBy("component")
+    wr = Window.partitionBy("component").orderBy(F.desc("cnt"), "lang")
+    return (
+        bylang.select(
+            "component",
+            "lang",
+            "cnt",
+            F.sum("cnt").over(wc).alias("n_members"),
+            F.count(F.lit(1)).over(wc).alias("n_langs"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            "component",
+            "n_members",
+            "n_langs",
+            F.col("lang").alias("top_lang"),
+            F.round(F.col("cnt").cast("double") / F.col("n_members"), 4).alias(
+                "purity"
+            ),
+        )
+    )

@@ -635,6 +635,147 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of NEAREST: closest match in either direction, bounded, tie -> backward
+# ---------------------------------------------------------------------------
+
+_ASOF_NEAR_TOL_US = 600_000_000  # 10 minutes
+
+
+@register(
+    "join_asof_nearest",
+    oracle=f"""
+    WITH sides AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN event_type = 'purchase' THEN struct_pack(
+               us := epoch_us(CAST(ts AS TIMESTAMP)),
+               id := event_id,
+               cents := CAST(floor(value * 100) AS BIGINT)) END AS p,
+             event_type = 'click' AS is_click
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT event_id, user_id, epoch_us(ts) AS c_us, is_click,
+             last_value(p IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS back,
+             first_value(p IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fwd
+      FROM sides
+    ),
+    d AS (
+      SELECT event_id, user_id, c_us, back, fwd,
+             CASE WHEN back IS NOT NULL
+                  AND c_us - back.us <= {_ASOF_NEAR_TOL_US}
+                  THEN c_us - back.us END AS db,
+             CASE WHEN fwd IS NOT NULL
+                  AND fwd.us - c_us <= {_ASOF_NEAR_TOL_US}
+                  THEN fwd.us - c_us END AS df
+      FROM w WHERE is_click
+    )
+    SELECT event_id AS click_id, user_id,
+           CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df)
+                  THEN back.id
+                WHEN df IS NOT NULL THEN fwd.id END AS matched_id,
+           CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df)
+                  THEN -db
+                WHEN df IS NOT NULL THEN df END AS delta_us,
+           CASE WHEN db IS NOT NULL AND (df IS NULL OR db <= df)
+                  THEN back.cents
+                WHEN df IS NOT NULL THEN fwd.cents END AS matched_cents
+    FROM d
+    """,
+    tags=("J-asof",),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of NEAREST join (pandas merge_asof direction='nearest' with
+    tolerance): each click matches the same user's closest purchase in
+    EITHER time direction within 10 minutes, equal distances resolved
+    backward — the alignment a feature join needs when the signal may
+    be logged just after the observation (sensor skew) as well as
+    before.  Unmatched clicks keep their row with NULLs (the left-join
+    contract), and delta_us is signed (negative = matched backward) so
+    the direction mix is auditable downstream.
+
+    Spark-first shape: STILL one shuffle — union both sides, one
+    (user_id)-partitioned ordered window, and BOTH candidates from the
+    same exchange: last(purchase, ignoreNulls) over the preceding
+    frame and first(purchase, ignoreNulls) over the following frame;
+    the nearest-pick is a row-local comparison of two exact
+    microsecond deltas.  No inequality join, no per-row subquery —
+    the forward case costs one more window function, not another
+    pass.  All comparisons are BIGINT microseconds; tie-break order
+    (backward on equal distance) is stated identically in both
+    engines."""
+    ev = table(spark, sf_dir, "events")
+    both = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("id"),
+                F.floor(F.col("value") * 100).cast("long").alias("cents"),
+            ),
+        ).alias("p"),
+        (F.col("event_type") == "click").alias("is_click"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    c_us = F.unix_micros("ts")
+    d = (
+        both.withColumn("back", F.last("p", ignorenulls=True).over(wb))
+        .withColumn("fwd", F.first("p", ignorenulls=True).over(wf))
+        .filter("is_click")
+        .select(
+            "event_id",
+            "user_id",
+            F.when(
+                F.col("back").isNotNull()
+                & (c_us - F.col("back.us") <= _ASOF_NEAR_TOL_US),
+                c_us - F.col("back.us"),
+            ).alias("db"),
+            F.when(
+                F.col("fwd").isNotNull()
+                & (F.col("fwd.us") - c_us <= _ASOF_NEAR_TOL_US),
+                F.col("fwd.us") - c_us,
+            ).alias("df"),
+            "back",
+            "fwd",
+        )
+    )
+    take_back = F.col("db").isNotNull() & (
+        F.col("df").isNull() | (F.col("db") <= F.col("df"))
+    )
+    take_fwd = F.col("df").isNotNull()
+    return d.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.when(take_back, F.col("back.id"))
+        .when(take_fwd, F.col("fwd.id"))
+        .alias("matched_id"),
+        F.when(take_back, -F.col("db"))
+        .when(take_fwd, F.col("df"))
+        .alias("delta_us"),
+        F.when(take_back, F.col("back.cents"))
+        .when(take_fwd, F.col("fwd.cents"))
+        .alias("matched_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Lateral join: per-customer top-N orders via a correlated subquery
 # ---------------------------------------------------------------------------
 

@@ -59,7 +59,7 @@ SOFT_BUDGET_S = 150.0
 #: a scaling curve — the sweep set is a RULE derived from the bench
 #: artifact (VERDICT r4 #3), not a hand-picked list.  The same rule is
 #: enforced by tests/test_audit.py::test_heavy_queries_have_curves.
-HEAVY_THRESHOLD_S = 2.0
+HEAVY_THRESHOLD_S = 1.5
 
 
 def heavy_from_bench(
@@ -117,7 +117,7 @@ def fit_alpha(points: list[tuple[int, float]]) -> float | None:
 def main() -> None:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scaling_curves.json"
     # Explicit names win; default = family subset UNION every query the
-    # latest bench artifact says is heavy (>2 s at sf0.1).
+    # latest bench artifact says is heavy (>1.5 s at sf0.1).
     names = sys.argv[2:] or sorted(set(QUERIES) | set(heavy_from_bench()))
     spark = get_spark("fcm-scaling")
     qs = entrymod.queries()
