@@ -307,3 +307,45 @@ def test_closeness_and_walk_centrality_on_path_graph(spark, tmp_path):
         for r in graph_walk_centrality_top20(spark, str(tmp_path)).collect()
     }
     assert walks == {1: 4, 2: 4, s: 4}
+
+
+def test_asof_nearest_tie_tolerance_and_direction(spark, tmp_path):
+    """join_asof_nearest edge semantics, hand-planted: equidistant
+    candidates resolve BACKWARD; a forward-only match within tolerance
+    wins; matches beyond the 10-minute tolerance leave NULLs but keep
+    the click row; deltas carry direction sign."""
+    import datetime as dt
+
+    from fortisiem_clickhouse_monitor_spark.operators.joins import (
+        join_asof_nearest,
+    )
+    from fortisiem_clickhouse_monitor_spark.streaming import jobs
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # u1: purchases 3 min before AND 3 min after -> tie -> backward
+        (1, t0 - 3 * m, 1, "purchase", 10.00, "{}"),
+        (2, t0, 1, "click", 0.0, "{}"),
+        (3, t0 + 3 * m, 1, "purchase", 20.00, "{}"),
+        # u2: only a forward purchase, 4 min after -> forward match
+        (4, t0, 2, "click", 0.0, "{}"),
+        (5, t0 + 4 * m, 2, "purchase", 30.00, "{}"),
+        # u3: nearest purchase 11 min away -> outside tolerance -> NULL
+        (6, t0, 3, "click", 0.0, "{}"),
+        (7, t0 + 11 * m, 3, "purchase", 40.00, "{}"),
+    ]
+    spark.createDataFrame(rows, schema=jobs.EVENTS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["click_id"]: (r["matched_id"], r["delta_us"], r["matched_cents"])
+        for r in join_asof_nearest(spark, str(tmp_path)).collect()
+    }
+    us = 60 * 1_000_000
+    assert got == {
+        2: (1, -3 * us, 1000),   # tie resolved backward, negative delta
+        4: (5, 4 * us, 3000),    # forward within tolerance
+        6: (None, None, None),   # beyond tolerance, row kept
+    }
