@@ -4333,3 +4333,95 @@ def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     )
+
+
+@register(
+    "sketch_kmv_union_eval",
+    oracle=f"""
+    WITH ha AS ({_duck_kmv_set('click')}),
+    hb AS ({_duck_kmv_set('purchase')}),
+    ka AS (SELECT hv FROM ha ORDER BY hv LIMIT {_KMV_K}),
+    kb AS (SELECT hv FROM hb ORDER BY hv LIMIT {_KMV_K}),
+    ku AS (
+      SELECT hv FROM (
+        SELECT hv FROM ka UNION SELECT hv FROM kb
+      ) ORDER BY hv LIMIT {_KMV_K}
+    ),
+    tu AS (
+      SELECT CASE WHEN count(*) < {_KMV_K} THEN {2**60}
+                  ELSE max(hv) END AS theta,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM ku
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_exact
+      FROM (SELECT hv FROM ha UNION SELECT hv FROM hb)
+    )
+    SELECT e.n_exact, t.n_kept,
+           round(t.n_kept * {_KMV_M!r} / t.theta, 2) AS kmv_estimate,
+           round((t.n_kept * {_KMV_M!r} / t.theta - e.n_exact)
+                 / e.n_exact, 4) AS rel_error
+    FROM tu t CROSS JOIN exact e
+    """,
+    tags=("SKETCH",),
+)
+def sketch_kmv_union_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set UNION, completing the family's algebra
+    (distinct / intersection / difference already measured): merging
+    two KMV sketches is just "k smallest of the concatenated kept
+    hashes" — the property that makes theta sketches the mergeable
+    distinct-count structure for shard-then-combine at 100 TB (each
+    partition keeps k longs; the combiner is a TakeOrdered over
+    2k rows).  Estimate n_kept * M / theta_union, evaluated against
+    the exact click-user UNION purchase-user count; the under-k branch
+    collapses to the exact count, identically in both engines
+    (same contract as the intersection/difference evals).
+
+    Integer except the two final divisions: hashes are 60-bit md5
+    slices, the union-kept set is a TakeOrdered of two k-row frames,
+    theta is an order statistic."""
+    ev = table(spark, sf_dir, "events")
+
+    def kmv(event_type: str):
+        h = (
+            ev.filter(F.col("event_type") == event_type)
+            .select(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 15
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("hv")
+            )
+            .distinct()
+        )
+        return h, h.orderBy("hv").limit(_KMV_K)
+
+    ha, ka = kmv("click")
+    hb, kb = kmv("purchase")
+    ku = (
+        ka.unionByName(kb).distinct().orderBy("hv").limit(_KMV_K)
+    )
+    tu = ku.agg(
+        F.when(F.count(F.lit(1)) < _KMV_K, F.lit(2**60))
+        .otherwise(F.max("hv"))
+        .alias("theta"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    exact = (
+        ha.unionByName(hb).distinct().agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact")
+        )
+    )
+    est = F.col("n_kept") * F.lit(_KMV_M) / F.col("theta")
+    return tu.crossJoin(F.broadcast(exact)).select(
+        "n_exact",
+        "n_kept",
+        F.round(est, 2).alias("kmv_estimate"),
+        F.round((est - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+            "rel_error"
+        ),
+    )

@@ -2279,3 +2279,106 @@ def sample_balanced_label_downsample(
             F.col("m").alias("target_per_class"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption plan: deterministic T5-style mask spans
+# ---------------------------------------------------------------------------
+
+_SC_BLOCK = 20   # tokens per block -> one span per block
+_SC_MAX_OFF = 17  # span start offset in [0, 16]; 16 + max len 4 = block
+
+
+@register(
+    "corpus_span_corruption_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t,
+             len({_DUCK_TOKENS}) AS n
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, t, b.b AS block
+      FROM toks,
+      unnest(range(0, CAST(floor(CAST(n AS DOUBLE) / {_SC_BLOCK})
+                           AS BIGINT))) AS b(b)
+      WHERE n >= {_SC_BLOCK}
+    ),
+    spans AS (
+      SELECT doc_id, block,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                 || CAST(block AS VARCHAR)), 1, 6))::BIGINT
+               % {_SC_MAX_OFF} AS start_off,
+             2 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                     || CAST(block AS VARCHAR)), 7, 6))::BIGINT
+               % 3 AS span_len,
+             t
+      FROM blocks
+    )
+    SELECT doc_id, block,
+           CAST({_SC_BLOCK} * block + start_off + 1 AS BIGINT) AS span_start,
+           CAST(span_len AS BIGINT) AS span_len,
+           array_to_string(
+             list_slice(t, {_SC_BLOCK} * block + start_off + 1,
+                        {_SC_BLOCK} * block + start_off + span_len), ' ')
+             AS span_text
+    FROM spans
+    """,
+    tags=("CORPUS",),
+)
+def corpus_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLAN: one mask span per complete
+    20-token block — hash-chosen offset (0-16) and length (2-4, mean
+    3), giving the canonical ~15% corruption rate (3/20) with spans
+    that never overlap or cross blocks BY CONSTRUCTION, so the plan
+    needs no sequential merge pass.  Rows are (doc, block, span_start,
+    span_len, span_text); emitting the masked text makes the plan an
+    auditable artifact (and lets the oracle check token content, not
+    just offsets).  Pretraining-data prep consumes this as the mask
+    table for denoising objectives; RNG-free hashing means the same
+    corpus always corrupts identically — reproducible across runs,
+    engines, and partitionings.
+
+    Scale shape: tokenize + block-explode is map-only (one row per
+    block, 1/20th of token count); the span arithmetic is per-row
+    integer hashing — no shuffle anywhere, embarrassingly parallel at
+    any corpus size."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", textfns.tokens(F.col("text")).alias("t")
+    )
+    blocks = (
+        d.withColumn("n", F.size("t"))
+        .filter(F.col("n") >= _SC_BLOCK)
+        .select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(F.col("n") / _SC_BLOCK).cast("long") - 1,
+                )
+            ).alias("block"),
+        )
+    )
+    h = F.md5(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("block").cast("string")
+        )
+    )
+    start_off = F.pmod(
+        F.conv(F.substring(h, 1, 6), 16, 10).cast("long"), _SC_MAX_OFF
+    )
+    span_len = 2 + F.pmod(
+        F.conv(F.substring(h, 7, 6), 16, 10).cast("long"), 3
+    )
+    span_start = (_SC_BLOCK * F.col("block") + start_off + 1).cast("long")
+    return blocks.select(
+        "doc_id",
+        "block",
+        span_start.alias("span_start"),
+        span_len.cast("long").alias("span_len"),
+        F.array_join(
+            F.slice(F.col("t"), span_start.cast("int"), span_len.cast("int")),
+            " ",
+        ).alias("span_text"),
+    )
