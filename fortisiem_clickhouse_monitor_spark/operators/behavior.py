@@ -641,28 +641,40 @@ def normalize_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(n) AS BIGINT) AS dow_total, count(*) AS dow_days
       FROM daily GROUP BY 1, 2
     )
-    SELECT d.event_type, d.day, d.n, b.dow, b.dow_total, b.dow_days
+    SELECT d.event_type, d.day, d.n, b.dow, b.dow_total, b.dow_days,
+           CAST((1000 * d.n * b.dow_days) // b.dow_total AS BIGINT)
+             AS ratio_mc,
+           10 * d.n * b.dow_days > 11 * b.dow_total AS over_1_1x
     FROM daily d JOIN base b
       ON b.event_type = d.event_type AND b.dow = isodow(d.day)
-    WHERE 10 * d.n * b.dow_days > 11 * b.dow_total
+    ORDER BY (1000 * d.n * b.dow_days) // b.dow_total DESC,
+             d.event_type, d.day
+    LIMIT 10
     """,
     tags=("BEHAV", "TS"),
 )
 def timeseries_dow_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seasonality-aware volume anomaly screen: a day is flagged when
-    its event count exceeds 1.1x the MEAN FOR THAT DAY-OF-WEEK (its
-    seasonal baseline), not the global mean — the screen that does not
-    page on-call every Saturday because weekends differ from weekdays.
-    The 1.1x test is the integer cross-multiply 10*n*dow_days >
-    11*dow_total, so no float division sits at the decision boundary
-    (the margin is tuned to the fixtures' variance; production would
-    widen it or switch to a per-dow z-score).
+    """Seasonality-aware volume anomaly screen: the 10 days MOST above
+    their DAY-OF-WEEK mean (the seasonal baseline, not the global
+    mean — the screen that does not page on-call every Saturday
+    because weekends differ from weekdays), with the exact
+    milli-ratio to baseline and a 1.1x threshold flag per row.
+
+    Originally a bare `> 1.1x` filter — which the two-SF vacuity
+    sweep (tools/check_oracle.py --sweep, r8) caught returning ZERO
+    rows at sf0.1: daily counts concentrate as volume grows (relative
+    sd ~ 1/sqrt(n)), so any fixed margin goes vacuous at some scale.
+    The scale-free form RANKS by the exact ratio (integer
+    cross-multiplied milli-ratio — `//` and `DIV` agree, all operands
+    positive) and reports the threshold as a column, so the screen
+    returns its top suspects at every volume and the alert policy
+    (threshold, z-score, top-k) stays a downstream choice.
 
     Scale shape: the daily rollup aggregates within time-partitioned
     parquet (one exchange on (event_type, day)); the baseline
     aggregates THAT |types * 7|-row summary and broadcasts back — the
-    raw fact is never re-shuffled, the same two-level summary-join
-    pattern as outlier_events_zscore."""
+    raw fact is never re-shuffled — and the top-k lowers to
+    TakeOrderedAndProject."""
     e = table(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
@@ -673,11 +685,23 @@ def timeseries_dow_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("event_type", "dow")
         .agg(F.sum("n").alias("dow_total"), F.count(F.lit(1)).alias("dow_days"))
     )
+    ratio_mc = F.expr("(1000 * n * dow_days) DIV dow_total")
     return (
         daily.withColumn("dow", dow)
         .join(F.broadcast(base), ["event_type", "dow"])
-        .filter(10 * F.col("n") * F.col("dow_days") > 11 * F.col("dow_total"))
-        .select("event_type", "day", "n", "dow", "dow_total", "dow_days")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "dow",
+            "dow_total",
+            "dow_days",
+            ratio_mc.cast("long").alias("ratio_mc"),
+            (10 * F.col("n") * F.col("dow_days") > 11 * F.col("dow_total"))
+            .alias("over_1_1x"),
+        )
+        .orderBy(F.desc("ratio_mc"), "event_type", "day")
+        .limit(10)
     )
 
 
