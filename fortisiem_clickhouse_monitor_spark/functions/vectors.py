@@ -28,6 +28,19 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.when((na > 0) & (nb > 0), d / (na * nb))
 
 
+def cosine_pre(
+    a: Column | str, b: Column | str, na: Column, nb: Column
+) -> Column:
+    """Cosine with PRE-COMPUTED norms — bit-identical to :func:`cosine`
+    (same ``sqrt(dot(v, v))`` expression, evaluated once per ROW
+    instead of once per PAIR): in a broadcast-NLJ pair scan the naive
+    form re-folds both self-dot aggregates for every pair, tripling
+    the per-pair higher-order-function work (r8 opt round, guide §1.2
+    — the n x q pair scan is the eval family's dominant term).  Pass
+    ``norm(col)`` computed on each side before the join."""
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
+
+
 def make_dot_pandas():
     """Arrow-batched dot product — see functions/arrow_udfs.py (kept in
     a separate module because pandas_udf type hints must not be

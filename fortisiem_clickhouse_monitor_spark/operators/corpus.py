@@ -511,15 +511,20 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.pmod(textfns.hash60(F.col("f")), F.lit(_DSIR_NB)).alias("bucket"),
-    )
-    tc = (
-        feats.filter(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
-    rc = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    lm = rc.join(tc, "bucket", "left").select(
-        "bucket", F.coalesce("ct", F.lit(0)).alias("ct"), "cr"
+    ).localCheckpoint(eager=True)
+    # Target and raw LM counts in ONE pass: the separate tc/rc
+    # aggregations (plus their join) re-executed the tokenize+hash
+    # explode per consumer; a conditional count over the same groupBy
+    # reads each feature row once (r8 opt round, guide §1.2) — and the
+    # checkpoint above means the scoring join below re-reads the
+    # hashed features instead of re-tokenizing the corpus a third
+    # time.  sum(CASE lang=target) == the old LEFT-JOINed coalesced
+    # count for every bucket rc contained (all of them).
+    lm = feats.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
     )
     tot = lm.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("rt"))
     lp = F.log((F.col("ct") + 1.0) / (F.col("tt") + _DSIR_NB)) - F.log(

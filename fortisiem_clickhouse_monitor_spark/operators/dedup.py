@@ -1699,11 +1699,23 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ed >= |len_a - len_b|, so length-incompatible pairs fail without
     # the O(len^2) DP — the CASE guard keeps levenshtein unevaluated.
     len_ok = _ED_DEN * F.abs(F.length("ta") - F.length("tb")) <= max_len
-    ed = F.when(len_ok, F.levenshtein("ta", "tb")).cast("long")
+    # Thresholded (banded) levenshtein, threshold = floor(max_len/DEN):
+    # O(len * len/DEN) per pair instead of the full O(len^2) DP, and
+    # d <= floor(max_len/DEN) <=> DEN*d <= max_len for integer d, so
+    # "result >= 0" is exactly the old cross-multiplied predicate and
+    # the value on kept rows is the same distance (r8 opt round,
+    # guide §4.1 — keep the work in a cheaper built-in).
+    ed = F.when(
+        len_ok,
+        F.expr(
+            "levenshtein(ta, tb, CAST(greatest(length(ta), length(tb))"
+            f" DIV {_ED_DEN} AS INT))"
+        ),
+    ).cast("long")
     return (
         cand.join(da, "doc_a")
         .join(db, "doc_b")
-        .filter(len_ok & (_ED_DEN * ed <= max_len))
+        .filter(len_ok & (ed >= 0))
         .select(
             "doc_a",
             "doc_b",
@@ -3210,6 +3222,15 @@ def dedup_minhash_band_tuning_eval(
             F.col("b2.doc_id").alias("doc_b"),
         )
         .distinct()
+        # Three consumers read cand (per-config counts, the verify
+        # pass, the found join) and two read ver; without a
+        # materialization each re-executed the 30-band self-join /
+        # the full shingle-intersect verification (the r8-before plan
+        # is 77 KB of duplicated subtrees; measured 6.3 s -> ~1.8 s at
+        # sf0.1 — r8 opt round, guide §1.2/§5).  Both frames are
+        # candidate-pair-sized (~140 K rows here; banding keeps them
+        # edge-bounded at scale), so the checkpoints are small.
+        .localCheckpoint(eager=True)
     )
     pairs_u = cand.select("doc_a", "doc_b").distinct()
     sides = sigs.select("doc_id", "shingles")
@@ -3226,7 +3247,11 @@ def dedup_minhash_band_tuning_eval(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     uni = F.size("sh_a") + F.size("sh_b") - inter
-    ver = joined.filter(2 * inter >= uni).select("doc_a", "doc_b")
+    ver = (
+        joined.filter(2 * inter >= uni)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     tot = ver.agg(F.count(F.lit(1)).cast("long").alias("n_union_dups"))
     percfg = cand.groupBy("nb", "r").agg(
         F.count(F.lit(1)).alias("n_candidates")

@@ -67,7 +67,13 @@ def neighbor_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance — the unfiltered comparison space.  The deterministic
     pairs (edit distance <= _MAX_ED) are a filter on this frame; the
     Fellegi-Sunter scorer consumes it whole (probabilistic linkage
-    scores every candidate, it does not pre-threshold)."""
+    scores every candidate, it does not pre-threshold).
+
+    ``edit_distance`` is THRESHOLDED: the real distance when
+    <= _MAX_ED, else -1 (Spark 3.5+ banded levenshtein, O(len*k)
+    instead of O(len^2) per pair — r8 opt round, guide §4.1 "prefer
+    built-ins"; every consumer only ever compares against _MAX_ED, so
+    -1 carries exactly the information "no match" they read)."""
     c = table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
     )
@@ -97,7 +103,7 @@ def neighbor_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb.k").alias("custkey_b"),
         "name_a",
         F.col("nb.n").alias("name_b"),
-        F.levenshtein("name_a", F.col("nb.n")).cast("long").alias(
+        F.levenshtein("name_a", F.col("nb.n"), _MAX_ED).cast("long").alias(
             "edit_distance"
         ),
     )
@@ -111,7 +117,8 @@ def sorted_neighborhood_pairs(
     registered queries so the clustering oracle and the pair oracle
     state the same candidate set."""
     return neighbor_candidates(spark, sf_dir).filter(
-        F.col("edit_distance") <= _MAX_ED
+        # thresholded levenshtein: >= 0 <=> distance <= _MAX_ED
+        F.col("edit_distance") >= 0
     )
 
 
@@ -301,12 +308,13 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = c.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("bn")
     )
-    block_pairs = blocks.agg(
+    # Both closed-form counts in ONE pass over the per-block counts
+    # (they were two scalar subqueries, each re-running the blocks
+    # aggregation — r8 opt round, guide §1.2).
+    closed = blocks.agg(
         F.sum(F.expr("bn * (bn - 1) / 2")).cast("long").alias(
             "n_block_pairs"
-        )
-    )
-    cand = blocks.agg(
+        ),
         F.sum(
             F.when(
                 F.col("bn") > _W,
@@ -314,7 +322,7 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.expr("bn * (bn - 1) / 2"))
         )
         .cast("long")
-        .alias("n_candidates")
+        .alias("n_candidates"),
     )
     b = c.select(
         F.col("c_custkey").alias("k2"),
@@ -325,15 +333,17 @@ def linkage_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     true_matches = (
         c.join(b, ["c_nationkey", "c_mktsegment"])
         .filter(F.col("c_custkey") < F.col("k2"))
-        .filter(F.levenshtein("c_name", "n2") <= _MAX_ED)
+        # thresholded (banded) levenshtein: >= 0 <=> distance <= _MAX_ED
+        # — the exhaustive within-block truth is this query's dominant
+        # term and only the <= _MAX_ED bit is consumed.
+        .filter(F.levenshtein("c_name", "n2", _MAX_ED) >= 0)
         .agg(F.count(F.lit(1)).alias("n_true"))
     )
     found = sorted_neighborhood_pairs(spark, sf_dir).agg(
         F.count(F.lit(1)).alias("n_found")
     )
     return (
-        n_records.crossJoin(F.broadcast(block_pairs))
-        .crossJoin(F.broadcast(cand))
+        n_records.crossJoin(F.broadcast(closed))
         .crossJoin(F.broadcast(true_matches))
         .crossJoin(F.broadcast(found))
         .select(
@@ -474,7 +484,8 @@ def linkage_fellegi_sunter_scores(
         .select(
             "custkey_a",
             "custkey_b",
-            F.when(F.col("edit_distance") <= _MAX_ED, 1)
+            # thresholded levenshtein: >= 0 <=> distance <= _MAX_ED
+            F.when(F.col("edit_distance") >= 0, 1)
             .otherwise(0)
             .cast("long")
             .alias("name_agree"),

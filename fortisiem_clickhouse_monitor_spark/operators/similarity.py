@@ -1106,12 +1106,18 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship; that quantified answer is exactly what this operator is for."""
     e = fanout(table(spark, sf_dir, "embeddings"))
     sigs = e.select(
-        "vec_id", "embedding", _spark_bucket(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+        # per-ROW norm, so the pair scan below folds one dot per pair
+        # instead of three (bit-identical — see vectors.cosine_pre).
+        vectors.norm(F.col("embedding")).alias("ne"),
     )
     q = sigs.filter(F.col("vec_id") < _RECALL_NQ).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qb"),
+        F.col("ne").alias("nq"),
     )
     pairs = sigs.join(
         F.broadcast(q), sigs["vec_id"] != q["qid"]
@@ -1120,8 +1126,15 @@ def sim_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qb",
         "vec_id",
         "bucket",
-        F.round(vectors.cosine(F.col("embedding"), F.col("qe")), 6).alias("c"),
-    )
+        F.round(
+            vectors.cosine_pre(
+                F.col("embedding"), F.col("qe"), F.col("ne"), F.col("nq")
+            ),
+            6,
+        ).alias("c"),
+        # exact truth and the bucket-filtered ranking both read the
+        # pair scan — materialize it once (r8 opt round, guide §1.2).
+    ).localCheckpoint(eager=True)
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
@@ -1238,12 +1251,17 @@ def sim_lsh_multiprobe_recall_eval(
     deterministic, oracle-replayable superset."""
     e = fanout(table(spark, sf_dir, "embeddings"))
     sigs = e.select(
-        "vec_id", "embedding", _spark_bucket(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        _spark_bucket(F.col("embedding")).alias("bucket"),
+        # per-ROW norm: one dot per pair below, not three (cosine_pre).
+        vectors.norm(F.col("embedding")).alias("ne"),
     )
     q = sigs.filter(F.col("vec_id") < _RECALL_NQ).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qb"),
+        F.col("ne").alias("nq"),
     )
     flips = F.array(
         F.lit(0), *[F.lit(1 << i) for i in range(_N_PLANES)]
@@ -1255,8 +1273,15 @@ def sim_lsh_multiprobe_recall_eval(
         "qid",
         "vec_id",
         "bucket",
-        F.round(vectors.cosine(F.col("embedding"), F.col("qe")), 6).alias("c"),
-    )
+        F.round(
+            vectors.cosine_pre(
+                F.col("embedding"), F.col("qe"), F.col("ne"), F.col("nq")
+            ),
+            6,
+        ).alias("c"),
+        # exact truth and the probed candidate set both read the pair
+        # scan — materialize it once (r8 opt round, guide §1.2).
+    ).localCheckpoint(eager=True)
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
@@ -1390,9 +1415,14 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan; all rankings share one (qid)-keyed exchange."""
     from pyspark.sql import Window
 
-    e = fanout(table(spark, sf_dir, "embeddings"))
+    e = fanout(table(spark, sf_dir, "embeddings")).withColumn(
+        # per-ROW norm: one dot per pair below, not three (cosine_pre).
+        "ne", vectors.norm(F.col("embedding"))
+    )
     q = e.filter(F.col("vec_id") < _RECALL_NQ).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("ne").alias("nq"),
     )
     flat = e.select(
         "label", F.posexplode("embedding").alias("dim0", "x")
@@ -1425,8 +1455,15 @@ def sim_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "vec_id",
         "label",
-        F.round(vectors.cosine(F.col("embedding"), F.col("qe")), 6).alias("c"),
-    )
+        F.round(
+            vectors.cosine_pre(
+                F.col("embedding"), F.col("qe"), F.col("ne"), F.col("nq")
+            ),
+            6,
+        ).alias("c"),
+        # exact truth and the probed ranking both read the pair scan —
+        # materialize it once (r8 opt round, guide §1.2).
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
     exact = (
         pairs.withColumn("rn", F.row_number().over(w))
@@ -1571,9 +1608,14 @@ def sim_ivf_nprobe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair scan per point)."""
     from pyspark.sql import Window
 
-    e = fanout(table(spark, sf_dir, "embeddings"))
+    e = fanout(table(spark, sf_dir, "embeddings")).withColumn(
+        # per-ROW norm: one dot per pair below, not three (cosine_pre).
+        "ne", vectors.norm(F.col("embedding"))
+    )
     q = e.filter(F.col("vec_id") < _RECALL_NQ).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("ne").alias("nq"),
     )
     flat = e.select(
         "label", F.posexplode("embedding").alias("dim0", "x")
@@ -1615,8 +1657,15 @@ def sim_ivf_nprobe_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "vec_id",
         "label",
-        F.round(vectors.cosine(F.col("embedding"), F.col("qe")), 6).alias("c"),
-    )
+        F.round(
+            vectors.cosine_pre(
+                F.col("embedding"), F.col("qe"), F.col("ne"), F.col("nq")
+            ),
+            6,
+        ).alias("c"),
+        # the exact truth and every nprobe variant read the pair scan —
+        # materialize it once (r8 opt round, guide §1.2).
+    ).localCheckpoint(eager=True)
     apn = pairs.join(F.broadcast(pn), ["qid", "label"])
     wk = Window.partitionBy("nprobe", "qid").orderBy(
         F.desc("c"), F.asc("vec_id")
@@ -1710,23 +1759,39 @@ def sim_truncation_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     share one qid-keyed exchange."""
     from pyspark.sql import Window
 
-    e = fanout(table(spark, sf_dir, "embeddings"))
-    q = e.filter(F.col("vec_id") < _RECALL_NQ).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
     emb_d = F.col("embedding").cast("array<double>")
     qe_d = F.col("qe").cast("array<double>")
+    # per-ROW norms (full + prefix): one dot per pair per ranking
+    # below, not three (bit-identical — vectors.cosine_pre).
+    e = fanout(table(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        vectors.norm(emb_d).alias("ne"),
+        vectors.norm(F.slice(emb_d, 1, _TRUNC_DIM)).alias("ne_tr"),
+    )
+    q = e.filter(F.col("vec_id") < _RECALL_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("ne").alias("nq"),
+        F.col("ne_tr").alias("nq_tr"),
+    )
     pairs = e.join(F.broadcast(q), e["vec_id"] != q["qid"]).select(
         "qid",
         "vec_id",
-        F.round(vectors.cosine(emb_d, qe_d), 6).alias("c_full"),
         F.round(
-            vectors.cosine(
-                F.slice(emb_d, 1, _TRUNC_DIM), F.slice(qe_d, 1, _TRUNC_DIM)
+            vectors.cosine_pre(emb_d, qe_d, F.col("ne"), F.col("nq")), 6
+        ).alias("c_full"),
+        F.round(
+            vectors.cosine_pre(
+                F.slice(emb_d, 1, _TRUNC_DIM),
+                F.slice(qe_d, 1, _TRUNC_DIM),
+                F.col("ne_tr"),
+                F.col("nq_tr"),
             ),
             6,
         ).alias("c_trunc"),
-    )
+        # both rankings read the pair scan — materialize it once.
+    ).localCheckpoint(eager=True)
     w_full = Window.partitionBy("qid").orderBy(F.desc("c_full"), F.asc("vec_id"))
     w_tr = Window.partitionBy("qid").orderBy(F.desc("c_trunc"), F.asc("vec_id"))
     exact = (
@@ -2185,11 +2250,18 @@ def sim_pq_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             lambda x: F.floor(x.cast("double") * _PQ_GRID).cast("long"),
         ).alias("qv"),
-    )
+        # Quantize once: eq feeds the subvector explode, the exact-truth
+        # scan and the query row; cent/sub/exact re-reads below ride
+        # this checkpoint instead of re-running the scan+transform per
+        # consumer (r8 opt round, guide §1.2/§5 — n x dim longs,
+        # sample-bounded).
+    ).localCheckpoint(eager=True)
     slices = F.array(
         *[F.slice("qv", s * _PQ_SUB + 1, _PQ_SUB) for s in range(_PQ_M)]
     )
-    sub = eq.select("vec_id", F.posexplode(slices).alias("s", "v"))
+    sub = eq.select(
+        "vec_id", F.posexplode(slices).alias("s", "v")
+    ).localCheckpoint(eager=True)
     cent = sub.filter(F.col("vec_id") < _PQ_K).select(
         "s", F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
     )
@@ -2241,8 +2313,17 @@ def sim_pq_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("cu")
             )
         )
-        cent = cent.join(upd, ["s", "cid"], "left").select(
-            "s", "cid", F.coalesce(F.col("cu"), F.col("c")).alias("c")
+        # Checkpoint each Lloyd round's codebook (M*K rows): `cent` is
+        # read by the next round's assignment, the update's fallback
+        # coalesce, the final assignment AND the ADC LUT — lazily
+        # chained, the training subtree re-executed once per consumer
+        # per round (exponential in rounds; the r8-before plan dup).
+        cent = (
+            cent.join(upd, ["s", "cid"], "left")
+            .select(
+                "s", "cid", F.coalesce(F.col("cu"), F.col("c")).alias("c")
+            )
+            .localCheckpoint(eager=True)
         )
 
     codes = assign(cent).filter(F.col("vec_id") != 0)
@@ -2269,6 +2350,8 @@ def sim_pq_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, x: acc + x,
             ).alias("edist"),
         )
+        # exact truth feeds both the top-10 argsort and the audit join.
+        .localCheckpoint(eager=True)
     )
     top = (
         exact.orderBy("edist", "vec_id")
@@ -3059,27 +3142,48 @@ def sim_kcenter_farthest_points(
     the rounded max the rebuild form computed, so the selection
     sequence is bit-identical to the recursive oracle — and ties break
     on vec_id, so selection is a pure function of the data."""
+    import math
+
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seed = e.filter(F.col("vec_id") == 0).collect()[0]
     out = [(1, seed["vec_id"], None)]
     center = list(seed["embedding"])
     # fsim starts at -1.0 (<= any cosine), so the first fold over the
-    # seed center initializes it exactly.
+    # seed center initializes it exactly.  "ne" carries each row's own
+    # norm so every round's fold is ONE dot per row instead of three
+    # (vectors.cosine_pre; the center's norm is folded in Python below
+    # — same left-to-right IEEE-double sequence as the aggregate, so
+    # the value is bit-identical).
     state = (
         e.filter(F.col("vec_id") != seed["vec_id"])
         .withColumn("fsim", F.lit(-1.0).cast("double"))
+        .withColumn("ne", vectors.norm(F.col("embedding")))
         .localCheckpoint(eager=True)
     )
     for rank in range(2, _KCENTER_K + 1):
         cexpr = F.array([F.lit(float(x)) for x in center])
+        acc = 0.0
+        for x in center:
+            acc += float(x) * float(x)
+        cn = math.sqrt(acc)
+        # eager=False: the argmin collect below materializes this
+        # round's fold AND persists it for the next round — one job
+        # per round instead of two (r8 opt round; the rounds are the
+        # query's entire cost at fixture scale).
         state = state.select(
             "vec_id",
             "embedding",
             F.greatest(
                 "fsim",
-                F.round(vectors.cosine(F.col("embedding"), cexpr), 6),
+                F.round(
+                    vectors.cosine_pre(
+                        F.col("embedding"), cexpr, F.col("ne"), F.lit(cn)
+                    ),
+                    6,
+                ),
             ).alias("fsim"),
-        ).localCheckpoint(eager=True)
+            "ne",
+        ).localCheckpoint(eager=False)
         nxt = (
             state.orderBy(F.asc("fsim"), F.asc("vec_id"))
             .limit(1)
@@ -3336,9 +3440,14 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both engines do the identical rel/log2(rank+1) arithmetic and each
     per-query sum is ≤{_RECALL_K} terms, so 6-dp rounding is safely
     inside cross-engine ulp."""
-    e = fanout(table(spark, sf_dir, "embeddings"))
+    e = fanout(table(spark, sf_dir, "embeddings")).withColumn(
+        # per-ROW norm: one dot per pair below, not three (cosine_pre).
+        "ne", vectors.norm(F.col("embedding"))
+    )
     q = e.filter(F.col("vec_id") < _RECALL_NQ).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("ne").alias("nq"),
     )
     flat = e.select(
         "label", F.posexplode("embedding").alias("dim0", "x")
@@ -3370,8 +3479,15 @@ def sim_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         "vec_id",
         "label",
-        F.round(vectors.cosine(F.col("embedding"), F.col("qe")), 6).alias("c"),
-    )
+        F.round(
+            vectors.cosine_pre(
+                F.col("embedding"), F.col("qe"), F.col("ne"), F.col("nq")
+            ),
+            6,
+        ).alias("c"),
+        # exact truth and the probed ranking both read the pair scan —
+        # materialize it once (r8 opt round, guide §1.2).
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("vec_id"))
     exact = (
         pairs.withColumn("rn", F.row_number().over(w))

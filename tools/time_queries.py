@@ -4,6 +4,11 @@ Times each named registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 sf0.1) with one warmup pass then best-of-3, using the same noop-sink
 materialization as bench.py — for iterating on a single query's plan
 without paying a full-registry bench run.
+
+``--caches`` as the first arg enables the same four session caches
+bench.py enables (shared pairs / HyperBall / LPA / k-means), so a query
+that rides a shared subtree in the bench is timed under the bench's
+conditions instead of paying the full fresh subtree here.
 """
 
 from __future__ import annotations
@@ -29,6 +34,23 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = sys.argv[1:]
     spark = get_spark("fcm-time")
+    if names and names[0] == "--caches":
+        names = names[1:]
+        from fortisiem_clickhouse_monitor_spark.operators.dedup import (
+            enable_shared_pairs_cache,
+        )
+        from fortisiem_clickhouse_monitor_spark.operators.graph import (
+            enable_shared_hb_cache,
+            enable_shared_lpa_cache,
+        )
+        from fortisiem_clickhouse_monitor_spark.operators.similarity import (
+            enable_shared_kmeans_cache,
+        )
+
+        enable_shared_pairs_cache(True)
+        enable_shared_hb_cache(True)
+        enable_shared_lpa_cache(True)
+        enable_shared_kmeans_cache(True)
     qs = entrymod.queries()
     for name in names:
         materialize(qs[name](spark, sf_dir))  # warmup
