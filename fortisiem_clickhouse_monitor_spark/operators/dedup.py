@@ -993,10 +993,33 @@ def orient_by_degree(pairs: DataFrame) -> DataFrame:
         .unionAll(pairs.select(F.col("doc_b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        # both endpoint joins read the degree table — compute the
+        # union+groupBy once, not once per join side (node-cardinality,
+        # r8 opt round, guide §1.2).
+        .localCheckpoint(eager=True)
     )
+    # Explicit broadcast: the checkpointed degree table reports no size
+    # stats (LogicalRDD), so without the hint the planner falls back to
+    # TWO sort-merge joins (measured: the enumeration query went
+    # 3.0 -> 5.5 s when the checkpoint landed without these hints).
+    # deg is node-cardinality — always the broadcast side.
     e = (
-        pairs.join(deg.select(F.col("v").alias("doc_a"), F.col("deg").alias("deg_a")), "doc_a")
-        .join(deg.select(F.col("v").alias("doc_b"), F.col("deg").alias("deg_b")), "doc_b")
+        pairs.join(
+            F.broadcast(
+                deg.select(
+                    F.col("v").alias("doc_a"), F.col("deg").alias("deg_a")
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                deg.select(
+                    F.col("v").alias("doc_b"), F.col("deg").alias("deg_b")
+                )
+            ),
+            "doc_b",
+        )
     )
     fwd = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b"))
@@ -1135,7 +1158,14 @@ def triangle_counts_from_edges(pairs: DataFrame) -> DataFrame:
         .repartition(2 * n_parts)
         .localCheckpoint()
     )
-    adj = oriented.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("nbrs"))
+        # both join sides read the adjacency — build the collect_list
+        # aggregation once, not once per broadcast (the before-plan had
+        # two full Exchange+BroadcastExchange subtrees; r8 opt round).
+        .localCheckpoint(eager=True)
+    )
     a_u = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nbrs_u"))
     a_v = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nbrs_v"))
     # Adjacency totals O(m) elements — broadcast while the edge list is
@@ -3234,14 +3264,23 @@ def dedup_minhash_band_tuning_eval(
     )
     pairs_u = cand.select("doc_a", "doc_b").distinct()
     sides = sigs.select("doc_id", "shingles")
+    # Broadcast the doc-keyed shingle sides: the default plan sort-merge
+    # joined them, SORTING rows that carry the shingle ARRAYS (the same
+    # SMJ-sorts-array-payloads failure mode the k-truss fallback
+    # documents); the sides are doc-cardinality and belong on the build
+    # side (guide §3.1).
     joined = pairs_u.join(
-        sides.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
-            "shingles", "sh_a"
+        F.broadcast(
+            sides.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "shingles", "sh_a"
+            )
         ),
         "doc_a",
     ).join(
-        sides.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-            "shingles", "sh_b"
+        F.broadcast(
+            sides.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "shingles", "sh_b"
+            )
         ),
         "doc_b",
     )
@@ -3257,7 +3296,9 @@ def dedup_minhash_band_tuning_eval(
         F.count(F.lit(1)).alias("n_candidates")
     )
     found = (
-        cand.join(ver, ["doc_a", "doc_b"])
+        # ver is true-dup-cardinality (tiny) and checkpointed (no size
+        # stats) — broadcast it explicitly.
+        cand.join(F.broadcast(ver), ["doc_a", "doc_b"])
         .groupBy("nb", "r")
         .agg(F.count(F.lit(1)).alias("n_found"))
     )

@@ -242,7 +242,9 @@ def capped_wedges(pairs: DataFrame, cap: int) -> DataFrame:
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     kept = sym.join(
         F.broadcast(deg.filter(F.col("d") <= cap).select("u")), "u"
-    )
+        # both wedge-join sides read the capped edge frame — compute
+        # the degree rollup + semi filter once (r8 opt round, §1.2).
+    ).localCheckpoint(eager=True)
     a, b = kept.alias("a"), kept.alias("b")
     return a.join(
         b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v"))
@@ -752,7 +754,10 @@ def graph_adamic_adar_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).select("u", w.alias("w"))
         ),
         "u",
-    )
+        # both wedge-join sides read the weighted kept-edge frame —
+        # materialize the degree rollup + filter join once, not once
+        # per side (r8 opt round, guide §1.2; <= 2|E| rows).
+    ).localCheckpoint(eager=True)
     a, b = keptw.alias("a"), keptw.alias("b")
     wedges = a.join(
         b, (F.col("a.u") == F.col("b.u")) & (F.col("a.v") < F.col("b.v"))
@@ -1015,7 +1020,16 @@ def _edge_support(edges: DataFrame) -> DataFrame:
     und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    adj = und.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    adj = (
+        und.groupBy("u")
+        .agg(F.collect_list("v").alias("nbrs"))
+        # both intersect sides read the adjacency — build the
+        # union+collect_list aggregation once PER ROUND, not once per
+        # broadcast side (the r8-before plan had two full
+        # Exchange+BroadcastExchange subtrees per round; guide §2.4
+        # "two operations keyed the same way can share one exchange").
+        .localCheckpoint(eager=True)
+    )
     a_u = adj.select(F.col("u").alias("a"), F.col("nbrs").alias("nbrs_a"))
     a_v = adj.select(F.col("u").alias("b"), F.col("nbrs").alias("nbrs_b"))
     if e.count() <= TRUSS_BROADCAST_MAX_EDGES:
@@ -1176,7 +1190,15 @@ def graph_ppr_seeded_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     ed = edges.join(F.broadcast(deg), "u").localCheckpoint(eager=True)
-    nodes = ed.select(F.col("u").alias("node")).distinct()
+    # Every round's rank rebuild LEFT-joins `nodes`; lazily chained it
+    # re-ran the |E|-row distinct once per round (plus once inside each
+    # round's broadcast subtree) — node-cardinality, materialize once
+    # (r8 opt round, guide §1.2).
+    nodes = (
+        ed.select(F.col("u").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     seed = F.col("node").isin(*_PPR_SEEDS)
     ranks = nodes.select(
         "node",
@@ -2497,6 +2519,11 @@ def graph_random_walk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.join(adj, cur["node"] == adj["u"])
             .filter(F.pmod(h, F.col("deg")) == F.col("rnk"))
             .select("seed", F.lit(s).alias("step"), F.col("v").alias("node"))
+            # Step s feeds BOTH the output union and step s+1; lazily
+            # chained, the final union re-executed every prefix of the
+            # walk once per later step (sum 1..L joins instead of L —
+            # r8 opt round, guide §1.2).  Frontier-sized.
+            .localCheckpoint(eager=True)
         )
         out = out.unionByName(nxt)
         cur = nxt

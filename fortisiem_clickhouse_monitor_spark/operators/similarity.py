@@ -2291,7 +2291,10 @@ def sim_pq_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for _ in range(_PQ_TI):
         a = assign(cent)
-        av = a.join(sub, ["vec_id", "s"]).select(
+        # assignments are narrow (vec_id, s, cid) — broadcast them onto
+        # the checkpointed subvector frame (LogicalRDDs carry no size
+        # stats, so without the hint this fell back to SMJ).
+        av = F.broadcast(a).join(sub, ["vec_id", "s"]).select(
             "s", "cid", F.posexplode("v").alias("dim0", "x")
         )
         upd = (
@@ -2319,7 +2322,8 @@ def sim_pq_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         # chained, the training subtree re-executed once per consumer
         # per round (exponential in rounds; the r8-before plan dup).
         cent = (
-            cent.join(upd, ["s", "cid"], "left")
+            # upd is codebook-cardinality (M*K rows) — broadcast.
+            cent.join(F.broadcast(upd), ["s", "cid"], "left")
             .select(
                 "s", "cid", F.coalesce(F.col("cu"), F.col("c")).alias("c")
             )
@@ -2360,7 +2364,9 @@ def sim_pq_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid2 = float(_PQ_GRID) ** 2
     return (
-        adc.join(exact, "vec_id")
+        # exact is checkpointed (no stats) and index-cardinality on
+        # this sample-sized eval — broadcast it onto the ADC ranking.
+        adc.join(F.broadcast(exact), "vec_id")
         .join(F.broadcast(top), adc["vec_id"] == F.col("tvid"), "left")
         .orderBy("adist", "vec_id")
         .limit(10)
