@@ -2775,7 +2775,14 @@ def rec_item_item_cosine_topk(
     both engines, and (part_a, part_b) breaks limit-boundary ties
     deterministically."""
     li = table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # the per-item counts and BOTH self-join sides read the distinct
+    # basket frame — run the |lineitem| distinct once, not three times
+    # (r8 opt round, guide §1.2).
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     item_n = baskets.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -2804,8 +2811,10 @@ def rec_item_item_cosine_topk(
         / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
     )
     return (
-        co.join(na, "part_a")
-        .join(nb, "part_b")
+        # item counts are part-cardinality; broadcast (checkpoint scans
+        # carry no size stats, so the planner would SMJ).
+        co.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
         .select(
             "part_a",
             "part_b",

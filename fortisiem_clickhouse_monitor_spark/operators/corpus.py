@@ -1526,35 +1526,51 @@ def corpus_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.expr("(sum(n_chars) * 1000) DIV count(*)").alias("mean_milli"),
     ).localCheckpoint(eager=True)
-    n_doms = doms.select(
-        F.count(F.lit(1)).alias("k")
-    )
-    w = doms.crossJoin(F.broadcast(n_doms)).select(
-        "source",
-        F.expr(f"CAST({_DOREMI_SCALE} DIV k AS BIGINT)").alias("weight"),
-    )
+    # The fixed-point rounds run DRIVER-SIDE on the |sources|-row
+    # summary (bounded: one (source, mean) pair per domain — the same
+    # "bounded k-row collect" exemption as the k-means centroid loop):
+    # as lazily-chained crossJoin/agg rounds, each round cost 2 scalar
+    # broadcasts + Catalyst planning over an exponentially duplicated
+    # tiny tree — ~20 jobs to rescale 5 rows (r8 opt round; measured
+    # 1.9 -> ~0.6 s at sf0.1).  `tdiv` reproduces SQL DIV (truncation
+    # toward zero — Python's // floors, which differs on negatives) so
+    # every weight is bit-identical to the unrolled-CTE oracle.
+    rows = doms.select("source", "mean_milli").collect()
+    means = {r["source"]: int(r["mean_milli"]) for r in rows}
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
     clamp_hi = _DOREMI_SCALE // 4
-    for _ in range(_DOREMI_ROUNDS):
-        wd = w.join(doms.select("source", "mean_milli"), "source")
-        ref = wd.agg(
-            F.expr("sum(weight * mean_milli) DIV sum(weight)").alias("ref")
+    # empty corpus -> empty weight table -> empty join, as before
+    wts = {s: tdiv(_DOREMI_SCALE, len(rows)) for s in means} if rows else {}
+    for _ in range(_DOREMI_ROUNDS if rows else 0):
+        ref = tdiv(
+            sum(wts[s] * means[s] for s in means),
+            sum(wts[s] for s in means),
         )
-        up = wd.crossJoin(F.broadcast(ref)).select(
-            "source",
-            F.expr(
-                f"weight * ({_DOREMI_SCALE}"
-                f" + greatest(least(ref - mean_milli, {clamp_hi}),"
-                f" -{clamp_hi}) DIV {_DOREMI_DAMP})"
-                f" DIV {_DOREMI_SCALE}"
-            ).alias("raw"),
-        )
-        tot = up.agg(F.sum("raw").alias("tot"))
-        w = up.crossJoin(F.broadcast(tot)).select(
-            "source",
-            F.expr(f"raw * {_DOREMI_SCALE} DIV tot").alias("weight"),
-        )
+        raw = {
+            s: tdiv(
+                wts[s]
+                * (
+                    _DOREMI_SCALE
+                    + tdiv(
+                        max(min(ref - means[s], clamp_hi), -clamp_hi),
+                        _DOREMI_DAMP,
+                    )
+                ),
+                _DOREMI_SCALE,
+            )
+            for s in means
+        }
+        tot = sum(raw.values())
+        wts = {s: tdiv(raw[s] * _DOREMI_SCALE, tot) for s in means}
+    w = spark.createDataFrame(
+        [(s, wts[s]) for s in sorted(wts)], "source string, weight long"
+    )
     return (
-        doms.join(w, "source")
+        doms.join(F.broadcast(w), "source")
         .select(
             "source",
             "n_docs",

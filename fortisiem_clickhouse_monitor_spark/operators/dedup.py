@@ -563,6 +563,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         term = F.shiftleft(bit, i)
         sig_col = term if sig_col is None else sig_col.bitwiseOR(term)
+    # NOT checkpointed (measured and rejected, r8 opt round): the chunk
+    # self-join's two sides do re-run the 64-bit-vote aggregation, but
+    # they execute CONCURRENTLY on idle cores (wall ~ one pass), while
+    # an eager checkpoint serializes construction into an extra
+    # blocking job — measured 2.1 -> 3.2 s at sf0.1.  At cluster scale
+    # the duplicated pass costs real resources; materialize there.
     sigs = votes.select("doc_id", sig_col.alias("simhash"))
 
     chunks = sigs.select(
@@ -993,10 +999,6 @@ def orient_by_degree(pairs: DataFrame) -> DataFrame:
         .unionAll(pairs.select(F.col("doc_b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
-        # both endpoint joins read the degree table — compute the
-        # union+groupBy once, not once per join side (node-cardinality,
-        # r8 opt round, guide §1.2).
-        .localCheckpoint(eager=True)
     )
     # Explicit broadcast: the checkpointed degree table reports no size
     # stats (LogicalRDD), so without the hint the planner falls back to

@@ -2250,18 +2250,11 @@ def sim_pq_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "embedding",
             lambda x: F.floor(x.cast("double") * _PQ_GRID).cast("long"),
         ).alias("qv"),
-        # Quantize once: eq feeds the subvector explode, the exact-truth
-        # scan and the query row; cent/sub/exact re-reads below ride
-        # this checkpoint instead of re-running the scan+transform per
-        # consumer (r8 opt round, guide §1.2/§5 — n x dim longs,
-        # sample-bounded).
-    ).localCheckpoint(eager=True)
+    )
     slices = F.array(
         *[F.slice("qv", s * _PQ_SUB + 1, _PQ_SUB) for s in range(_PQ_M)]
     )
-    sub = eq.select(
-        "vec_id", F.posexplode(slices).alias("s", "v")
-    ).localCheckpoint(eager=True)
+    sub = eq.select("vec_id", F.posexplode(slices).alias("s", "v"))
     cent = sub.filter(F.col("vec_id") < _PQ_K).select(
         "s", F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("c")
     )
@@ -2354,8 +2347,6 @@ def sim_pq_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, x: acc + x,
             ).alias("edist"),
         )
-        # exact truth feeds both the top-10 argsort and the audit join.
-        .localCheckpoint(eager=True)
     )
     top = (
         exact.orderBy("edist", "vec_id")
@@ -2364,8 +2355,6 @@ def sim_pq_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid2 = float(_PQ_GRID) ** 2
     return (
-        # exact is checkpointed (no stats) and index-cardinality on
-        # this sample-sized eval — broadcast it onto the ADC ranking.
         adc.join(F.broadcast(exact), "vec_id")
         .join(F.broadcast(top), adc["vec_id"] == F.col("tvid"), "left")
         .orderBy("adist", "vec_id")

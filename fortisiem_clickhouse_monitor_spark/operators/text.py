@@ -1583,11 +1583,17 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("i0") + 1).alias("i"),
             textfns.hash60(F.col("shingle")).alias("h"),
         )
+        # the per-doc shingle count and the window explode both read
+        # the hashed shingle stream — tokenize+md5 once (r8 opt round,
+        # guide §1.2).
+        .localCheckpoint(eager=True)
     )
     m = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     last_start = F.greatest(F.col("n_sh") - _WINNOW_W + 1, F.lit(1))
     win = (
-        hs.join(m, "doc_id")
+        # m is doc-cardinality; without the hint the stats-less
+        # checkpoint scan falls back to SMJ.
+        hs.join(F.broadcast(m), "doc_id")
         .select(
             "doc_id",
             "i",
@@ -1609,7 +1615,7 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sel.h").alias("sel_h"),
     ).distinct()
     return (
-        fps.join(m, "doc_id")
+        fps.join(F.broadcast(m), "doc_id")
         .groupBy("doc_id", "n_sh")
         .agg(
             F.count(F.lit(1)).alias("n_fps"),
@@ -2069,19 +2075,34 @@ def text_bigram_jm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored gram was observed (cab >= 1), so the ln never sees 0 even
     though JM, unlike add-one, assigns unseen bigrams mass only
     through the unigram term."""
-    d = bind(spread(table(spark, sf_dir, "documents"), "doc_id"),
-             toks=textfns.tokens("text"))
-    grams = d.select(
+    # One tokenize pass: the gram stream, the unigram table and the
+    # bigram table all re-ran the regex tokenizer per consumer when
+    # lazily chained (3 full passes; r8 opt round, guide §1.2).  The
+    # token frame and the exploded gram stream are each materialized
+    # once; the count tables below are vocabulary-sized.
+    tk = bind(spread(table(spark, sf_dir, "documents"), "doc_id"),
+              toks=textfns.tokens("text")).select(
+        "doc_id", "toks"
+    ).localCheckpoint(eager=True)
+    grams = tk.select(
         "doc_id", F.explode(textfns.shingles(F.col("toks"), 2)).alias("gram")
+    ).localCheckpoint(eager=True)
+    bc = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .localCheckpoint(eager=True)
     )
-    bc = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cab"))
     ctx = (
         bc.withColumn("a", F.split_part("gram", F.lit(" "), F.lit(1)))
         .groupBy("a")
         .agg(F.sum("cab").alias("ca"))
     )
-    uni = d.select(F.explode("toks").alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).alias("cw")
+    uni = (
+        tk.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        # read by both the total and the interpolation join.
+        .localCheckpoint(eager=True)
     )
     tot = uni.agg(F.sum("cw").alias("n"))
     lam = F.lit(_JM_L_NUM) / F.lit(float(_JM_L_DEN))
