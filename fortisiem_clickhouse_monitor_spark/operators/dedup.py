@@ -1526,16 +1526,20 @@ def dedup_repeated_substring_windows(
         toks=textfns.tokens("text"),
     )
     toks = F.col("toks")
+    # one tokenize pass: the fingerprint stream AND the window totals
+    # both read this frame (totals used to re-run the regex tokenizer;
+    # r8 opt round, guide §1.2).  n_windows >= 1 <=> n_tokens >= W, so
+    # the totals row set is unchanged.
     base = d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         textfns.shingles(toks, _SSW_W).alias("wins"),
-    ).filter(F.col("n_tokens") >= _SSW_W)
+    ).filter(F.col("n_tokens") >= _SSW_W).localCheckpoint(eager=True)
     occ = base.select(
         "doc_id", F.explode("wins").alias("win")
     ).select("doc_id", textfns.hash60(F.col("win")).alias("wh"))
     # Two consumers (duplicate vote + join-back): materialize the
-    # compact fingerprint stream once instead of re-tokenizing twice.
+    # compact fingerprint stream once instead of re-hashing twice.
     occ = occ.localCheckpoint()
     dup = (
         occ.groupBy("wh")
@@ -1546,11 +1550,12 @@ def dedup_repeated_substring_windows(
     per_doc = occ.join(dup, "wh").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_windows")
     )
-    totals = d.select(
-        "doc_id", (F.size(toks) - _SSW_W + 1).cast("long").alias("n_windows")
-    ).filter(F.col("n_windows") >= 1)
+    totals = base.select(
+        "doc_id",
+        (F.col("n_tokens") - _SSW_W + 1).cast("long").alias("n_windows"),
+    )
     n_dup = F.coalesce("n_dup_windows", F.lit(0)).cast("long")
-    return totals.join(per_doc, "doc_id", "left").select(
+    return totals.join(F.broadcast(per_doc), "doc_id", "left").select(
         "doc_id",
         "n_windows",
         n_dup.alias("n_dup_windows"),
@@ -2088,9 +2093,11 @@ def dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         fanout(table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id"),
         toks=textfns.tokens("text"),
     )
+    # the window explode, the affected-doc rebuild and the totals all
+    # read the tokenized frame — tokenize once (r8 opt round, §1.2).
     base = d.select(
         "doc_id", "toks", F.size("toks").alias("n_tokens")
-    ).filter(F.col("n_tokens") >= _SSW_W)
+    ).filter(F.col("n_tokens") >= _SSW_W).localCheckpoint(eager=True)
     occ = base.select(
         "doc_id",
         F.posexplode(textfns.shingles(F.col("toks"), _SSW_W)).alias("pos0", "win"),
@@ -2106,13 +2113,17 @@ def dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nd") >= 2)
         .select("wh")
     )
-    dpos = occ.join(dup, "wh").select("doc_id", "pos")
+    # the covered-index explode and the affected-doc set both read the
+    # duplicated positions — run the vote join once (span-sized rows).
+    dpos = occ.join(dup, "wh").select("doc_id", "pos").localCheckpoint(
+        eager=True
+    )
     covered = dpos.select(
         "doc_id",
         F.explode(F.sequence(F.col("pos"), F.col("pos") + _SSW_W - 1)).alias("idx"),
     ).distinct()
     affected = dpos.select("doc_id").distinct()
-    positions = base.join(affected, "doc_id").select(
+    positions = base.join(F.broadcast(affected), "doc_id").select(
         "doc_id",
         "n_tokens",
         F.posexplode("toks").alias("idx0", "tok"),
@@ -2128,7 +2139,9 @@ def dedup_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("clean_text"),
     )
-    totals = base.join(affected, "doc_id").select("doc_id", "n_tokens")
+    totals = base.join(F.broadcast(affected), "doc_id").select(
+        "doc_id", "n_tokens"
+    )
     return totals.join(rebuilt, "doc_id", "left").select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -3254,15 +3267,14 @@ def dedup_minhash_band_tuning_eval(
             F.col("b2.doc_id").alias("doc_b"),
         )
         .distinct()
-        # Three consumers read cand (per-config counts, the verify
-        # pass, the found join) and two read ver; without a
-        # materialization each re-executed the 30-band self-join /
-        # the full shingle-intersect verification (the r8-before plan
-        # is 77 KB of duplicated subtrees; measured 6.3 s -> ~1.8 s at
-        # sf0.1 — r8 opt round, guide §1.2/§5).  Both frames are
-        # candidate-pair-sized (~140 K rows here; banding keeps them
-        # edge-bounded at scale), so the checkpoints are small.
-        .localCheckpoint(eager=True)
+        # NOT checkpointed (measured and rejected, r8 opt round): cand
+        # feeds three consumers and ver two, but in the bench session
+        # the signature subtree is already cache-resident (_minhash_docs
+        # persists it) and the duplicated consumers execute CONCURRENTLY
+        # — eager checkpoints serialized them into 3 blocking jobs and
+        # the bench median went 6.3 -> 8.4 s.  The broadcast hints below
+        # (sides, ver) are kept: they replace SMJs that sorted rows
+        # carrying shingle ARRAYS.
     )
     pairs_u = cand.select("doc_a", "doc_b").distinct()
     sides = sigs.select("doc_id", "shingles")
@@ -3288,11 +3300,7 @@ def dedup_minhash_band_tuning_eval(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     uni = F.size("sh_a") + F.size("sh_b") - inter
-    ver = (
-        joined.filter(2 * inter >= uni)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    ver = joined.filter(2 * inter >= uni).select("doc_a", "doc_b")
     tot = ver.agg(F.count(F.lit(1)).cast("long").alias("n_union_dups"))
     percfg = cand.groupBy("nb", "r").agg(
         F.count(F.lit(1)).alias("n_candidates")

@@ -1728,10 +1728,13 @@ def dedup_passage_anchor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("i0") + 1).alias("i"),
             textfns.hash60(F.col("shingle")).alias("h"),
         )
+        # count + window explode both read the hashed shingle stream —
+        # tokenize+md5 once (r8 opt round, guide §1.2).
+        .localCheckpoint(eager=True)
     )
     m = hs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     last_start = F.greatest(F.col("n_sh") - _WINNOW_W + 1, F.lit(1))
-    win = hs.join(m, "doc_id").select(
+    win = hs.join(F.broadcast(m), "doc_id").select(
         "doc_id",
         "i",
         "h",
@@ -1745,7 +1748,13 @@ def dedup_passage_anchor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rm = win.groupBy("doc_id", "j").agg(
         F.min(F.struct(F.col("h"), (-F.col("i")).alias("ni"))).alias("sel")
     )
-    anchors = rm.select("doc_id", F.col("sel.h").alias("h")).distinct()
+    # the hot-anchor vote and the pair join both read the anchor set —
+    # run the window argmax (the dominant explode+agg) once.
+    anchors = (
+        rm.select("doc_id", F.col("sel.h").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     hot = (
         anchors.groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -1754,7 +1763,7 @@ def dedup_passage_anchor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("h")
     )
-    kept = anchors.join(hot, "h")
+    kept = anchors.join(F.broadcast(hot), "h")
     a = kept.select(F.col("h"), F.col("doc_id").alias("doc_a"))
     b = kept.select(F.col("h"), F.col("doc_id").alias("doc_b"))
     return (
