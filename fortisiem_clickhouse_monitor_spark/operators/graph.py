@@ -402,7 +402,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # row_number sort-window — count-desc / label-asc argmax as a
         # partial-aggregatable max, no per-partition sort.
         votes = (
-            edges.join(labels.withColumnRenamed("node", "u"), "u")
+            # labels are node-cardinality and stats-less after the
+            # round checkpoint — broadcast explicitly so the edge list
+            # is never sort-merge'd per round (at 100 TB pre-partition
+            # both sides on the node key instead; see docstring).
+            edges.join(F.broadcast(labels.withColumnRenamed("node", "u")), "u")
             .repartition("v")
             .groupBy(F.col("v").alias("node"), "lbl")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -2848,7 +2852,13 @@ def graph_bfs_distance_histogram(
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited, "node", "left_anti")
-            .localCheckpoint(eager=True)
+            # eager=False: the rounds still materialize exactly once
+            # each (every frontier is cached at first computation and
+            # later consumers read the cache), but inside ONE final
+            # job instead of one blocking driver job per round (r8 opt
+            # round — the same fold-then-materialize-on-demand shape
+            # that took k-center from 2 jobs/round to 1).
+            .localCheckpoint(eager=False)
         )
         levels.append(frontier)
         visited = visited.unionByName(frontier)
@@ -2955,7 +2965,9 @@ def graph_closeness_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("seed", F.col("v").alias("node"))
             .distinct()
             .join(visited, ["seed", "node"], "left_anti")
-            .localCheckpoint(eager=True)
+            # eager=False: one final job materializes+caches every
+            # round in sequence (see graph_bfs_distance_histogram).
+            .localCheckpoint(eager=False)
         )
         levels.append(frontier)
         visited = visited.unionByName(frontier)
