@@ -1546,6 +1546,14 @@ def corpus_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty corpus -> empty weight table -> empty join, as before
     wts = {s: tdiv(_DOREMI_SCALE, len(rows)) for s in means} if rows else {}
     for _ in range(_DOREMI_ROUNDS if rows else 0):
+        # Degenerate-input guard (ADVICE r8): if every weight truncated
+        # to zero (only possible when n_sources > _DOREMI_SCALE), stop
+        # iterating instead of raising ZeroDivisionError at
+        # query-construction time — unreachable at any tested SF (the
+        # fixtures have single-digit sources), so reachable rounds are
+        # bit-identical to the unrolled-CTE oracle.
+        if sum(wts.values()) == 0:
+            break
         ref = tdiv(
             sum(wts[s] * means[s] for s in means),
             sum(wts[s] for s in means),
@@ -1565,6 +1573,8 @@ def corpus_doremi_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in means
         }
         tot = sum(raw.values())
+        if tot == 0:  # same degenerate-input guard as above
+            break
         wts = {s: tdiv(raw[s] * _DOREMI_SCALE, tot) for s in means}
     w = spark.createDataFrame(
         [(s, wts[s]) for s in sorted(wts)], "source string, weight long"

@@ -1555,7 +1555,15 @@ def dedup_repeated_substring_windows(
         (F.col("n_tokens") - _SSW_W + 1).cast("long").alias("n_windows"),
     )
     n_dup = F.coalesce("n_dup_windows", F.lit(0)).cast("long")
-    return totals.join(F.broadcast(per_doc), "doc_id", "left").select(
+    # SHUFFLED HASH, not broadcast (ADVICE r8): per_doc is
+    # doc-cardinality — a mandatory broadcast hint would override
+    # autoBroadcastJoinThreshold and grow with |documents| at 100 TB.
+    # The hint still avoids the stats-less-scan -> SMJ default (the
+    # reason r8 pinned it); both sides are doc-cardinality rows of a
+    # few longs, so the hash build is bounded per task.
+    return totals.join(
+        per_doc.hint("shuffle_hash"), "doc_id", "left"
+    ).select(
         "doc_id",
         "n_windows",
         n_dup.alias("n_dup_windows"),
@@ -3222,11 +3230,19 @@ def dedup_minhash_band_tuning_eval(
     Exactness: band keys are md5 over the comma-joined signature
     slice (collision-free packing regardless of rows-per-band, where
     the int64 pack would overflow past r=2); the >=0.5 verification
-    is the integer cross-multiply 2*inter >= union.  Plan shape: one
-    signature pass feeds all configs (30 band rows per doc); the
-    config/band/key equi-join generates candidates; every DISTINCT
-    candidate pair is verified ONCE and configs re-join the verdict —
-    the expensive shingle intersection never repeats per config."""
+    is the integer cross-multiply 2*inter >= union.  Plan shape (r9
+    opt round, guide §1.2): ONE band self-join feeds everything — the
+    per-(doc_a, doc_b) groupBy collects the config set alongside the
+    dedup the old per-config ``distinct`` did, the shingle
+    verification runs once per unique pair as a flag on that same
+    frame, and the per-config counts come from exploding the config
+    sets of the verified frame.  The r8 shape re-executed the band
+    join + distinct subtree once per consumer (candidates, found,
+    truth union = ~4 executions) because the overlap was concurrent;
+    this collapses it to one subtree with a LAZY checkpoint shared by
+    the two final aggregates (eager checkpoints here measured SLOWER
+    in r8 — they serialized the overlapping consumers into blocking
+    jobs)."""
     sigs = _minhash_docs(spark, sf_dir)
     band_rows = []
     for nb, r in _BAND_CONFIGS:
@@ -3251,7 +3267,11 @@ def dedup_minhash_band_tuning_eval(
         "doc_id", F.explode(F.array(*band_rows)).alias("bb")
     ).select("doc_id", "bb.nb", "bb.r", "bb.band_id", "bb.key")
     a, b2 = bands.alias("a"), bands.alias("b2")
-    cand = (
+    # One band self-join; the per-pair groupBy subsumes the old
+    # per-(config, pair) distinct AND the unique-pair projection:
+    # collect_set dedupes configs within a pair, the grouping key
+    # dedupes pairs across bands.
+    paircfg = (
         a.join(
             b2,
             (F.col("a.nb") == F.col("b2.nb"))
@@ -3261,29 +3281,22 @@ def dedup_minhash_band_tuning_eval(
             & (F.col("a.doc_id") < F.col("b2.doc_id")),
         )
         .select(
-            F.col("a.nb").alias("nb"),
-            F.col("a.r").alias("r"),
             F.col("a.doc_id").alias("doc_a"),
             F.col("b2.doc_id").alias("doc_b"),
+            F.struct(F.col("a.nb").alias("nb"), F.col("a.r").alias("r")).alias(
+                "cfg"
+            ),
         )
-        .distinct()
-        # NOT checkpointed (measured and rejected, r8 opt round): cand
-        # feeds three consumers and ver two, but in the bench session
-        # the signature subtree is already cache-resident (_minhash_docs
-        # persists it) and the duplicated consumers execute CONCURRENTLY
-        # — eager checkpoints serialized them into 3 blocking jobs and
-        # the bench median went 6.3 -> 8.4 s.  The broadcast hints below
-        # (sides, ver) are kept: they replace SMJs that sorted rows
-        # carrying shingle ARRAYS.
+        .groupBy("doc_a", "doc_b")
+        .agg(F.collect_set("cfg").alias("cfgs"))
     )
-    pairs_u = cand.select("doc_a", "doc_b").distinct()
     sides = sigs.select("doc_id", "shingles")
     # Broadcast the doc-keyed shingle sides: the default plan sort-merge
     # joined them, SORTING rows that carry the shingle ARRAYS (the same
     # SMJ-sorts-array-payloads failure mode the k-truss fallback
     # documents); the sides are doc-cardinality and belong on the build
     # side (guide §3.1).
-    joined = pairs_u.join(
+    joined = paircfg.join(
         F.broadcast(
             sides.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
                 "shingles", "sh_a"
@@ -3300,31 +3313,32 @@ def dedup_minhash_band_tuning_eval(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     uni = F.size("sh_a") + F.size("sh_b") - inter
-    ver = joined.filter(2 * inter >= uni).select("doc_a", "doc_b")
-    tot = ver.agg(F.count(F.lit(1)).cast("long").alias("n_union_dups"))
-    percfg = cand.groupBy("nb", "r").agg(
-        F.count(F.lit(1)).alias("n_candidates")
+    # LAZY checkpoint: the two final aggregates (per-config counts, the
+    # config-independent truth-union count) share one materialization of
+    # the verified pair frame inside the single final job — eager would
+    # add a blocking job, and at this cardinality (unique candidate
+    # pairs) the cached frame is small.
+    verified = joined.select(
+        "cfgs", (2 * inter >= uni).alias("is_dup")
+    ).localCheckpoint(eager=False)
+    tot = verified.filter("is_dup").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_dups")
     )
-    found = (
-        # ver is true-dup-cardinality (tiny) and checkpointed (no size
-        # stats) — broadcast it explicitly.
-        cand.join(F.broadcast(ver), ["doc_a", "doc_b"])
-        .groupBy("nb", "r")
-        .agg(F.count(F.lit(1)).alias("n_found"))
-    )
-    return (
-        percfg.join(found, ["nb", "r"], "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            F.col("nb").alias("n_bands"),
-            F.col("r").alias("rows_per_band"),
-            F.round(
-                F.pow(1.0 / F.col("nb"), 1.0 / F.col("r")), 4
-            ).alias("s_curve_threshold"),
-            "n_candidates",
-            F.coalesce(F.col("n_found"), F.lit(0).cast("long")).alias(
-                "n_found_dups"
-            ),
-            "n_union_dups",
+    percfg = (
+        verified.select(F.explode("cfgs").alias("cfg"), "is_dup")
+        .groupBy(F.col("cfg.nb").alias("nb"), F.col("cfg.r").alias("r"))
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.count_if(F.col("is_dup")).alias("n_found"),
         )
+    )
+    return percfg.crossJoin(F.broadcast(tot)).select(
+        F.col("nb").alias("n_bands"),
+        F.col("r").alias("rows_per_band"),
+        F.round(
+            F.pow(1.0 / F.col("nb"), 1.0 / F.col("r")), 4
+        ).alias("s_curve_threshold"),
+        "n_candidates",
+        F.col("n_found").cast("long").alias("n_found_dups"),
+        "n_union_dups",
     )

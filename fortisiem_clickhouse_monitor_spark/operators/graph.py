@@ -91,8 +91,21 @@ def pagerank_int(directed_edges: DataFrame, iters: int = _PR_ITERS) -> DataFrame
     # deg has node-cardinality -- broadcast it so annotating |E| edge
     # rows with sender degree is map-side instead of shuffling the whole
     # edge list on u; checkpoint ONCE so no round re-runs the upstream
-    # edge-building subtree.
-    ed = directed_edges.join(F.broadcast(deg), "u").localCheckpoint(eager=True)
+    # edge-building subtree.  CLUSTER on the DESTINATION key (r9 opt
+    # round, guide §2.3): with all of a node's in-edges in one
+    # partition, every round's groupBy("v") partial aggregate collapses
+    # each key locally and the per-round exchange carries ~|nodes| rows
+    # total instead of numPartitions x |nodes| partial maps on a dense
+    # graph.  (The exchange itself cannot be elided: checkpoint scans
+    # report UnknownPartitioning under AQE — measured r9.)  Width
+    # UNPINNED: per-row round work is O(1), so AQE's byte-proportional
+    # sizing is right at every scale (a pinned 2x-cores width measured
+    # slower at sf0.1 — near-empty task storms).
+    ed = (
+        directed_edges.join(F.broadcast(deg), "u")
+        .repartition("v")
+        .localCheckpoint(eager=True)
+    )
     ranks = ed.select("u").distinct().select(
         F.col("u").alias("node"), F.lit(_PR_SCALE).cast("long").alias("pr")
     )
@@ -189,18 +202,32 @@ def graph_common_neighbors_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~50M wedges at sf0.1, ~6.5 s); on a real deduplicated corpus
     cluster sizes — and therefore degrees — are small, making this
     near-linear. A collect_list + combination-explode variant measured
-    identical (the wedge row count dominates, not the join)."""
+    identical (the wedge row count dominates, not the join).
+
+    r9 opt round: the symmetrized edge list is hash-partitioned on the
+    middle vertex with a PINNED partition count before its checkpoint —
+    both wedge-join sides then read one co-partitioned frame (zero
+    join-side Exchange, guide §2.4) and, more importantly, the
+    wedge-generating join runs at full width: the edge list is
+    byte-SMALL, so AQE's byte-based coalescing was shrinking the join's
+    parallelism while each input row fans out into O(deg) wedge rows
+    (PLANS.md invariant #6 — the measured cause of the r8 scaling
+    block's 0.78 8-vs-32-core ratio)."""
     from .dedup import shared_ngram_pairs
 
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     pairs = (
         shared_ngram_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
-    sym = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        .repartition(2 * n_parts, "u")
+        .localCheckpoint()
     )
     a, b = sym.alias("a"), sym.alias("b")
     wedges = a.join(
@@ -244,6 +271,10 @@ def capped_wedges(pairs: DataFrame, cap: int) -> DataFrame:
         F.broadcast(deg.filter(F.col("d") <= cap).select("u")), "u"
         # both wedge-join sides read the capped edge frame — compute
         # the degree rollup + semi filter once (r8 opt round, §1.2).
+        # r9 note: a pinned u-hash co-partition before this checkpoint
+        # (the uncapped CN treatment) was MEASURED SLOWER (0.6 -> 1.3 s)
+        # — the cap bounds wedges to 2*cap*|E|, so the join is small and
+        # the extra exchange + wide tasks dominate.
     ).localCheckpoint(eager=True)
     a, b = kept.alias("a"), kept.alias("b")
     return a.join(
@@ -376,45 +407,66 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     side in the same community still share a label; production LPA
     uses asynchronous or semi-synchronous schedules to damp this.)
 
-    Scale shape per round: one join of the (checkpointed-once,
+    Scale shape per round: one broadcast join of the (checkpointed-once,
     degree-bounded) edge list against the |nodes|-row label table, one
-    (node, lbl) count aggregate, one per-node argmax window — all three
-    cluster on the node key, so each round is effectively one
-    label-table exchange; rounds localCheckpoint to truncate lineage.
-    At 100 TB the label table is node-cardinality (vertex-cut it or
-    pre-partition both sides on node id); the edge list never moves
-    after its first partitioning."""
+    (node, lbl) count aggregate, one per-node argmax.  The edge list is
+    CLUSTERED on the vote key ONCE (``repartition("v")`` before the
+    checkpoint, guide §2.3): each round's partial aggregate then
+    collapses every vote key inside its partition, so the per-round
+    exchanges carry only key-cardinality aggregate maps — the r8 shape
+    re-shuffled the full |E|-row join output every round.  (Fully
+    exchange-free rounds are NOT available here: a checkpoint scan
+    reports UnknownPartitioning under AQE, so Spark cannot prove the
+    clustering survives the materialization — measured r9, see
+    plans/r09/graph_label_propagation_round_*.txt.)  At 100 TB the
+    label table is node-cardinality (vertex-cut it or broadcast per
+    round); the edge list never moves after its first partitioning."""
     li = table(spark, sf_dir, "lineitem")
     e0 = li.select(
         F.col("l_partkey").alias("u"),
         (F.col("l_suppkey") + _SUPP_OFF).alias("v"),
     ).distinct()
-    edges = e0.unionByName(
-        e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    edges = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # CLUSTER by the vote key ONCE (r9 opt round, guide §2.3
+        # "aggregate before you shuffle"): with all of a node's
+        # in-edges in one partition, each round's (v, lbl) partial
+        # aggregate collapses every vote key locally, so the per-round
+        # exchange carries ~|distinct (v, lbl)| rows total instead of
+        # the full |E|-row join output the old per-round
+        # repartition("v") shipped.  NOTE the exchange itself cannot be
+        # elided: a localCheckpoint scan reports UnknownPartitioning
+        # under AQE (measured, plans/r09/*_round_after.txt) — the same
+        # stats-loss family as the broadcast pins.  Width UNPINNED on
+        # purpose: per-row round work is O(1) (no fan-out), so AQE's
+        # byte-proportional sizing is right at every scale (a pinned
+        # 2x-cores width measured 2.4 -> 4.2 s here: 3 rounds x 128
+        # near-empty tasks).
+        .repartition("v")
+        .localCheckpoint()
+    )
     labels = edges.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
     for _ in range(_LPA_ITERS):
-        # repartition("v") pins ONE exchange that satisfies both the
-        # (v, lbl) vote count and the per-v argmax (HashPartitioning(v)
-        # clusters both), and max(struct(c, -lbl)) replaces the
-        # row_number sort-window — count-desc / label-asc argmax as a
-        # partial-aggregatable max, no per-partition sort.
-        votes = (
+        # mode(lbl, deterministic=true) IS the LPA vote: most frequent
+        # label, smallest label on ties — exactly the old two-aggregate
+        # count + max(struct(c, -lbl)) argmax, but as ONE partial-
+        # aggregatable aggregate (r9 opt round): each round is one
+        # exchange carrying a node-cardinality map buffer per key
+        # (with the v-clustered edge checkpoint each buffer is already
+        # complete before the exchange) instead of either the full
+        # |E|-row join output (r8 shape) or a second argmax exchange
+        # (the two-aggregate shape).  Equivalence pinned by
+        # tests/test_opt_r9.py::test_lpa_mode_vote_matches_two_stage.
+        labels = (
             # labels are node-cardinality and stats-less after the
             # round checkpoint — broadcast explicitly so the edge list
-            # is never sort-merge'd per round (at 100 TB pre-partition
-            # both sides on the node key instead; see docstring).
+            # is never sort-merge'd (and never re-partitioned) per
+            # round.
             edges.join(F.broadcast(labels.withColumnRenamed("node", "u")), "u")
-            .repartition("v")
-            .groupBy(F.col("v").alias("node"), "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        labels = (
-            votes.groupBy("node")
-            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("neg"))).alias("m"))
-            .select("node", (-F.col("m.neg")).alias("lbl"))
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.expr("mode(lbl, true)").alias("lbl"))
             .localCheckpoint()
         )
     return labels.select("node", F.col("lbl").alias("community"))
@@ -761,6 +813,9 @@ def graph_adamic_adar_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both wedge-join sides read the weighted kept-edge frame —
         # materialize the degree rollup + filter join once, not once
         # per side (r8 opt round, guide §1.2; <= 2|E| rows).
+        # r9 note: a pinned u-hash co-partition here (the uncapped CN
+        # treatment) was MEASURED SLOWER (2.5 -> 3.3 s) — deg-capped
+        # wedges are 2*cap*|E|-bounded, overhead dominates.
     ).localCheckpoint(eager=True)
     a, b = keptw.alias("a"), keptw.alias("b")
     wedges = a.join(
@@ -999,7 +1054,39 @@ def _ktruss_oracle() -> str:
     """
 
 
-def _edge_support(edges: DataFrame) -> DataFrame:
+def _adjacency(edges: DataFrame) -> DataFrame:
+    """(u, nbrs): undirected adjacency arrays of an (a < b) edge list,
+    eagerly checkpointed — both intersect sides (and the incremental
+    peel's lost-triangle probe) read ONE materialized aggregation, not
+    one union+collect_list subtree per consumer (r8: the before-plan
+    had two full Exchange+BroadcastExchange subtrees per round; guide
+    §2.4 "two operations keyed the same way can share one exchange")."""
+    und = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionByName(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    return (
+        und.groupBy("u")
+        .agg(F.collect_list("v").alias("nbrs"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _adj_sides(adj: DataFrame, n_edges: int):
+    """The adjacency frame projected onto both endpoints of an (a, b)
+    edge join, with the join strategy pinned: broadcast while the edge
+    count permits, else SHUFFLED HASH — never sort-merge, which sorts
+    rows carrying the deg-length nbrs arrays and spills them (the
+    measured 20x failure mode: 31 GB spill at 4.3M edges).  The
+    explicit pin matters doubly because ``adj`` is a checkpoint scan
+    with no size statistics."""
+    a_u = adj.select(F.col("u").alias("a"), F.col("nbrs").alias("nbrs_a"))
+    a_v = adj.select(F.col("u").alias("b"), F.col("nbrs").alias("nbrs_b"))
+    if n_edges <= TRUSS_BROADCAST_MAX_EDGES:
+        return F.broadcast(a_u), F.broadcast(a_v)
+    return a_u.hint("shuffle_hash"), a_v.hint("shuffle_hash")
+
+
+def _edge_support(edges: DataFrame, return_state: bool = False):
     """(a, b, c): per-edge triangle support within ``edges`` (a < b),
     0-support edges included.
 
@@ -1014,38 +1101,21 @@ def _edge_support(edges: DataFrame) -> DataFrame:
     re-aggregated (measured 3x faster end-to-end than streaming the
     3-edge-keys-per-triangle generator through a groupBy).  Adjacency
     is broadcast while edge-count-sized permits, per the
-    triangle_counts_from_edges (dedup.py:917) size gate."""
+    triangle_counts_from_edges (dedup.py:917) size gate.
+
+    With ``return_state`` also returns the checkpointed adjacency and
+    the edge count so an iterative caller (the k-truss peel) can reuse
+    them instead of rebuilding per round."""
     spark = edges.sparkSession
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # Repartition by core count BEFORE the compute-heavy intersect map:
     # the edge list is byte-small (AQE would coalesce it) but carries
     # O(d(a)+d(b)) array work per row — PLANS.md invariant #6.
     e = edges.repartition(2 * n_parts).localCheckpoint()
-    und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
-        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
-    )
-    adj = (
-        und.groupBy("u")
-        .agg(F.collect_list("v").alias("nbrs"))
-        # both intersect sides read the adjacency — build the
-        # union+collect_list aggregation once PER ROUND, not once per
-        # broadcast side (the r8-before plan had two full
-        # Exchange+BroadcastExchange subtrees per round; guide §2.4
-        # "two operations keyed the same way can share one exchange").
-        .localCheckpoint(eager=True)
-    )
-    a_u = adj.select(F.col("u").alias("a"), F.col("nbrs").alias("nbrs_a"))
-    a_v = adj.select(F.col("u").alias("b"), F.col("nbrs").alias("nbrs_b"))
-    if e.count() <= TRUSS_BROADCAST_MAX_EDGES:
-        a_u, a_v = F.broadcast(a_u), F.broadcast(a_v)
-    else:
-        # Fallback must HASH-join, not sort-merge: SMJ sorts rows
-        # carrying the deg-length nbrs arrays and spills them (the
-        # measured 20x failure mode: 31 GB spill at 4.3M edges).
-        # Hash build sides are the adjacency frames (node-cardinality);
-        # the array payload streams through unsorted.
-        a_u, a_v = a_u.hint("shuffle_hash"), a_v.hint("shuffle_hash")
-    return (
+    adj = _adjacency(e)
+    n_edges = e.count()
+    a_u, a_v = _adj_sides(adj, n_edges)
+    supp = (
         e.join(a_u, "a")
         .join(a_v, "b")
         .select(
@@ -1054,6 +1124,9 @@ def _edge_support(edges: DataFrame) -> DataFrame:
             F.size(F.array_intersect("nbrs_a", "nbrs_b")).alias("c"),
         )
     )
+    if return_state:
+        return supp, adj, n_edges
+    return supp
 
 
 @register("graph_ktruss_edges", oracle=_ktruss_oracle(), tags=("GRAPH", "ITER"))
@@ -1071,13 +1144,26 @@ def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic and oracle-checkable as unrolled CTEs — the module's
     standard discipline (k-core, LPA, PageRank).
 
-    Scale shape per round: the support computation is one wedge join of
-    the (a<b) edge list against its undirected expansion, grouped back
-    per edge — wedge-bounded, the same cost envelope as
-    graph_triangle_counts (whose degree-orientation bound applies when
-    hubs appear; the near-dup graph is hub-free by construction since
-    PPJoin-style thresholds cap effective degree).  Peeling only
-    shrinks the edge set, so round 1 dominates; each round
+    Rounds 2+ are INCREMENTAL (r9 opt round, guide §1.2 "don't compute
+    things you throw away"): the full sum_v d(v)^2 intersect runs ONCE,
+    on round 1.  After a peel, a surviving edge's support changes only
+    by the triangles it shared with DROPPED edges, and a dropped edge
+    has support < {_TRUSS_K - 2} by definition — so it sits in at most
+    {_TRUSS_K - 3} triangle(s), and the lost-triangle set is bounded by
+    the dropped-edge count, not by the wedge count.  Each later round
+    therefore (1) intersects adjacency for the dropped edges only,
+    (2) deduplicates lost triangles by their sorted node triple (a
+    triangle with two dropped edges must be counted once, not twice),
+    and (3) decrements the surviving edges via a broadcast left join.
+    Equivalence to the full recompute is pinned by
+    tests/test_opt_r9.py::test_ktruss_incremental_matches_full.
+
+    Scale shape: round 1 is the wedge-bounded intersect, the same cost
+    envelope as graph_triangle_counts (whose degree-orientation bound
+    applies when hubs appear; the near-dup graph is hub-free by
+    construction since PPJoin-style thresholds cap effective degree);
+    later rounds are linear in the dropped-edge count plus one
+    adjacency rebuild of the surviving set.  Round 1
     repartition-localCheckpoints per PLANS.md invariant #6 (the edge
     list is byte-small but wedge fan-out per row is huge — AQE would
     coalesce it onto one core)."""
@@ -1086,10 +1172,60 @@ def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = shared_ngram_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    supp = _edge_support(edges)
-    for _ in range(_TRUSS_ROUNDS - 1):
-        supp = _edge_support(
-            supp.filter(F.col("c") >= _TRUSS_K - 2).select("a", "b")
+    supp, adj, n_edges = _edge_support(edges, return_state=True)
+    # One materialization of the round-1 intersect; dropped/survivor
+    # consumers and the next round's adjacency all read the checkpoint.
+    supp = supp.localCheckpoint(eager=True)
+    for r in range(_TRUSS_ROUNDS - 1):
+        if r > 0:
+            # Adjacency of the current (surviving) edge set — needed to
+            # find the dropped edges' remaining triangles this round.
+            adj = _adjacency(supp.select("a", "b"))
+        a_u, a_v = _adj_sides(adj, n_edges)
+        dropped = supp.filter(F.col("c") < _TRUSS_K - 2).select("a", "b")
+        survivors = supp.filter(F.col("c") >= _TRUSS_K - 2)
+        # Triangles of the CURRENT edge set that contain a dropped edge
+        # (w ranges over common neighbors within this round's adjacency),
+        # deduplicated by sorted triple so a triangle losing two of its
+        # edges at once decrements its surviving edge exactly once.
+        tri = (
+            dropped.join(a_u, "a")
+            .join(a_v, "b")
+            .select(
+                "a",
+                "b",
+                F.explode(F.array_intersect("nbrs_a", "nbrs_b")).alias("w"),
+            )
+            .select(F.array_sort(F.array("a", "b", "w")).alias("t"))
+            .distinct()
+        )
+        losses = (
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.array(F.col("t")[0], F.col("t")[1]),
+                        F.array(F.col("t")[0], F.col("t")[2]),
+                        F.array(F.col("t")[1], F.col("t")[2]),
+                    )
+                ).alias("e")
+            )
+            .groupBy(
+                F.col("e")[0].alias("a"), F.col("e")[1].alias("b")
+            )
+            .agg(F.count(F.lit(1)).alias("lost"))
+        )
+        supp = (
+            # losses is bounded by 3x the lost-triangle count (tiny) and
+            # stats-less — pin the broadcast.
+            survivors.join(F.broadcast(losses), ["a", "b"], "left")
+            .select(
+                "a",
+                "b",
+                (
+                    F.col("c") - F.coalesce(F.col("lost"), F.lit(0))
+                ).alias("c"),
+            )
+            .localCheckpoint(eager=True)
         )
     # The last round's support IS the reported value (the number the
     # peel decision used) — no extra support pass over the final set.
@@ -1193,6 +1329,12 @@ def graph_ppr_seeded_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    # r9 note: a v-co-partitioned ed + node-co-partitioned nodes (the
+    # LPA/pagerank treatment) was MEASURED SLOWER here (3.0 -> 5.1 s):
+    # the two extra pinned exchanges plus per-round wide aggregates
+    # cost more than the per-round exchanges they remove — PPR's
+    # nonzero-rank frontier keeps the round frames reach-bounded and
+    # tiny, so the r8 shape stands.
     ed = edges.join(F.broadcast(deg), "u").localCheckpoint(eager=True)
     # Every round's rank rebuild LEFT-joins `nodes`; lazily chained it
     # re-ran the |E|-row distinct once per round (plus once inside each

@@ -628,12 +628,16 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist(): checkpoint blocks are freed by the ContextCleaner when
     # the frame is garbage-collected, so a long bench/sweep session
     # doesn't accumulate one cached n x dim matrix per invocation
-    # (persist() without unpersist() leaks exactly that).
+    # (persist() without unpersist() leaks exactly that).  LAZY
+    # (r9 opt round, the kcenter/BFS fold): the init-centroid collect
+    # below is the first action over the frame and materializes the
+    # checkpoint inside its own job — one fewer blocking driver job
+    # per run (the query is job-latency-bound: 2000x64 doubles).
     e = fanout(
         table(spark, sf_dir, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("emb")
         )
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     centroids = [
         r["emb"]
         for r in e.filter(F.col("vec_id") < _KMEANS_K)
@@ -665,6 +669,11 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     for _ in range(_KMEANS_ITERS):
         assigned = e.select("vec_id", "emb", assign_expr(centroids))
+        # posexplode + (cluster, dim) aggregate, NOT per-dim avg
+        # columns (measured r9 opt round: a 64-avg-column groupBy
+        # re-codegen'd per round with the k x 64 assign literals read
+        # 4.0-4.5 s vs 2.9-3.3 s baseline — whole-stage compile time
+        # per round swamps the shuffle it saves at 2000 x 64 scale).
         new_c = (
             assigned.select("cluster", F.posexplode("emb").alias("dim", "x"))
             .groupBy("cluster", "dim")
@@ -2355,7 +2364,11 @@ def sim_pq_trained_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grid2 = float(_PQ_GRID) ** 2
     return (
-        adc.join(F.broadcast(exact), "vec_id")
+        # SHUFFLED HASH, not broadcast (ADVICE r8): exact is
+        # vector-cardinality (unbounded at scale); the hint still
+        # avoids the stats-less SMJ default without a mandatory
+        # driver-side build of the full exact ranking.
+        adc.join(exact.hint("shuffle_hash"), "vec_id")
         .join(F.broadcast(top), adc["vec_id"] == F.col("tvid"), "left")
         .orderBy("adist", "vec_id")
         .limit(10)

@@ -2006,6 +2006,10 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("w").cast("long").alias("w"))
     )
     strength = eagg.groupBy("a").agg(F.sum("w").cast("long").alias("s"))
+    # r9 note: co-partitioning ed on the round key "b" (the
+    # LPA/pagerank treatment) was MEASURED SLOWER here (1.9 -> 2.0 s
+    # pinned): the co-occurrence edge list is vocabulary-cardinality —
+    # the per-round exchange it would remove is already tiny.
     ed = eagg.join(F.broadcast(strength), "a").localCheckpoint(eager=True)
     ranks = strength.select(
         F.col("a").alias("token"),

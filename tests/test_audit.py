@@ -59,27 +59,42 @@ def test_plan_invariants(spark, name, fn):
 
 def test_heavy_queries_have_curves():
     """The sweep is a RULE, not a list (VERDICT r4 #3): every registered
-    query over 1.5 s in the latest full bench artifact must have a
+    query over 1.5 s in the committed CLOSE bench artifact must have a
     scaling curve with >= 3 scale points in some
     docs/scaling_curves_*.json (tightened from 2.0 s, VERDICT r7 #4 —
     as the tail compresses, the uncurved band must not regrow).
-    tools/scaling_curves.py derives its default query set from the same
-    artifact, so closing a gap is one sweep run."""
+
+    Noise robustness (VERDICT r8 #1): the heavy set is read from the
+    newest TRACKED close snapshot, whose per-query medians are the
+    stable numbers — a fresh ``bench_latest_full.json`` written by a
+    driver post-close run carries that window's +/-2x host noise and
+    failed this audit on an untouched 1.2 s query.  The fresh artifact
+    still participates through a hysteresis band: anything above 3.0 s
+    there (beyond the observed noise envelope around the 1.5 s line)
+    needs a curve too, so a genuinely new heavy query cannot hide
+    between closes.  tools/scaling_curves.py derives its default query
+    set from the same artifacts, so closing a gap is one sweep run."""
     import glob
     import json
     import os
 
     from fortisiem_clickhouse_monitor_spark.testing import (
+        close_bench_artifact,
         latest_bench_artifact,
     )
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    bench_path = latest_bench_artifact(repo)
-    if bench_path is None:
-        pytest.skip("no bench artifact yet")
-    bench = json.load(open(bench_path))["queries"]
     registered = set(entrymod.queries())
-    heavy = {k for k, v in bench.items() if v > 1.5 and k in registered}
+    heavy: set[str] = set()
+    close_path = close_bench_artifact(repo)
+    latest_path = latest_bench_artifact(repo)
+    if close_path is None and latest_path is None:
+        pytest.skip("no bench artifact yet")
+    for path, threshold in ((close_path, 1.5), (latest_path, 3.0)):
+        if path is None:
+            continue
+        bench = json.load(open(path))["queries"]
+        heavy |= {k for k, v in bench.items() if v > threshold and k in registered}
     covered = set()
     for p in glob.glob(os.path.join(repo, "docs", "scaling_curves_*.json")):
         for name, entry in json.load(open(p)).items():
